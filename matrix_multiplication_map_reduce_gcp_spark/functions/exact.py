@@ -1,0 +1,61 @@
+"""Exact (order-independent) aggregation of currency-like doubles.
+
+Why this exists: the driver's correctness gate hashes query output
+values against a DuckDB oracle. ``SUM(double)`` is order-dependent —
+Spark and DuckDB will disagree in the last ulp on any large sum, so a
+naive double sum can never hash-match. Every double column in the
+fixtures carries exactly 2 decimal digits (verified at ingest), so we
+aggregate in DECIMAL (exact, associative, order-independent) and cast
+the final result back to DOUBLE. Both engines then produce the
+bit-identical IEEE double.
+
+The same pattern is what you want at 100 TB anyway: decimal partial
+aggregates are exact under any AQE re-planning or partial/final split.
+
+Spark side helpers here; the SQL oracle uses the mirrored text from
+:func:`sql_dsum` etc. so both plans round identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2 fractional digits covers every money/ratio column in the fixtures.
+# Keep the declared precision small (12) so products of two decimals
+# stay well under Spark's 38-digit cap — beyond it Spark silently
+# reduces the scale, which would break exactness.
+DEC = "decimal(12,2)"
+
+
+def dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact SUM of a 2-decimal double, returned as double."""
+    return F.sum(dec(col)).cast("double")
+
+
+def dsum_expr(col: Column) -> Column:
+    """Exact SUM of an already-decimal expression, returned as double."""
+    return F.sum(col).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Exact AVG: decimal sum divided (as double) by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias("avg")
+
+
+def sql_dec(expr: str) -> str:
+    return f"CAST({expr} AS {DEC})"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {DEC})) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS {DEC})) AS DOUBLE) / COUNT({expr}))"

@@ -1,0 +1,50 @@
+"""Engine-portable hashing built on MD5 hex strings.
+
+Spark's ``xxhash64``/``hash`` and DuckDB's ``hash`` are different
+functions, so any operator whose *output* depends on hash values
+(MinHash signatures, SimHash bits, LSH buckets, fingerprints) could
+never be oracle-checked across engines with the native hashes. MD5 is
+identical everywhere; we derive:
+
+- string hashes: the hex digest itself (orderable, so MIN() works —
+  that is all MinHash needs);
+- integer hashes: the first 8 hex chars parsed as a 32-bit unsigned
+  int (Spark ``conv(hex,16,10)``, DuckDB ``CAST('0x'||hex AS BIGINT)``).
+
+MD5 is cryptographically broken but that is irrelevant here — we need
+a well-mixed deterministic function, not collision resistance against
+adversaries. At scale the cost is one JVM-side digest per row, still
+whole-stage-codegen friendly (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hex(col: Column) -> Column:
+    """MD5 hex digest of a string column (32 lowercase hex chars)."""
+    return F.md5(col.cast("string"))
+
+
+def hash32(col: Column, seed: int = 0) -> Column:
+    """Portable unsigned-32-bit integer hash of a string column."""
+    salted = F.concat(F.lit(f"s{seed}|"), col.cast("string"))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_hash32(expr: str, seed: int = 0) -> str:
+    """DuckDB SQL mirror of :func:`hash32`."""
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CONCAT('s{seed}|', CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """Seed-salted MD5 hex string (for MinHash families)."""
+    return F.md5(F.concat(F.lit(f"s{seed}|"), col.cast("string")))
+
+
+def sql_seeded_md5(expr: str, seed: int) -> str:
+    return f"md5(CONCAT('s{seed}|', CAST({expr} AS VARCHAR)))"

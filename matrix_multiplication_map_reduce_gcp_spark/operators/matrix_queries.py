@@ -1,0 +1,182 @@
+"""Oracle-checkable matrix queries (the reference's flagship workload).
+
+Each query derives deterministic COO operands from ``lineitem`` (see
+matrix/fixtures.py) so the DuckDB oracle computes the identical
+matrices, then exercises one linalg operator from matrix/coo.py.
+
+Reference parity: the one computation the reference performs end-to-end
+is C = A×B via replicate-map / group-by-key / sum-product-reduce
+(reference mapper/main.py:24-41, orchestrator/main.py:118-126,
+reducer/main.py:20-32). ``matmul`` here is the same computation as a
+single Catalyst-planned join+agg; the rest of the module is the linalg
+surface a real engine offers around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..matrix.coo import _DEC, CooMatrix
+from ..matrix.fixtures import (
+    matrix_a,
+    matrix_b,
+    matrix_sparse,
+    sql_matrix_a,
+    sql_matrix_b,
+    sql_matrix_sparse,
+)
+from ..registry import query
+
+# Shared SQL fragment: exact sum of products (mirrors CooMatrix.multiply).
+_SQL_DOT = (
+    "CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+
+@query(
+    "matmul",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()}), b AS ({sql_matrix_b()})
+    SELECT a.i AS i, b.j AS j, {_SQL_DOT} AS v
+    FROM a JOIN b ON a.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul(spark, sf_dir):
+    """Flagship: C = A(40×60) @ B(60×30) — non-square on purpose, to pin
+    the shared-dimension semantics the reference got wrong for
+    non-square shapes (SURVEY.md §2.2-2)."""
+    return matrix_a(spark, sf_dir).multiply(matrix_b(spark, sf_dir)).df
+
+
+@query(
+    "matmul_sparse",
+    oracle=f"""
+    WITH a AS ({sql_matrix_sparse()}), b AS ({sql_matrix_b(rows=300, cols=40)})
+    SELECT a.i AS i, b.j AS j, {_SQL_DOT} AS v
+    FROM a JOIN b ON a.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul_sparse(spark, sf_dir):
+    """Sparse × dense: implicit zeros never materialize — inner-join
+    semantics exactly as the reference's `if j in A and j in B`
+    (reducer/main.py:31, SURVEY.md §2.2-1)."""
+    a = matrix_sparse(spark, sf_dir)
+    b = matrix_b(spark, sf_dir, rows=300, cols=40)
+    return a.multiply(b).df
+
+
+@query(
+    "matrix_transpose",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()})
+    SELECT j AS i, i AS j, v FROM a
+    """,
+)
+def matrix_transpose(spark, sf_dir):
+    return matrix_a(spark, sf_dir).transpose().df
+
+
+@query(
+    "matrix_add",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a(rows=50, cols=50)}), b AS ({sql_matrix_b(rows=50, cols=50)})
+    SELECT COALESCE(a.i, b.i) AS i, COALESCE(a.j, b.j) AS j,
+           COALESCE(a.v, 0) * 2.0 + COALESCE(b.v, 0) * 1.0 AS v
+    FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j
+    """,
+)
+def matrix_add(spark, sf_dir):
+    """alpha*A + beta*B with sparse full-outer-join semantics (50×50 —
+    the reference's hardcoded live shape, orchestrator/main.py:43-48)."""
+    a = matrix_a(spark, sf_dir, rows=50, cols=50)
+    b = matrix_b(spark, sf_dir, rows=50, cols=50)
+    return a.add(b, alpha=2.0, beta=1.0).df
+
+
+@query(
+    "matrix_hadamard",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a(rows=50, cols=50)}), b AS ({sql_matrix_b(rows=50, cols=50)})
+    SELECT a.i AS i, a.j AS j, a.v * b.v AS v
+    FROM a JOIN b ON a.i = b.i AND a.j = b.j
+    """,
+)
+def matrix_hadamard(spark, sf_dir):
+    a = matrix_a(spark, sf_dir, rows=50, cols=50)
+    b = matrix_b(spark, sf_dir, rows=50, cols=50)
+    return a.hadamard(b).df
+
+
+@query(
+    "matrix_scale",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()})
+    SELECT i, j, v * 2.5 AS v FROM a
+    """,
+)
+def matrix_scale(spark, sf_dir):
+    return matrix_a(spark, sf_dir).scale(2.5).df
+
+
+@query(
+    "matvec",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()}),
+    x AS (SELECT p_partkey % 60 AS j, CAST(COUNT(*) AS DOUBLE) AS v
+          FROM part GROUP BY 1)
+    SELECT a.i AS i,
+           CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(x.v AS DECIMAL(18,4))) AS DOUBLE) AS v
+    FROM a JOIN x ON a.j = x.j
+    GROUP BY 1
+    """,
+)
+def matvec(spark, sf_dir):
+    """A @ x with the vector broadcast (zero shuffle on the matrix side)."""
+    a = matrix_a(spark, sf_dir)
+    x = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy((F.col("p_partkey") % 60).alias("j"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    return a.matvec(x)
+
+
+@query(
+    "matrix_gram",
+    oracle=f"""
+    WITH m AS ({sql_matrix_a()})
+    SELECT a.j AS i, b.j AS j,
+           {_SQL_DOT} AS v
+    FROM m a JOIN m b ON a.i = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matrix_gram(spark, sf_dir):
+    """Gram matrix AᵀA (60×60) via self-join on the row index."""
+    return matrix_a(spark, sf_dir).gram().df
+
+
+@query(
+    "matrix_trace",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a(rows=50, cols=50)})
+    SELECT CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS trace
+    FROM a WHERE i = j
+    """,
+)
+def matrix_trace(spark, sf_dir):
+    return matrix_a(spark, sf_dir, rows=50, cols=50).trace()
+
+
+@query(
+    "matrix_frobenius",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()})
+    SELECT CAST(SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS fro_sq
+    FROM a
+    """,
+)
+def matrix_frobenius(spark, sf_dir):
+    return matrix_a(spark, sf_dir).frobenius_sq()

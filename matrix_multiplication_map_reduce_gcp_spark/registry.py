@@ -1,0 +1,71 @@
+"""Central query registry consumed by ``__spark_entry__.py``.
+
+Every implemented operator registers a named query (spark, sf_dir) →
+DataFrame, optionally with the equivalent DuckDB oracle SQL. The
+driver's correctness gate runs both and hash-compares results
+(row-count + schema + order-insensitive value hash), so:
+
+- column names must match between the two (alias everything);
+- float-producing aggregations must be order-independent (see
+  functions/exact.py) or explicitly rounded;
+- hash-dependent operators must use engine-portable hashing (see
+  functions/portable_hash.py).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over the registered fixture views
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+# Modules that register queries at import time.
+_QUERY_MODULES = (
+    "matrix_multiplication_map_reduce_gcp_spark.operators.matrix_queries",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.relational",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.windows",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.setops",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.scalar_funcs",
+    "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
+    "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
+    "matrix_multiplication_map_reduce_gcp_spark.text.queries",
+    "matrix_multiplication_map_reduce_gcp_spark.streaming.queries",
+    "matrix_multiplication_map_reduce_gcp_spark.multimodal.queries",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Allow partially-built trees during development; a missing
+            # *registered* module is still surfaced loudly in tests.
+            if mod.split(".")[-1] not in str(e) and "matrix_multiplication_map_reduce_gcp_spark" not in str(e):
+                raise
+    return QUERIES

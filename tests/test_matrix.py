@@ -1,0 +1,119 @@
+"""Matrix operators vs a NumPy oracle on seeded dense + sparse inputs —
+the disciplined version of the reference's own VM `np.dot` baseline
+(reference vm_mtxmul.py:39-40), which it computed but never compared
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from matrix_multiplication_map_reduce_gcp_spark.matrix import (
+    CooMatrix,
+    coo_to_dense_rows,
+    shred_json_matrix,
+    validate_matmul_dims,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def to_coo(spark, m: np.ndarray) -> CooMatrix:
+    rows = [
+        (int(i), int(j), float(m[i, j]))
+        for i in range(m.shape[0])
+        for j in range(m.shape[1])
+        if m[i, j] != 0.0
+    ]
+    df = spark.createDataFrame(rows, "i long, j long, v double")
+    return CooMatrix(df, m.shape[0], m.shape[1])
+
+
+def dense(spark_matrix: CooMatrix) -> np.ndarray:
+    return spark_matrix.to_numpy()
+
+
+@pytest.fixture(scope="module")
+def mats(spark):
+    # int-valued float matrices like the reference's generator
+    # (test/test.py:42-43: uniform ints 0..99 as float)
+    a = RNG.integers(0, 100, (13, 17)).astype(float)
+    b = RNG.integers(0, 100, (17, 11)).astype(float)
+    return a, b, to_coo(spark, a), to_coo(spark, b)
+
+
+def test_matmul_matches_numpy(mats):
+    a, b, A, B = mats
+    np.testing.assert_allclose(dense(A.multiply(B)), a @ b, rtol=0)
+
+
+def test_matmul_nonsquare_shared_dim(mats):
+    """Pins the correct shared-dimension semantics (the reference
+    iterated rows_A instead of cols_A — reducer/main.py:30)."""
+    a, b, A, B = mats
+    assert A.multiply(B).shape == (13, 11)
+
+
+def test_matmul_dim_validation():
+    with pytest.raises(ValueError, match="incompatible"):
+        validate_matmul_dims(4, 5, 6, 4)
+
+
+def test_matmul_sparse_implicit_zeros(spark):
+    a = np.array([[0.0, 2.0], [3.0, 0.0]])
+    b = np.array([[5.0, 0.0], [0.0, 7.0]])
+    C = to_coo(spark, a).multiply(to_coo(spark, b))
+    np.testing.assert_allclose(dense(C), a @ b, rtol=0)
+    # zero cells never materialize
+    assert C.nnz() == int((a @ b != 0).sum())
+
+
+def test_square_50x50_reference_live_shape(spark):
+    """The reference's hardcoded live case (orchestrator/main.py:43-48)."""
+    a = RNG.integers(0, 100, (50, 50)).astype(float)
+    b = RNG.integers(0, 100, (50, 50)).astype(float)
+    C = to_coo(spark, a).multiply(to_coo(spark, b))
+    np.testing.assert_allclose(dense(C), a @ b, rtol=0)
+
+
+def test_transpose_add_scale_hadamard(mats, spark):
+    a, _, A, _ = mats
+    np.testing.assert_allclose(dense(A.transpose()), a.T, rtol=0)
+    np.testing.assert_allclose(dense(A.scale(2.5)), a * 2.5, rtol=0)
+    a2 = RNG.integers(0, 100, a.shape).astype(float)
+    A2 = to_coo(spark, a2)
+    np.testing.assert_allclose(dense(A.add(A2, 2.0, -1.0)), 2 * a - a2, rtol=0)
+    np.testing.assert_allclose(dense(A.hadamard(A2)), a * a2, rtol=0)
+
+
+def test_matvec(mats, spark):
+    a, _, A, _ = mats
+    x = RNG.integers(0, 100, a.shape[1]).astype(float)
+    xdf = spark.createDataFrame(
+        [(int(j), float(v)) for j, v in enumerate(x)], "j long, v double"
+    )
+    got = {r["i"]: r["v"] for r in A.matvec(xdf).collect()}
+    want = a @ x
+    for i in range(a.shape[0]):
+        assert got.get(i, 0.0) == pytest.approx(want[i], rel=0)
+
+
+def test_gram_trace_frobenius(mats):
+    a, _, A, _ = mats
+    np.testing.assert_allclose(dense(A.gram()), a.T @ a, rtol=0)
+    sq = to_coo(A.df.sparkSession, a[:13, :13])
+    assert sq.trace().collect()[0]["trace"] == pytest.approx(np.trace(a[:13, :13]), rel=0)
+    assert A.frobenius_sq().collect()[0]["fro_sq"] == pytest.approx((a * a).sum(), rel=0)
+
+
+def test_dense_json_shred_roundtrip(spark):
+    """The reference's wire format: JSON list-of-lists blob
+    (orchestrator/main.py:58-64) → COO → dense rows → ndarray."""
+    m = RNG.integers(0, 100, (6, 4)).astype(float)
+    coo = shred_json_matrix(spark, json.dumps(m.tolist()))
+    back = np.zeros((6, 4))
+    for r in coo_to_dense_rows(coo, 4).collect():
+        back[r["i"], :] = r["row"]
+    np.testing.assert_allclose(back, m, rtol=0)
