@@ -34,7 +34,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects. Read nanos as long (legacy conf, runtime-
+    settable) and truncate to microseconds — exactly what DuckDB's
+    reader does — so ts values stay oracle-comparable."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,532 @@
+"""Relational operator surface: scans, projection/filter, every join
+type, aggregation (incl. rollup/cube/grouping sets), having, distinct,
+pivot, subqueries, sort/limit/top-k.
+
+The reference had exactly one hand-rolled equi-join + one aggregate
+(reference reducer/main.py:20-32) and implicit projection via array
+slicing (orchestrator/main.py:90,103) — SURVEY.md §2.3 maps each
+missing category to the Spark primitive used here.
+
+Scale discipline:
+- filters/projections expressed declaratively → parquet pushdown;
+- dimension tables broadcast (region/nation/supplier/part stay small
+  at any SF — catalog.BROADCAST_TABLES);
+- top-k = orderBy+limit (Spark plans TakeOrderedAndProject — no full
+  sort at scale);
+- money aggregates in decimal for order-independent exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec, dsum, sql_dsum
+from ..registry import query
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan→filter→agg pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "region_nation_revenue",
+    oracle="""
+    SELECT r.r_name AS r_name, n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join through two broadcast dims + two facts."""
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "brand_revenue_broadcast",
+    oracle="""
+    SELECT p.p_brand AS p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_revenue_broadcast(spark, sf_dir):
+    """Fact↔dim broadcast join: part never shuffles lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            dsum("l_quantity").alias("qty"),
+        )
+    )
+
+
+@query(
+    "customer_order_left_join",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def customer_order_left_join(spark, sf_dir):
+    """LEFT OUTER join preserving order-less customers (count=0, sum=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "customers_with_open_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders_semi(spark, sf_dir):
+    """LEFT SEMI join = EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders_anti(spark, sf_dir):
+    """LEFT ANTI join = NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@query(
+    "nation_balance_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk,
+                         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_bal
+                  FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nk,
+                         CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_bal
+                  FROM supplier GROUP BY 1)
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey, cust_bal, supp_bal
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def nation_balance_full_outer(spark, sf_dir):
+    """FULL OUTER join with nulls surviving on both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(dsum("c_acctbal").alias("cust_bal"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(dsum("s_acctbal").alias("supp_bal"))
+    )
+    return (
+        c.join(s, c.nk == s.snk, "full_outer")
+        .select(
+            F.coalesce("nk", "snk").alias("nationkey"),
+            "cust_bal",
+            "supp_bal",
+        )
+    )
+
+
+@query(
+    "region_segment_cross",
+    oracle="""
+    SELECT r.r_name AS r_name, s.seg AS seg
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    """,
+)
+def region_segment_cross(spark, sf_dir):
+    """Cross join of two tiny inputs (the only safe cross-join shape)."""
+    r = load_table(spark, sf_dir, "region")
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    return r.select("r_name").crossJoin(F.broadcast(seg))
+
+
+@query(
+    "global_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM lineitem
+    """,
+)
+def global_stats(spark, sf_dir):
+    """Global (no-group) aggregate with exact sum/avg + distinct count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dsum("l_extendedprice").alias("sum_price"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS r_name, n.n_name AS n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           GROUPING(r.r_name) + GROUPING(n.n_name) * 2 AS gid
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """ROLLUP with GROUPING() — subtotals + grand total in one pass
+    (partial-aggregatable, no extra shuffle vs plain groupBy)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+            (F.grouping("r_name") + F.grouping("n_name") * 2).alias("gid"),
+        )
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "grouping_sets_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_priority(spark, sf_dir):
+    """GROUPING SETS via SQL (DataFrame API has only rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "segment_distinct_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_distinct_counts(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def top_orders(spark, sf_dir):
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap +
+    driver merge, never a full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@query(
+    "brand_having",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 10
+    """,
+)
+def brand_having(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(dec("p_retailprice")).cast("double") / F.count("*")).alias("avg_price"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "pivot_flag_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_flag_by_status(spark, sf_dir):
+    """Pivot with explicit values (never let Spark scan for them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           * 100.0 AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100.0
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "orders_with_big_lineitem_exists",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_with_big_lineitem_exists(spark, sf_dir):
+    """Correlated EXISTS — planned as a left-semi join by Catalyst."""
+    o = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT COUNT(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+    """,
+)
+def parts_above_avg_price(spark, sf_dir):
+    """Scalar subquery: global avg compared per row (exact avg so both
+    engines compare against the identical threshold double)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_above
+        FROM part
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+        """
+    )
+
+
+@query(
+    "median_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def median_order_price(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same formula in both
+    engines on identical doubles)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
