@@ -1,0 +1,102 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line the driver records as BENCH_r{N}.json.
+
+Includes `matmul_dense_200`: C = A(200×200) @ B(200×200) on generated
+uniform-int matrices — the reference's largest published case, which
+it ran in 46.1 s on Cloud Functions (BASELINE.md; its NumPy VM oracle:
+0.7 s). Everything is forced through a noop sink so full plans execute
+without driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+from matrix_multiplication_map_reduce_gcp_spark.matrix.coo import CooMatrix
+from matrix_multiplication_map_reduce_gcp_spark.session import get_spark
+
+HEADLINE = [
+    "matmul",
+    "matmul_sparse",
+    "matrix_gram",
+    "pricing_summary",
+    "shipping_priority",
+    "region_nation_revenue",
+    "top3_orders_per_customer",
+    "user_sessions",
+    "json_extraction",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "stream_tumbling_counts",
+]
+
+
+def gen_matrix(spark, n: int, seed: int) -> CooMatrix:
+    """Dense n×n uniform ints 0..99 (the reference's generator shape,
+    test/test.py:42-43), built distributed via spark.range."""
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("i"),
+            (F.col("id") % n).alias("j"),
+            F.floor(F.rand(seed) * 100).cast("double").alias("v"),
+        )
+    )
+    return CooMatrix(df, n, n)
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="spark_graft_bench")
+    queries = registry.load_all()
+
+    # Warm the JVM/codegen paths on the smallest SF so headline numbers
+    # measure the queries, not session startup.
+    queries["matmul"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Reference-comparable dense matmul (BASELINE.md: 46.1 s @ 200×200).
+    a, b = gen_matrix(spark, 200, seed=1), gen_matrix(spark, 200, seed=2)
+    t0 = time.perf_counter()
+    run_noop(a.multiply(b, exact=False).df)
+    timings["matmul_dense_200"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Registry entries for every dedup operator, each with its DuckDB
+oracle (SURVEY.md §2.3 north-star rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
+from ..registry import query
+from .jaccard import jaccard_pairs, sql_jaccard_pairs
+from .minhash import candidate_pairs, minhash_signatures, sql_candidate_pairs, sql_minhash_signatures
+from .simhash import simhash, sql_simhash
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep the smallest id.
+    One shuffle on the hash — the canonical 100 TB dedup shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+@query("minhash_signatures", oracle=sql_minhash_signatures())
+def minhash_signatures_q(spark, sf_dir):
+    """Per-doc MinHash signature (8 portable seeded hashes)."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query("minhash_lsh_pairs", oracle=sql_candidate_pairs())
+def minhash_lsh_pairs(spark, sf_dir):
+    """Banded-LSH candidate near-dup pairs (4 bands × 2 hashes)."""
+    return candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("simhash_fingerprints", oracle=sql_simhash())
+def simhash_fingerprints(spark, sf_dir):
+    """32-bit SimHash per document (integer-exact, portable hash)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("ngram_jaccard_pairs", oracle=sql_jaccard_pairs())
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard over same-(lang,source) blocked pairs."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine_rounded('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine_rounded('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label so the
+    self-join is per-partition, never a full cross-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("va"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("vb"), "label"
+    )
+    cos = cosine_rounded(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )

@@ -1,0 +1,80 @@
+"""SimHash document fingerprints (32-bit).
+
+Per token: a portable 32-bit hash; per bit position: +1 if set else
+-1, summed over the doc's tokens; the fingerprint sets each bit whose
+weighted sum is positive. Near-dups then differ in few bits (Hamming).
+
+Scale shape: explode tokens → one groupBy(doc_id) with 32 SUM
+aggregates (partial-aggregatable — map-side combine collapses each
+partition to one row per doc before the shuffle). Everything is
+integer arithmetic: exactly reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import hash32, sql_hash32
+from ..text.analysis import sql_token_rows
+
+N_BITS = 32
+
+
+def simhash(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
+    """(doc_id, simhash) — 32-bit fingerprint as a bigint."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = tok.select("doc_id", hash32(F.col("tok")).alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("hv").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    sums = h.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def hamming_pairs(fp: DataFrame, max_dist: int = 3, block_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_dist.
+
+    Scale path: block by the top `block_bits` bits (near-dups usually
+    share the hottest bits) to avoid the full self cross-join; exact
+    small-data path would compare all pairs. bit_count(xor) is a JVM
+    built-in.
+    """
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    block_a = F.shiftright("sh_a", N_BITS - block_bits)
+    block_b = F.shiftright("sh_b", N_BITS - block_bits)
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, (block_a == block_b) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(dist <= max_dist)
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+    )
+
+
+# ---- DuckDB SQL mirror ----------------------------------------------------
+
+def sql_simhash(n_bits: int = N_BITS) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH tok AS ({sql_token_rows()}),
+    h AS (SELECT doc_id, {sql_hash32('tok')} AS hv FROM tok),
+    sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, {fingerprint} AS simhash FROM sums
+    """

@@ -1,0 +1,53 @@
+"""Streaming source + sink helpers.
+
+The events fixture is one parquet file with TIMESTAMP(NANOS) — the
+stream source reads it with the same nanos→micros normalization as
+the batch catalog, so streaming and batch results are comparable.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source needs a DIRECTORY of files; stage a
+    symlink to the fixture parquet under a per-sf temp dir."""
+    import hashlib
+    import os
+
+    d = f"/tmp/spark_graft_streams/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as an unbounded stream (file source; schema pinned
+    from the batch read — required for readStream)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Drive a streaming query to completion (availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,128 @@
+"""Streaming registry entries. Each callable RUNS a Structured
+Streaming query to completion (availableNow → memory sink) and returns
+the sink — so even streaming operators get full DuckDB oracle checks
+via batch-equivalent SQL.
+
+Exact-result discipline: counts and decimal sums only (order-
+independent); session boundaries use the documented session_window
+semantics (a new session starts when the gap is ≥ the timeout, since
+the previous window is [ts, ts+gap))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..registry import query
+from .core import events_stream, run_to_table
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour windows with watermark; availableNow run is
+    batch-equivalent (complete mode), so the oracle is plain GROUP BY."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_table(agg, spark, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.*,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * INTERVAL 30 MINUTE
+               AS window_start
+      FROM events e, UNNEST([0, 1]) AS k(k))
+    SELECT window_start, COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    2 windows; the oracle reconstructs the window grid arithmetically."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(agg, spark, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """session_window(gap=30min) — Spark's native streaming session
+    operator; the oracle is the equivalent batch gap-merge."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_table(agg, spark, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Streaming dropDuplicates on the key columns (stateful exact
+    dedup; within one availableNow run ≡ batch DISTINCT)."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_table(deduped, spark, "append")

@@ -1,0 +1,44 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running totals that survive across micro-batches — the shape
+of any bespoke streaming aggregate Spark lacks natively (SURVEY.md
+§2.3 UDF/stateful row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user cumulative (count, sum(value)); emits the
+    updated running total every micro-batch the user appears in.
+
+    The update function is a self-contained closure (no package
+    globals) so cloudpickle ships it by value to Python workers."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

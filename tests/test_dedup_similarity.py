@@ -1,0 +1,93 @@
+"""Behavioral tests for dedup + similarity on CONSTRUCTED corpora with
+known near-duplicates — the fixture documents are all unique, so these
+prove the operators actually detect what they claim to detect."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark.dedup.jaccard import jaccard_pairs
+from matrix_multiplication_map_reduce_gcp_spark.dedup.minhash import candidate_pairs
+from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import hamming_pairs, simhash
+from matrix_multiplication_map_reduce_gcp_spark.similarity.brute_force import cosine_topk
+from matrix_multiplication_map_reduce_gcp_spark.similarity.lsh import bucketize
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river that flows through the green valley"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    # doc 0/1: near-identical (one word changed); doc 2: copy of 0;
+    # docs 3..9: unrelated word soups.
+    rng = np.random.default_rng(7)
+    vocab = BASE.split()
+    rows = [
+        (0, BASE, "en", "srcA"),
+        (1, BASE.replace("quick", "swift"), "en", "srcA"),
+        (2, BASE, "en", "srcA"),
+    ]
+    for i in range(3, 10):
+        words = rng.permutation(vocab).tolist()
+        rows.append((i, " ".join(words), "en", "srcA"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    pairs = {(r.doc_a, r.doc_b) for r in candidate_pairs(near_dup_docs).collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dup caught by some band
+    # permuted word-soup docs share no 3-gram shingles with the base
+    assert all(a >= 3 or b <= 2 for a, b in pairs if (a, b) not in {(0, 1), (0, 2), (1, 2)})
+
+
+def test_jaccard_scores_order(near_dup_docs):
+    jp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(near_dup_docs, threshold=0.0).collect()
+    }
+    assert jp[(0, 2)] == 1.0
+    assert 0.5 < jp[(0, 1)] < 1.0
+
+
+def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
+    fp = simhash(near_dup_docs)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_pairs(fp, max_dist=32, block_bits=0).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical text → identical fingerprint
+    assert pairs[(0, 1)] <= 6  # near-dup → few bits differ
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(40, 16))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=5).collect()
+    S = V @ V.T
+    for q in range(3):
+        sims = [(round(S[q, c], 6), c) for c in range(40) if c != q]
+        want = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        have = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert have == want
+
+
+def test_lsh_buckets_deterministic_and_partition_corpus(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = {r.vec_id: r.bucket for r in bucketize(e).collect()}
+    b2 = {r.vec_id: r.bucket for r in bucketize(e).collect()}
+    assert b1 == b2
+    assert len(b1) == e.count()
+    assert all(0 <= v < 256 for v in b1.values())
