@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join and range join — operators Spark lacks
+natively (SURVEY.md §2.3 joins row), composed from built-ins.
+
+As-of implementation is the union-sort trick, the shape that survives
+100 TB: tag both streams, union, one window sort per key, carry the
+last-seen right-side row forward with last(ignorenulls). One shuffle
++ one sort — no per-row range probe, no join blow-up (contrast with
+the join-then-filter rewrite, which multiplies each left row by ALL
+earlier right rows before pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """For each left row: the latest right row with
+    right_time <= left_time, per key `on`. Right rows must be unique
+    per (on, right_time) — pre-aggregate if not."""
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        "*",
+        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in right_cols.items()],
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+    )
+    # Right rows sort BEFORE left rows at equal time (<= semantics).
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", F.desc("__is_right"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = rt.unionByName(lt).select(
+        "*",
+        *[
+            F.last(dst, ignorenulls=True).over(w).alias(f"__carry_{dst}")
+            for dst in right_cols.values()
+        ],
+    )
+    out = carried.filter(F.col("__is_right") == 0).select(
+        *left.columns,
+        *[F.col(f"__carry_{dst}").alias(dst) for dst in right_cols.values()],
+    )
+    return out
+
+
+@query(
+    "asof_last_order_before_event",
+    oracle="""
+    WITH o1 AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+                FROM orders GROUP BY 1, 2),
+    cand AS (
+      SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate, o.last_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.last_orderkey DESC) AS rn
+      FROM events e JOIN o1 o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, last_orderdate, last_orderkey
+    FROM cand WHERE rn = 1
+    """,
+)
+def asof_last_order_before_event(spark, sf_dir):
+    """Point-in-time correctness join: each event picks the customer's
+    most recent order as of the event time."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols={"o_orderdate": "last_orderdate", "o_orderkey": "last_orderkey"},
+    )
+    return joined.filter(F.col("last_orderkey").isNotNull()).select(
+        "event_id", "user_id", "last_orderdate", "last_orderkey"
+    )
+
+
+@query(
+    "range_join_quantity_tiers",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('small', 0.0, 15.0), ('medium', 15.0, 35.0), ('large', 35.0, 100.0))
+    SELECT t.tier AS tier, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN tiers t
+      ON l.l_quantity > t.lo AND l.l_quantity <= t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join_quantity_tiers(spark, sf_dir):
+    """Range (theta) join against a broadcast tier table — the
+    non-equi-join shape; Spark plans BroadcastNestedLoopJoin, which is
+    exactly right when one side is a handful of rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0.0, 15.0), ("medium", 15.0, 35.0), ("large", 35.0, 100.0)],
+            "tier string, lo double, hi double",
+        )
+    )
+    cond = (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi"))
+    return (
+        li.join(tiers, cond)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -68,6 +68,45 @@ def matmul_sparse(spark, sf_dir):
 
 
 @query(
+    "matmul_blocked",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()}), b AS ({sql_matrix_b()})
+    SELECT a.i AS i, b.j AS j, {_SQL_DOT} AS v
+    FROM a JOIN b ON a.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul_blocked(spark, sf_dir):
+    """SUMMA-style block matmul with NumPy GEMM kernels inside
+    applyInPandas (matrix/block.py) — must equal the join-agg plan
+    exactly on these integer-valued matrices, hence the same oracle."""
+    from ..matrix.block import block_multiply
+
+    return block_multiply(
+        matrix_a(spark, sf_dir), matrix_b(spark, sf_dir), block_size=16
+    ).df
+
+
+@query(
+    "matmul_mllib_blockmatrix",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()}), b AS ({sql_matrix_b()})
+    SELECT a.i AS i, b.j AS j, {_SQL_DOT} AS v
+    FROM a JOIN b ON a.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul_mllib_blockmatrix(spark, sf_dir):
+    """MLlib BlockMatrix.multiply path (distributed Breeze GEMM) —
+    third independent implementation of the flagship computation."""
+    from ..matrix.block import mllib_block_multiply
+
+    return mllib_block_multiply(
+        matrix_a(spark, sf_dir), matrix_b(spark, sf_dir), block_size=16
+    )
+
+
+@query(
     "matrix_transpose",
     oracle=f"""
     WITH a AS ({sql_matrix_a()})

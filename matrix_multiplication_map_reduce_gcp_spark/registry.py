@@ -37,6 +37,8 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.relational",
     "matrix_multiplication_map_reduce_gcp_spark.operators.windows",
     "matrix_multiplication_map_reduce_gcp_spark.operators.setops",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.asof",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.approx",
     "matrix_multiplication_map_reduce_gcp_spark.operators.scalar_funcs",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",

@@ -117,3 +117,34 @@ def test_dense_json_shred_roundtrip(spark):
     for r in coo_to_dense_rows(coo, 4).collect():
         back[r["i"], :] = r["row"]
     np.testing.assert_allclose(back, m, rtol=0)
+
+
+def test_block_multiply_matches_numpy(mats, spark):
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+
+    a, b, A, B = mats
+    # bs=5 does not divide 13/17/11 → exercises ragged edge blocks
+    C = block_multiply(A, B, block_size=5)
+    np.testing.assert_allclose(dense(C), a @ b, rtol=0)
+
+
+def test_block_multiply_float_values(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(9, 7))
+    b = rng.normal(size=(7, 5))
+    C = block_multiply(to_coo(spark, a), to_coo(spark, b), block_size=4)
+    np.testing.assert_allclose(dense(C), a @ b, rtol=1e-12)
+
+
+def test_mllib_blockmatrix_matches_numpy(mats, spark):
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import (
+        mllib_block_multiply,
+    )
+
+    a, b, A, B = mats
+    got = np.zeros((13, 11))
+    for r in mllib_block_multiply(A, B, block_size=4).collect():
+        got[r["i"], r["j"]] = r["v"]
+    np.testing.assert_allclose(got, a @ b, rtol=0)

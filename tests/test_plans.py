@@ -1,0 +1,67 @@
+"""Plan-quality audits — the 100 TB discipline, enforced in CI:
+pushdown reaches the scan, scans prune columns, dim joins broadcast,
+hot paths stay in whole-stage codegen, top-k never full-sorts."""
+
+from __future__ import annotations
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+from matrix_multiplication_map_reduce_gcp_spark.plans import (
+    executed_plan,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+from .conftest import SF_SMOKE
+
+Q = registry.load_all()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = Q["pricing_summary"].fn(spark, SF_SMOKE)
+    assert has_pushed_filters(df, "IsNotNull(l_shipdate)", "LessThanOrEqual(l_shipdate")
+
+
+def test_column_pruning_on_scan(spark):
+    """pricing_summary touches 7 of lineitem's 11 columns — the scan
+    must not read the rest."""
+    df = Q["pricing_summary"].fn(spark, SF_SMOKE)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet ReadSchema found"
+    for cols in schemas:
+        assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+        assert len(cols) <= 7
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("brand_revenue_broadcast", "region_nation_revenue", "shipping_priority"):
+        assert has_broadcast_hash_join(Q[name].fn(spark, SF_SMOKE)), name
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = executed_plan(Q["top_orders"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_matmul_no_cartesian(spark):
+    """The flagship must be an equi-join + hash agg — never a
+    cartesian/nested-loop (the reference's replication-mapper shape)."""
+    plan = executed_plan(Q["matmul"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_hot_paths_have_codegen(spark):
+    for name in ("pricing_summary", "matmul", "json_extraction"):
+        assert whole_stage_codegen_spans(Q[name].fn(spark, SF_SMOKE)) >= 1, name
+
+
+def test_no_python_udfs_in_relational_paths(spark):
+    """Relational + dedup queries must stay JVM-side (Python only in
+    the explicitly-Pandas multimodal/block operators)."""
+    for name in ("pricing_summary", "minhash_lsh_pairs", "simhash_fingerprints",
+                 "ann_brute_force_topk", "lang_id_stopwords"):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
