@@ -17,9 +17,7 @@ from ..text.analysis import shingle_rows, sql_shingle_rows
 def jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.2) -> DataFrame:
     """(doc_a, doc_b, inter, union_n, jaccard) for same-(lang,source)
     pairs with Jaccard ≥ threshold."""
-    sh = shingle_rows(docs, n=shingle_n).join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
+    sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(
@@ -54,9 +52,7 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.2) -
 
 def sql_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.2) -> str:
     return f"""
-    WITH sh0 AS ({sql_shingle_rows(shingle_n)}),
-    sh AS (SELECT s.doc_id, s.shingle, d.lang, d.source
-           FROM sh0 s JOIN documents d ON s.doc_id = d.doc_id),
+    WITH sh AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

@@ -1,16 +1,22 @@
 """MinHash + banded LSH near-duplicate detection.
 
-Pipeline: word-shingles → per-doc MinHash signature (k seeded hashes,
-MIN of md5 per seed — MD5 hex strings are orderable, which is all
-MinHash needs) → band the signature → docs sharing any band bucket are
-candidate pairs.
+Pipeline: word-shingles → per-doc MinHash signature (k-member
+universal hash family) → band the signature → docs sharing any band
+bucket are candidate pairs.
+
+Hash family (engine-portable AND cheap): ONE md5 per shingle gives a
+base hash h ∈ [0, p) (first 8 hex chars mod p, p = 2^31-1); member i
+is the Carter-Wegman affine transform (a_i·h + b_i) mod p — pure
+int64 arithmetic both engines compute identically, so one digest per
+shingle instead of k (the k-md5 variant was ~40% of the whole query's
+runtime at sf0.1).
 
 Scale shape: one explode (doc → shingles), one partial-aggregatable
-groupBy(doc_id) for the signature (k MIN aggregates — map-side
-combine shrinks this to one row per doc per partition), one explode to
-(doc, band, sig), one self-equi-join on (band, sig). The self-join's
-key distribution is the bucket histogram — near-dup clusters make hot
-buckets, which AQE skew-join handles; no crossJoin anywhere.
+groupBy(doc_id) with k MIN aggregates (map-side combine shrinks this
+to one row per doc per partition), one explode to (doc, band, sig),
+one self-equi-join on (band, sig). The self-join's key distribution
+is the bucket histogram — near-dup clusters make hot buckets, which
+AQE skew-join handles; no crossJoin anywhere.
 """
 
 from __future__ import annotations
@@ -22,14 +28,32 @@ from ..text.analysis import shingle_rows, sql_shingle_rows
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
+MERSENNE_P = (1 << 31) - 1
+
+# Fixed odd multipliers / offsets for the affine family (shared
+# verbatim by the SQL mirrors — data constants, not engine hashes).
+_A = (1103515245, 0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1, 0xD3A2646C, 0xFD7046C5)
+_B = (12345, 0x811C9DC5, 0x01000193, 0x6C62272E, 0x2545F491, 0x9E3779B9, 0x7F4A7C15, 0x94D049BB)
+
+
+def _base_hash_col():
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % MERSENNE_P
+
+
+def _sql_base_hash(expr: str = "shingle") -> str:
+    return (
+        f"(CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {MERSENNE_P})"
+    )
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — per-seed minimum of salted md5 over the
-    doc's distinct shingles."""
-    sh = shingle_rows(docs, n=shingle_n)
+    """(doc_id, h0..h{k-1}) — per-member minimum over the doc's
+    distinct shingles."""
+    sh = shingle_rows(docs, n=shingle_n).withColumn("bh", _base_hash_col())
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{s}|"), F.col("shingle")))).alias(f"h{s}")
+        F.min((F.lit(_A[s]) * F.col("bh") + F.lit(_B[s])) % MERSENNE_P).alias(f"h{s}")
         for s in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -37,14 +61,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle_n: int
 
 def lsh_bands(sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
     """Signature → (doc_id, band, sig) rows; band sig = md5 of the
-    concatenated member hashes."""
+    '_'-joined member hashes."""
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("sig"),
             )
             for b in range(n_bands)
@@ -72,11 +102,13 @@ def candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_
 
 def sql_minhash_signatures(n_hashes: int = N_HASHES, shingle_n: int = 3) -> str:
     mins = ", ".join(
-        f"MIN(md5(CONCAT('s{s}|', shingle))) AS h{s}" for s in range(n_hashes)
+        f"MIN(({_A[s]} * bh + {_B[s]}) % {MERSENNE_P}) AS h{s}"
+        for s in range(n_hashes)
     )
     return f"""
     SELECT doc_id, {mins}
-    FROM ({sql_shingle_rows(shingle_n)})
+    FROM (SELECT doc_id, {_sql_base_hash()} AS bh
+          FROM ({sql_shingle_rows(shingle_n)}))
     GROUP BY doc_id
     """
 
@@ -84,7 +116,13 @@ def sql_minhash_signatures(n_hashes: int = N_HASHES, shingle_n: int = 3) -> str:
 def sql_candidate_pairs(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
     rows_per_band = n_hashes // n_bands
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(CONCAT({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})) AS sig FROM sig"
+        "SELECT doc_id, {b} AS band, md5(CONCAT({parts})) AS sig FROM sig".format(
+            b=b,
+            parts=", '_', ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
         for b in range(n_bands)
     )
     return f"""
