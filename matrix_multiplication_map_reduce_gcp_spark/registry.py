@@ -40,6 +40,8 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.asof",
     "matrix_multiplication_map_reduce_gcp_spark.operators.approx",
     "matrix_multiplication_map_reduce_gcp_spark.operators.scalar_funcs",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.sql_api",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.iterative",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",

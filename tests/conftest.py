@@ -31,10 +31,13 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
+    """DuckDB views at SF_CORRECTNESS — the DRIVER'S gate scale. Never
+    downgrade this to sf0.001: order-dependent float bugs (e.g. a
+    windowed double SUM) can pass at tiny scale and fail at sf0.01."""
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_CORRECTNESS}/{t}.parquet'"
         )
     yield con
 

@@ -1,7 +1,7 @@
 """The master differential gate: every registered query with an oracle
-runs on Spark AND DuckDB at sf0.001 and must match exactly — this is a
-local replica of the driver's CORRECTNESS check, so a green run here
-predicts a green driver round."""
+runs on Spark AND DuckDB at sf0.01 — the DRIVER'S gate scale — and must
+match exactly. A green run here predicts a green driver round; sf0.001
+is too small to expose order-dependent float bugs."""
 
 from __future__ import annotations
 
@@ -9,7 +9,7 @@ import pytest
 
 from matrix_multiplication_map_reduce_gcp_spark import registry
 
-from .conftest import SF_SMOKE, assert_matches_oracle
+from .conftest import SF_CORRECTNESS, assert_matches_oracle
 
 QUERIES = registry.load_all()
 
@@ -17,7 +17,7 @@ QUERIES = registry.load_all()
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     qd = QUERIES[name]
-    df = qd.fn(spark, SF_SMOKE)
+    df = qd.fn(spark, SF_CORRECTNESS)
     if qd.oracle is None:
         # rows-only check (mirrors the driver's weaker gate)
         assert df.count() >= 0
