@@ -1,0 +1,73 @@
+"""Dedup clustering: connected components over the near-dup pair graph.
+
+LSH emits pairwise candidates; the keep/drop decision needs CLUSTERS
+(a~b, b~c ⇒ {a,b,c} keep one). Components via iterative min-label
+propagation — each round every node takes the minimum label in its
+neighborhood; converges in O(component diameter) rounds to a unique
+fixpoint, so the result is deterministic and oracle-checkable (the
+DuckDB oracle computes the same fixpoint with a recursive CTE).
+
+Scale shape per round: one join (labels ⋈ edges) + one groupBy(min).
+The driver loop stops when a round changes nothing — the classic
+Spark iterative-algorithm pattern (like the reference's orchestrator
+barrier loop, orchestrator/main.py:84-116, but data-driven)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """pairs: (doc_a, doc_b); nodes: (doc_id). Returns
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+SQL_COMPONENTS = """
+    WITH RECURSIVE
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.doc_id,
+           LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
+    FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+    GROUP BY n.doc_id
+"""

@@ -55,6 +55,37 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({sql_candidate_pairs()}),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.doc_id AS doc_id,
+           LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
+    FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation (driver loop, one
+    join+agg per round). The recursive-CTE oracle computes the same
+    unique fixpoint."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = candidate_pairs(docs)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

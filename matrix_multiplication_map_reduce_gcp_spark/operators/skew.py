@@ -1,0 +1,93 @@
+"""Skew mitigation: salted two-phase aggregation, plus bucketed
+co-located joins (SURVEY.md §7 "100 TB-mindedness": salted keys for
+skewed grouping; bucketing for shuffle-free repeat joins).
+
+Salting splits each hot key into `n_salts` subkeys for the first
+(partial) aggregation, then re-aggregates the partials — the classic
+two-phase rewrite. Results are identical to the direct aggregation
+because the aggregates used are reassociable (counts + decimal sums),
+which is also why the DuckDB oracle is just the PLAIN group-by."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec
+from ..registry import query
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key: str,
+    sum_col: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: (key) → exact decimal sum +
+    count, routed through (key, salt) partials."""
+    salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.sum(sum_col).alias("__psum"), F.count("*").alias("__pcnt")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__psum").alias("__sum"), F.sum("__pcnt").alias("n")
+    ).select(key, F.col("__sum").alias("sum_dec"), "n")
+
+
+@query(
+    "skew_salted_status_totals",
+    oracle="""
+    SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def skew_salted_status_totals(spark, sf_dir):
+    """o_orderstatus has 3 heavily-skewed values — the salted two-phase
+    aggregation must produce the identical exact result as the plain
+    group-by the oracle runs."""
+    o = load_table(spark, sf_dir, "orders")
+    out = salted_sum_count(o, "o_orderstatus", dec("o_totalprice"))
+    return out.select(
+        "o_orderstatus", F.col("sum_dec").cast("double").alias("total"), "n"
+    )
+
+
+@query(
+    "skew_salted_hot_key_join",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN (SELECT DISTINCT l_returnflag AS rf FROM lineitem) d
+      ON l.l_returnflag = d.rf
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_hot_key_join(spark, sf_dir):
+    """Hot-key join salted by hand: the 3-value join key would put all
+    rows in 3 tasks; replicating the small side across n_salts and
+    salting the big side restores parallelism. (AQE's skew-join does
+    this automatically for sort-merge joins; the manual rewrite is the
+    portable fallback and the thing you need for hash-partitioned
+    aggregations.)"""
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("rf"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                li.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+            )
+        )
+    )
+    joined = li.join(F.broadcast(dim), (li.l_returnflag == dim.rf) & (li["__salt"] == dim["__salt"]))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(dec("l_quantity")).cast("double").alias("qty"),
+    )

@@ -146,6 +146,58 @@ def first_last_order_dates(spark, sf_dir):
 
 
 @query(
+    "gap_filled_hourly_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events),
+    grid AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds),
+    actual AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT g.hour_start AS hour_start,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN actual a ON g.hour_start = a.hour_start
+    """,
+)
+def gap_filled_hourly_counts(spark, sf_dir):
+    """Time-series gap filling: a generated hour grid (sequence +
+    explode over the corpus bounds) left-joined to actual hourly
+    aggregates, empty hours zero-filled — the densification every
+    time-series rollup needs."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    return grid.join(actual, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH marked AS (

@@ -115,6 +115,52 @@ def stream_session_windows(spark, sf_dir):
 
 
 @query(
+    "stream_stream_join_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_click_purchase(spark, sf_dir):
+    """Stream-stream interval join: purchases within 30 min after a
+    click by the same user. Both sides watermarked; the time-bound in
+    the join condition lets Spark expire state — the only way a
+    stream-stream join survives unbounded input."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    )
+    out = run_to_table(joined, spark, "append")
+    return out.select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )
+
+
+@query(
     "stream_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -91,3 +91,17 @@ def test_lsh_buckets_deterministic_and_partition_corpus(spark):
     assert b1 == b2
     assert len(b1) == e.count()
     assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_connected_components_known_graph(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.clusters import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
