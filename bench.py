@@ -78,11 +78,14 @@ def main() -> None:
         run_noop(queries[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Reference-comparable dense matmul (BASELINE.md: 46.1 s @ 200×200).
-    a, b = gen_matrix(spark, 200, seed=1), gen_matrix(spark, 200, seed=2)
-    t0 = time.perf_counter()
-    run_noop(a.multiply(b, exact=False).df)
-    timings["matmul_dense_200"] = round(time.perf_counter() - t0, 3)
+    # Reference-comparable dense matmul ladder — the exact sizes the
+    # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
+    # Cloud Functions; its NumPy VM oracle: 0.3-0.7 s).
+    for n in (4, 10, 50, 100, 200):
+        a, b = gen_matrix(spark, n, seed=1), gen_matrix(spark, n, seed=2)
+        t0 = time.perf_counter()
+        run_noop(a.multiply(b, exact=False).df)
+        timings[f"matmul_dense_{n}"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
