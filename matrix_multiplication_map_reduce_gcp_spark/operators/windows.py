@@ -72,9 +72,11 @@ def customer_running_spend(spark, sf_dir):
     "supplier_balance_ranks",
     oracle="""
     SELECT s_suppkey,
-           RANK()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
-           DENSE_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
-           NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+           RANK()         OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           DENSE_RANK()   OVER (ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
+           NTILE(4)       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS prnk,
+           CUME_DIST()    OVER (ORDER BY s_acctbal DESC, s_suppkey) AS cdist
     FROM supplier
     """,
 )
@@ -86,6 +88,8 @@ def supplier_balance_ranks(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 

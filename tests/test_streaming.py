@@ -112,3 +112,30 @@ def test_stream_batch_equivalence_tumbling(spark):
         .collect()
     }
     assert got == want
+
+
+def test_session_windows_across_micro_batches(spark, two_batch_dir):
+    """Session windows must merge correctly ACROSS micro-batch
+    boundaries (state carried between batches) — result equals the
+    single-batch/batch-mode computation."""
+    flat, ev = two_batch_dir
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    got = {
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in run_to_table(agg, spark, "complete").collect()
+    }
+    want = {
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
