@@ -87,6 +87,17 @@ def main() -> None:
         run_noop(a.multiply(b, exact=False).df)
         timings[f"matmul_dense_{n}"] = round(time.perf_counter() - t0, 3)
 
+    # Beyond the reference's ladder: 1000×1000 dense via the SUMMA
+    # block path (1e9 multiply-pairs — the entry-level join-agg plan
+    # would materialize all of them; the block plan shuffles 4x4x4
+    # block pairs and runs BLAS inside applyInPandas).
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+
+    a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
+    t0 = time.perf_counter()
+    run_noop(block_multiply(a, b, block_size=250).df)
+    timings["matmul_dense_1000_block"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -35,70 +35,115 @@ PARTIAL_SCHEMA = "i long, k long, pv double"
 
 
 def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatrix:
+    """SUMMA over PACKED blocks: entries are densified into one array
+    row per block map-side (collect_list — partial-aggregatable), so
+    every shuffle moves block rows, never entry rows:
+
+      stage 1: A-blocks ⋈ B-blocks on the shared block index
+               (|blocks_A| + |blocks_B| rows shuffled);
+      stage 2: per joined pair, one NumPy GEMM (mapInPandas);
+      stage 3: partial product blocks re-grouped by output block
+               (bi, bk) and array-summed — (n/bs)³ block rows;
+      stage 4: final explode back to COO is map-side only.
+
+    For dense 1000×1000 @ bs=250 that is 32 + 64 + 64 block rows
+    through the shuffles instead of ~8M entry rows — the difference
+    between Arrow-serializing the matrix 4× and once."""
     validate_matmul_dims(a.n_rows, a.n_cols, b.n_rows, b.n_cols)
     bs = block_size
-    n_bi = (a.n_rows + bs - 1) // bs
-    n_bk = (b.n_cols + bs - 1) // bs
 
-    adf = a.with_names("i", "j").df
-    bdf = b.with_names("j", "k").df
+    def pack(df, row, col, bs):
+        """(block_r, block_c, positions[], values[]) per block. The two
+        arrays are projected from ONE sorted struct array so they stay
+        aligned; the Python kernel scatters them with numpy fancy
+        indexing (C speed). NB: densifying JVM-side via a map +
+        element_at lookup is a trap — Catalyst maps are scan-on-access,
+        making that O(bs^4) per block."""
+        pos = (F.col(row) % bs).cast("int") * bs + (F.col(col) % bs).cast("int")
+        grouped = df.groupBy(
+            (F.col(row) / bs).cast("long").alias("br"),
+            (F.col(col) / bs).cast("long").alias("bc"),
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct(pos.alias("p"), F.col("v")))
+            ).alias("cells")
+        )
+        return grouped.select(
+            "br", "bc", F.col("cells.p").alias("ps"), F.col("cells.v").alias("vs")
+        )
 
-    # Replicate A entries across B's column blocks, B entries across
-    # A's row blocks; tag rows so the kernel can split them.
-    a_rep = adf.select(
-        (F.col("i") / bs).cast("long").alias("bi"),
-        (F.col("j") / bs).cast("long").alias("bj"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bk - 1))).alias("bk"),
-        F.lit("A").alias("tag"),
-        F.col("i").alias("r"),
-        F.col("j").alias("c"),
-        F.col("v"),
+    a_blocks = pack(a.with_names("i", "j").df, "i", "j", bs)
+    b_blocks = pack(b.with_names("j", "k").df, "j", "k", bs).select(
+        F.col("br").alias("b_br"),
+        F.col("bc").alias("b_bc"),
+        F.col("ps").alias("b_ps"),
+        F.col("vs").alias("b_vs"),
     )
-    b_rep = bdf.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_bi - 1))).alias("bi"),
-        (F.col("j") / bs).cast("long").alias("bj"),
-        (F.col("k") / bs).cast("long").alias("bk"),
-        F.lit("B").alias("tag"),
-        F.col("j").alias("r"),
-        F.col("k").alias("c"),
-        F.col("v"),
-    )
-    tagged = a_rep.unionByName(b_rep)
 
-    # Self-contained kernel (no package globals — cloudpickle ships it
-    # by value; workers need nothing on sys.path).
-    def gemm(pdf):
+    pairs = a_blocks.join(b_blocks, a_blocks.bc == b_blocks.b_br)
+
+    # Self-contained kernels (no package globals — cloudpickle ships
+    # them by value; workers need nothing on sys.path).
+    def gemm(batches):
         import numpy as np
         import pandas as pd
 
-        a_rows = pdf[pdf["tag"] == "A"]
-        b_rows = pdf[pdf["tag"] == "B"]
-        if a_rows.empty or b_rows.empty:
-            return pd.DataFrame(columns=["i", "k", "pv"]).astype(
-                {"i": "int64", "k": "int64", "pv": "float64"}
-            )
-        ai = a_rows["r"].to_numpy()
-        aj = a_rows["c"].to_numpy()
-        bj = b_rows["r"].to_numpy()
-        bk = b_rows["c"].to_numpy()
-        i0, j0, k0 = ai.min(), bj.min(), bk.min()
-        A = np.zeros((ai.max() - i0 + 1, max(aj.max(), bj.max()) - j0 + 1))
-        B = np.zeros((A.shape[1], bk.max() - k0 + 1))
-        A[ai - i0, aj - j0] = a_rows["v"].to_numpy()
-        B[bj - j0, bk - k0] = b_rows["v"].to_numpy()
-        C = A @ B
-        nz_i, nz_k = np.nonzero(C)
-        return pd.DataFrame(
-            {"i": nz_i + i0, "k": nz_k + k0, "pv": C[nz_i, nz_k]}
-        )
+        def densify(ps, vs):
+            m = np.zeros(bs * bs)
+            m[np.asarray(ps, dtype=np.int64)] = np.asarray(vs)
+            return m.reshape(bs, bs)
 
-    partials = tagged.groupBy("bi", "bj", "bk").applyInPandas(gemm, PARTIAL_SCHEMA)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                A = densify(row.ps, row.vs)
+                B = densify(row.b_ps, row.b_vs)
+                out.append((row.br, row.b_bc, (A @ B).ravel().tolist()))
+            yield pd.DataFrame(out, columns=["bi", "bk", "block"])
+
+    partial_schema = "bi long, bk long, block array<double>"
+    partials = pairs.mapInPandas(gemm, partial_schema)
+
+    summed = partials.groupBy("bi", "bk").applyInPandas(
+        _make_block_sum(bs), partial_schema
+    )
+
+    # stage 4: explode flat blocks back to COO, dropping zeros (map-side)
     out = (
-        partials.groupBy("i", "k")
-        .agg(F.sum("pv").alias("v"))
-        .select("i", F.col("k").alias("j"), "v")
+        summed.select(
+            "bi",
+            "bk",
+            F.posexplode("block").alias("pos", "v"),
+        )
+        .filter(F.col("v") != 0.0)
+        .select(
+            (F.col("bi") * bs + (F.col("pos") / bs).cast("long")).alias("i"),
+            (F.col("bk") * bs + F.col("pos") % bs).alias("j"),
+            "v",
+        )
     )
     return CooMatrix(out, a.n_rows, b.n_cols)
+
+
+def _make_block_sum(bs: int):
+    """Array-sum kernel for partial product blocks (self-contained)."""
+
+    def block_sum(pdf):
+        import numpy as np
+        import pandas as pd
+
+        total = np.zeros(bs * bs)
+        for blk in pdf["block"]:
+            total += np.asarray(blk)
+        return pd.DataFrame(
+            {
+                "bi": [pdf["bi"].iloc[0]],
+                "bk": [pdf["bk"].iloc[0]],
+                "block": [total.tolist()],
+            }
+        )
+
+    return block_sum
 
 
 def mllib_block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> DataFrame:
