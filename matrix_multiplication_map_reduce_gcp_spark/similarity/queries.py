@@ -11,6 +11,7 @@ from ..catalog import load_table
 from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
 from ..registry import query
 from .brute_force import cosine_topk
+from .ivf import sql_assign_cells
 from .lsh import bucketize, sql_bucket_expr
 
 N_QUERIES = 5  # query set = vec_id < 5
@@ -44,6 +45,32 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 @query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, r.i AS dim,
+             embedding[r.i + 1] AS comp
+      FROM embeddings, UNNEST(range(0, 64)) AS r(i))
+    SELECT label, CAST(dim AS INT) AS dim,
+           ROUND(SUM(CAST(comp AS DOUBLE)) / COUNT(*), 6) AS mean_comp
+    FROM dims GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (element-wise mean), emitted as
+    (label, dim, mean) rows — the vector-aggregation shape of
+    clustering/IVF training. Rounded to 6 digits: float sums of ~500
+    components differ across engines at the 1e-13 level."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("dim", "comp")
+    )
+    return comp.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(F.sum("comp") / F.count("*"), 6).alias("mean_comp")
+    )
+
+
+@query(
     "ann_lsh_buckets",
     oracle=f"""
     SELECT {sql_bucket_expr('embedding')} AS bucket, COUNT(*) AS n_vectors
@@ -57,6 +84,70 @@ def ann_lsh_buckets(spark, sf_dir):
     the ANN join at scale."""
     e = load_table(spark, sf_dir, "embeddings")
     return bucketize(e).groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH assigned AS ({sql_assign_cells()})
+    SELECT cell, COUNT(*) AS n_vectors
+    FROM assigned GROUP BY cell
+    """,
+)
+def ann_ivf_cells(spark, sf_dir):
+    """IVF cell histogram: corpus partitioned around 16 deterministic
+    centroids (broadcast argmin assignment, map-only)."""
+    from .ivf import assign_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return assign_cells(e).groupBy("cell").agg(F.count("*").alias("n_vectors"))
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH assigned AS ({sql_assign_cells()}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_sim
+      FROM assigned q JOIN assigned c
+        ON q.cell = c.cell AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-restricted ANN top-10: candidates share the query's cell —
+    the data-adaptive counterpart of the LSH bucket join."""
+    from .ivf import assign_cells
+
+    e = assign_cells(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+        "cell",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("cv"),
+        "cell",
+    )
+    cos = cosine_rounded(F.col("qv"), F.col("cv"))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
 
 
 @query(
