@@ -150,6 +150,44 @@ def first_last_order_dates(spark, sf_dir):
 
 
 @query(
+    "trailing_30d_customer_spend",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+               FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
+    FROM o
+    """,
+)
+def trailing_30d_customer_spend(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): per order, the
+    customer's spend over the trailing 30 DAYS — orders on the same
+    day share a frame, which a ROWS frame can't express. Ordering key
+    is epoch-day so both engines bound the frame identically."""
+    o = load_table(spark, sf_dir, "orders")
+    # NTZ timestamps don't cast to long directly; go via TIMESTAMP
+    # (session TZ is UTC, so epoch matches DuckDB's naive epoch()).
+    day = F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.alias("day"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+@query(
     "gap_filled_hourly_counts",
     oracle="""
     WITH bounds AS (
