@@ -161,6 +161,22 @@ def stream_stream_join_click_purchase(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: exact dedup whose state expires
+    with the watermark — the bounded-memory variant for unbounded
+    streams (plain dropDuplicates state grows forever)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_to_table(deduped, spark, "append")
+    return out.select("user_id", "event_type")
+
+
+@query(
     "stream_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
