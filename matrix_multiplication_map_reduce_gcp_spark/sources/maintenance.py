@@ -4,21 +4,46 @@ At 100 TB the silent killer is millions of small files from
 fine-grained ingestion — every scan pays per-file open cost and the
 driver pays listing cost. `compact_parquet` rewrites a directory to
 ~target-sized files (coalesce, no shuffle) or exact file count with
-even sizes (repartition)."""
+even sizes (repartition).
+
+Sizing goes through the Hadoop FileSystem API, so any scheme the
+session can read (file://, hdfs://, s3a://, gs://) is sized correctly
+and a missing path raises instead of silently collapsing the dataset
+to one file.
+"""
 
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import SparkSession
 
+from .io import read_any, write_any
 
-def dir_bytes(path: str) -> int:
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` on whatever filesystem it lives on.
+    Raises FileNotFoundError for nonexistent paths."""
+    fs, p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    return fs.getContentSummary(p).getLength()
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    fs, p = _hadoop_path(spark, path)
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
 
 
 def compact_parquet(
@@ -32,10 +57,11 @@ def compact_parquet(
     Returns the output file count. `exact=False` uses coalesce (no
     shuffle — may be uneven); True uses repartition (one shuffle —
     even sizes)."""
-    n_files = max(1, math.ceil(dir_bytes(src) / target_file_bytes))
-    df = spark.read.parquet(src)
+    total = dir_bytes(spark, src)
+    if total == 0:
+        raise ValueError(f"refusing to compact empty/unreadable source: {src}")
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_any(spark, src)
     df = df.repartition(n_files) if exact else df.coalesce(n_files)
-    df.write.mode("overwrite").parquet(dst)
-    return sum(
-        1 for f in os.listdir(dst) if f.endswith(".parquet")
-    )
+    write_any(df, dst, mode="overwrite")
+    return parquet_file_count(spark, dst)

@@ -165,10 +165,16 @@ def stream_stream_join_click_purchase(spark, sf_dir):
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def stream_dedup_within_watermark(spark, sf_dir):
-    """dropDuplicatesWithinWatermark: exact dedup whose state expires
-    with the watermark — the bounded-memory variant for unbounded
-    streams (plain dropDuplicates state grows forever)."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    """dropDuplicatesWithinWatermark: dedup whose state expires with
+    the watermark — the bounded-memory variant for unbounded streams
+    (plain dropDuplicates state grows forever).
+
+    NB: this only equals a global DISTINCT while duplicate keys arrive
+    within the watermark delay. The fixture spans 30 days and has
+    duplicate keys further apart than any small delay, so the delay is
+    set beyond the data span — making the DISTINCT oracle valid under
+    ANY micro-batching, not just the current single-file batch."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "35 days")
     deduped = ev.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )

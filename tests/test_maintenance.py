@@ -39,6 +39,9 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     dst = str(tmp_path / "compacted")
     n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
     assert n_out < n_src
+    # missing source raises instead of silently collapsing to 1 file
+    with pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(tmp_path / "nope"), dst)
     # content preserved exactly (multiset compare — the synthetic
     # lineitem has no unique key to sort on)
     assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
