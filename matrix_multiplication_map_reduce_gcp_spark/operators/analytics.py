@@ -1,0 +1,155 @@
+"""Product-analytics workloads over the events/orders tables: funnels,
+retention cohorts, referential-integrity audits, time-hierarchy
+rollups — the query shapes an engine's end users actually run daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec
+from ..registry import query
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS stage_view,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS stage_click,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  AND t_purchase > t_click THEN 1 END) AS stage_purchase
+    FROM firsts
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users whose first view precedes their first
+    click precedes their first purchase. One conditional-min
+    aggregation pass — no self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("stage_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events),
+    firsts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM user_weeks GROUP BY 1)
+    SELECT f.cohort_wk AS cohort_wk,
+           u.wk - f.cohort_wk AS weeks_since,
+           COUNT(DISTINCT u.user_id) AS active_users
+    FROM user_weeks u JOIN firsts f ON u.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in each subsequent week. Two aggregations + one join on
+    user_id — the standard growth-analytics query."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr("CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS LONG) / 604800) AS BIGINT)")
+    user_weeks = e.select("user_id", wk.alias("wk")).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        user_weeks.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS violation, COUNT(*) AS n FROM (
+      SELECT l.l_orderkey FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'order_without_customer', COUNT(*) FROM (
+      SELECT o.o_orderkey FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer_without_nation', COUNT(*) FROM (
+      SELECT c.c_custkey FROM customer c LEFT JOIN nation n
+        ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Data-quality audit: orphan counts along the FK chain
+    lineitem→orders→customer→nation, as one report (anti-joins)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spark_rows = [
+        ("lineitem_without_order", l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")),
+        ("order_without_customer", o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        ("customer_without_nation", c.join(n, c.c_nationkey == n.n_nationkey, "left_anti")),
+    ]
+    out = None
+    for name, df in spark_rows:
+        row = df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("violation"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "time_rollup_revenue",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           GROUPING(EXTRACT(YEAR FROM o_orderdate))
+             + GROUPING(EXTRACT(MONTH FROM o_orderdate)) * 2 AS gid
+    FROM orders
+    GROUP BY ROLLUP(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate))
+    """,
+)
+def time_rollup_revenue(spark, sf_dir):
+    """Time-hierarchy rollup: month → year → grand total in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    mo = F.month("o_orderdate").cast("long")
+    return (
+        o.select(yr.alias("yr"), mo.alias("mo"), "o_totalprice")
+        .rollup("yr", "mo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            (F.grouping("yr") + F.grouping("mo") * 2).alias("gid"),
+        )
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.merge",
     "matrix_multiplication_map_reduce_gcp_spark.operators.stats",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",
