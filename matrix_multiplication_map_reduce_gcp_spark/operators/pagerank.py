@@ -1,0 +1,95 @@
+"""PageRank (damped, out-degree normalized) on the supplier
+co-occurrence graph derived from lineitem (suppliers appearing in the
+same order are linked) — the canonical iterative dataflow, run as a
+fixed 3-iteration driver loop so the DuckDB oracle can mirror it with
+nested CTEs.
+
+Per iteration: one join (ranks ⋈ edges) + one groupBy(dst) — the
+matrix picture is r' = (1-d) + d·Mᵀr, i.e. repeated matvec. The
+transition weights w = cnt/outdeg are exact integer ratios; the
+per-iteration rank sums are rounded to 6 digits, which pins
+cross-engine bits (inter-iteration rounding is part of the operator's
+defined semantics).
+
+The graph is genuinely recurrent (supplier→supplier), so rank mass
+moves every iteration — verified non-degenerate in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+DAMPING = 0.85
+N_ITER = 3
+
+_SQL_EDGES = """
+    pairs AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS cnt
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst, CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY src) AS w
+      FROM pairs)
+"""
+
+_SQL_STEP = (
+    "SELECT e.dst AS node,"
+    f" ROUND({1 - DAMPING} + {DAMPING} * SUM(e.w * r.rank), 6) AS rank"
+    " FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst"
+)
+
+
+def _edges(spark, sf_dir):
+    """supplier→supplier co-occurrence edges with transition weights
+    w = cnt / outdeg (exact integer ratio)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    cnt = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = cnt.groupBy("src").agg(F.sum("cnt").alias("outdeg"))
+    return cnt.join(out, "src").select(
+        "src", "dst", (F.col("cnt").cast("double") / F.col("outdeg")).alias("w")
+    )
+
+
+@query(
+    "pagerank_3iter",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    r0 AS (SELECT DISTINCT dst AS node, 1.0 AS rank FROM edges),
+    r1 AS ({_SQL_STEP.format(prev="r0")}),
+    r2 AS ({_SQL_STEP.format(prev="r1")}),
+    r3 AS ({_SQL_STEP.format(prev="r2")})
+    SELECT node AS supplier, rank FROM r3
+    """,
+)
+def pagerank_3iter(spark, sf_dir):
+    """3 damped PageRank iterations over the supplier co-occurrence
+    graph (driver loop; localCheckpoint flattens lineage per round)."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = (
+        edges.select(F.col("dst").alias("node")).distinct().withColumn("rank", F.lit(1.0))
+    )
+    for _ in range(N_ITER):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit(1 - DAMPING)
+                    + F.lit(DAMPING) * F.sum(F.col("w") * F.col("rank")),
+                    6,
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("supplier"), "rank")

@@ -240,6 +240,71 @@ def gap_filled_hourly_counts(spark, sf_dir):
 
 
 @query(
+    "batch_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def batch_session_window(spark, sf_dir):
+    """F.session_window on a BATCH DataFrame — Spark's native gap-merge
+    session operator works outside streaming too (one pass, no window
+    functions); same results as the lag-based formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark, sf_dir):
+    """Fixed-width histogram with a clamped overflow bucket — the
+    one-pass distribution profile. Bucketing uses floor(x/width) on
+    identical doubles (NOT a double→int cast: DuckDB's cast ROUNDS
+    while Spark's TRUNCATES — boundary values would land in different
+    buckets)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"), F.lit(9)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH marked AS (

@@ -47,6 +47,8 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.stats",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
     "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.pagerank",
+    "matrix_multiplication_map_reduce_gcp_spark.text.embeddings",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",
