@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pagerank",
     "matrix_multiplication_map_reduce_gcp_spark.text.embeddings",
+    "matrix_multiplication_map_reduce_gcp_spark.text.chunking",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",

@@ -45,6 +45,19 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.format("iceberg").load(table)  # pragma: no cover
 
 
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver: str = "org.postgresql.Driver"
+) -> DataFrame:
+    """JDBC table read (needs the database's JDBC driver jar)."""
+    if not _has_jvm_class(spark, driver):
+        raise ConnectorUnavailable(
+            "JDBC", f"driver class {driver} not on the classpath"
+        )
+    return (  # pragma: no cover
+        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    )
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     """Kafka streaming source (needs spark-sql-kafka)."""
     if not _has_jvm_class(

@@ -40,14 +40,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     """Drive a streaming query to completion (availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    Stateful streaming pays a fixed per-partition state-store cost
+    every micro-batch (and AQE is disabled in streaming, so the
+    session's shuffle.partitions applies verbatim) — run the stream
+    with a small partition count sized for the test fixtures, then
+    restore. Results are exact aggregates, unaffected by partitioning."""
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
