@@ -29,6 +29,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -53,7 +54,16 @@ def connected_components(
         )
         labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent unconvergence would return WRONG cluster labels (a
+        # component with diameter > max_iter splits into several ids).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; raise max_iter (components deeper than this "
+            "exist in the pair graph)"
+        )
     return labels
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable_hash import hash32_unsalted, sql_hash32_unsalted
 from ..text.analysis import shingle_rows, sql_shingle_rows
 
 N_HASHES = 8
@@ -37,15 +38,11 @@ _B = (12345, 0x811C9DC5, 0x01000193, 0x6C62272E, 0x2545F491, 0x9E3779B9, 0x7F4A7
 
 
 def _base_hash_col():
-    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % MERSENNE_P
+    return hash32_unsalted(F.col("shingle")) % MERSENNE_P
 
 
 def _sql_base_hash(expr: str = "shingle") -> str:
-    return (
-        f"(CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {MERSENNE_P})"
-    )
+    return f"({sql_hash32_unsalted(expr)} % {MERSENNE_P})"
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:

@@ -41,13 +41,16 @@ def simhash(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def hamming_pairs(fp: DataFrame, max_dist: int = 3, block_bits: int = 8) -> DataFrame:
+def hamming_pairs(fp: DataFrame, max_dist: int = 3, block_bits: int = 0) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_dist.
 
-    Scale path: block by the top `block_bits` bits (near-dups usually
-    share the hottest bits) to avoid the full self cross-join; exact
-    small-data path would compare all pairs. bit_count(xor) is a JVM
-    built-in.
+    Default (block_bits=0) is EXACT: all pairs compared, the contract
+    in the name holds. block_bits>0 opts into approximate blocking by
+    the top bits — it misses pairs whose differing bits fall inside
+    the block prefix (systematic false negatives), so it is a recall
+    trade-off for scale, not a free optimization; the scalable exact
+    formulation is multi-band blocking (pigeonhole over max_dist+1
+    bands), a candidate for a later round. bit_count(xor) is JVM-side.
     """
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))

@@ -41,6 +41,16 @@ def sql_hash32(expr: str, seed: int = 0) -> str:
     )
 
 
+def hash32_unsalted(col: Column) -> Column:
+    """Unsalted 32-bit hash (md5-prefix) — the base of derived hash
+    families (e.g. MinHash's affine transforms)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_hash32_unsalted(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
 def seeded_md5(col: Column, seed: int) -> Column:
     """Seed-salted MD5 hex string (for MinHash families)."""
     return F.md5(F.concat(F.lit(f"s{seed}|"), col.cast("string")))

@@ -89,8 +89,11 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
         import pandas as pd
 
         def densify(ps, vs):
+            # np.add.at, not fancy-index assignment: duplicate (i, j)
+            # entries must SUM (matching the join+agg multiply), not
+            # last-write-win.
             m = np.zeros(bs * bs)
-            m[np.asarray(ps, dtype=np.int64)] = np.asarray(vs)
+            np.add.at(m, np.asarray(ps, dtype=np.int64), np.asarray(vs))
             return m.reshape(bs, bs)
 
         for pdf in batches:

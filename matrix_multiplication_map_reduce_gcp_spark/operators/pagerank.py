@@ -5,14 +5,14 @@ fixed 3-iteration driver loop so the DuckDB oracle can mirror it with
 nested CTEs.
 
 Per iteration: one join (ranks ⋈ edges) + one groupBy(dst) — the
-matrix picture is r' = (1-d) + d·Mᵀr, i.e. repeated matvec. The
-transition weights w = cnt/outdeg are exact integer ratios; the
-per-iteration rank sums are rounded to 6 digits, which pins
-cross-engine bits (inter-iteration rounding is part of the operator's
-defined semantics).
+matrix picture is r' = (1-d) + d·Mᵀr, i.e. repeated matvec.
 
-The graph is genuinely recurrent (supplier→supplier), so rank mass
-moves every iteration — verified non-degenerate in tests.
+Exactness: the incoming-mass SUM runs over DECIMAL operands (weights
+quantized once to 9 decimal places, ranks to 6), so it is associative
+and order-independent — a double SUM here would drift in the last ulp
+between engines/partitionings and the drift would compound through
+iterations. The quantization is part of the operator's defined
+semantics, mirrored verbatim in the oracle.
 """
 
 from __future__ import annotations
@@ -32,20 +32,24 @@ _SQL_EDGES = """
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
       GROUP BY 1, 2),
     edges AS (
-      SELECT src, dst, CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY src) AS w
+      SELECT src, dst,
+             CAST(ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY src), 9)
+                  AS DECIMAL(12,9)) AS w
       FROM pairs)
 """
 
 _SQL_STEP = (
     "SELECT e.dst AS node,"
-    f" ROUND({1 - DAMPING} + {DAMPING} * SUM(e.w * r.rank), 6) AS rank"
+    f" CAST(ROUND({1 - DAMPING} + {DAMPING} * CAST(SUM(e.w * r.rank) AS DOUBLE), 6)"
+    " AS DECIMAL(10,6)) AS rank"
     " FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst"
 )
 
 
 def _edges(spark, sf_dir):
-    """supplier→supplier co-occurrence edges with transition weights
-    w = cnt / outdeg (exact integer ratio)."""
+    """supplier→supplier co-occurrence edges; transition weight
+    w = cnt/outdeg quantized to DECIMAL(12,9) (the one double→decimal
+    step — identical inputs round identically in both engines)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
@@ -57,7 +61,11 @@ def _edges(spark, sf_dir):
     )
     out = cnt.groupBy("src").agg(F.sum("cnt").alias("outdeg"))
     return cnt.join(out, "src").select(
-        "src", "dst", (F.col("cnt").cast("double") / F.col("outdeg")).alias("w")
+        "src",
+        "dst",
+        F.round(F.col("cnt").cast("double") / F.col("outdeg"), 9)
+        .cast("decimal(12,9)")
+        .alias("w"),
     )
 
 
@@ -65,11 +73,11 @@ def _edges(spark, sf_dir):
     "pagerank_3iter",
     oracle=f"""
     WITH {_SQL_EDGES},
-    r0 AS (SELECT DISTINCT dst AS node, 1.0 AS rank FROM edges),
+    r0 AS (SELECT DISTINCT dst AS node, CAST(1.0 AS DECIMAL(10,6)) AS rank FROM edges),
     r1 AS ({_SQL_STEP.format(prev="r0")}),
     r2 AS ({_SQL_STEP.format(prev="r1")}),
     r3 AS ({_SQL_STEP.format(prev="r2")})
-    SELECT node AS supplier, rank FROM r3
+    SELECT node AS supplier, CAST(rank AS DOUBLE) AS rank FROM r3
     """,
 )
 def pagerank_3iter(spark, sf_dir):
@@ -77,7 +85,9 @@ def pagerank_3iter(spark, sf_dir):
     graph (driver loop; localCheckpoint flattens lineage per round)."""
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     ranks = (
-        edges.select(F.col("dst").alias("node")).distinct().withColumn("rank", F.lit(1.0))
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0).cast("decimal(10,6)"))
     )
     for _ in range(N_ITER):
         ranks = (
@@ -86,10 +96,12 @@ def pagerank_3iter(spark, sf_dir):
             .agg(
                 F.round(
                     F.lit(1 - DAMPING)
-                    + F.lit(DAMPING) * F.sum(F.col("w") * F.col("rank")),
+                    + F.lit(DAMPING) * F.sum(F.col("w") * F.col("rank")).cast("double"),
                     6,
-                ).alias("rank")
+                )
+                .cast("decimal(10,6)")
+                .alias("rank")
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(F.col("node").alias("supplier"), "rank")
+    return ranks.select(F.col("node").alias("supplier"), F.col("rank").cast("double").alias("rank"))

@@ -72,13 +72,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> dict[str, QueryDef]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry.
+
+    Imports are STRICT: a broken module must fail loudly here, not
+    silently shrink the registry (a swallowed ImportError once meant
+    the gate went green while checking fewer queries)."""
     for mod in _QUERY_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # Allow partially-built trees during development; a missing
-            # *registered* module is still surfaced loudly in tests.
-            if mod.split(".")[-1] not in str(e) and "matrix_multiplication_map_reduce_gcp_spark" not in str(e):
-                raise
+        importlib.import_module(mod)
     return QUERIES

@@ -38,8 +38,44 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
+    return rank_topk(scored, k)
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) → rows with rank ≤ k per query
+    (deterministic tiebreak on neighbor id)."""
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def blocked_cosine_topk(
+    blocked: DataFrame,
+    block_col: str,
+    query_filter,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k where candidates must share the query's block
+    (LSH bucket, IVF cell, ...): equi-join on `block_col` instead of a
+    cross-join — the common core of every blocked ANN variant."""
+    q = blocked.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+        block_col,
+    )
+    c = blocked.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+        block_col,
+    )
+    cos = cosine_rounded(F.col("qv"), F.col("cv"))
+    scored = (
+        q.join(c, block_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    return rank_topk(scored, k)

@@ -124,30 +124,11 @@ def ann_ivf_cells(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     """IVF-restricted ANN top-10: candidates share the query's cell —
     the data-adaptive counterpart of the LSH bucket join."""
+    from .brute_force import blocked_cosine_topk
     from .ivf import assign_cells
 
     e = assign_cells(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        as_double_array("embedding").alias("qv"),
-        "cell",
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        as_double_array("embedding").alias("cv"),
-        "cell",
-    )
-    cos = cosine_rounded(F.col("qv"), F.col("cv"))
-    scored = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return blocked_cosine_topk(e, "cell", F.col("vec_id") < N_QUERIES, TOP_K)
 
 
 @query(
@@ -173,25 +154,7 @@ def ann_ivf_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     """ANN top-10 restricted to the query's LSH bucket: equi-join on
     bucket id replaces the cross-join — the shape that survives 100 TB."""
+    from .brute_force import blocked_cosine_topk
+
     e = bucketize(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        as_double_array("embedding").alias("qv"),
-        "bucket",
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        as_double_array("embedding").alias("cv"),
-        "bucket",
-    )
-    cos = cosine_rounded(F.col("qv"), F.col("cv"))
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return blocked_cosine_topk(e, "bucket", F.col("vec_id") < N_QUERIES, TOP_K)

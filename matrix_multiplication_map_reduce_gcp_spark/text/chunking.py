@@ -25,9 +25,6 @@ def chunk_documents(
     windows over the token stream; the final partial window is kept
     (LLM pipelines pad it)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    n_chunks = F.expr(
-        f"greatest(CAST(ceil((size(t) - {size}) / {stride}.0) AS INT) + 1, 1)"
-    )
     chunks = F.expr(
         f"transform(sequence(0, greatest(CAST(ceil((size(t) - {size}) / {stride}.0) AS INT), 0)),"
         f" i -> struct(i AS chunk_idx,"
