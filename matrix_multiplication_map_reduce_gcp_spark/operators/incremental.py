@@ -1,0 +1,87 @@
+"""Incremental view maintenance: merge a delta batch into a
+materialized aggregate without recomputing the base — the warehouse
+pattern that keeps a 100 TB rollup fresh at delta cost instead of
+full-scan cost. Decimal partials make the merge EXACTLY equal to the
+full recompute (the oracle), which is the whole point: incremental and
+batch answers must never drift.
+
+Also: a Z-order (Morton) clustering key — interleaving the bits of two
+dimension keys so range queries on EITHER dimension cluster well in
+sorted-file layouts. Pure integer bit arithmetic, identical in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec
+from ..registry import query
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Maintain revenue-per-status incrementally: aggregate the base
+    partition (90% of orders) once, aggregate the delta batch (10%),
+    and MERGE the partials — the oracle is the full recompute, and
+    decimal partial aggregation guarantees merged == recomputed
+    bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.sum(dec("o_totalprice")).alias("rev_dec"), F.count("*").alias("n")
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("rev_dec").alias("rev_dec"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        "o_orderstatus", F.col("rev_dec").cast("double").alias("revenue"), "n"
+    )
+
+
+def _morton_terms(col_a: str, col_b: str, bits: int):
+    """Interleave the low `bits` of a (even positions) and b (odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({col_a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({col_b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_morton_keys",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey,
+           CAST({_morton_terms('l_orderkey', 'l_partkey', 16)} AS BIGINT) AS morton
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def zorder_morton_keys(spark, sf_dir):
+    """Morton (Z-order) key over (orderkey, partkey): sorting the table
+    by this key clusters BOTH dimensions, so min/max file stats prune
+    range predicates on either column — the poor-man's Z-ordering any
+    parquet layout can use."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(_morton_terms("l_orderkey", "l_partkey", 16)).cast("bigint").alias("morton"),
+    )

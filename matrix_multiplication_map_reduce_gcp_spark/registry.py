@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
     "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pagerank",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.incremental",
     "matrix_multiplication_map_reduce_gcp_spark.text.embeddings",
     "matrix_multiplication_map_reduce_gcp_spark.text.chunking",
     "matrix_multiplication_map_reduce_gcp_spark.dedup.queries",
