@@ -86,6 +86,67 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({sql_candidate_pairs()}),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT n.doc_id,
+             LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
+      FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+      GROUP BY n.doc_id)
+    SELECT doc_id FROM comp WHERE doc_id = cluster_id
+    """,
+)
+def dedup_keep_list(spark, sf_dir):
+    """The end-to-end dedup DECISION: one representative (smallest id)
+    kept per near-dup cluster, all other cluster members dropped —
+    what a training-data pipeline actually joins against before
+    tokenization."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(candidate_pairs(docs), docs.select("doc_id"))
+    return comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+@query(
+    "stratified_sample_balanced",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang, doc_id FROM ranked WHERE rn <= 50
+    """,
+)
+def stratified_sample_balanced(spark, sf_dir):
+    """Deterministic stratified downsampling: at most 50 docs per
+    language, chosen by md5(doc_id) order — a reproducible 'random'
+    sample (portable hash as the shuffle key) for corpus balancing;
+    `sampleBy` would be engine-/partitioning-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
