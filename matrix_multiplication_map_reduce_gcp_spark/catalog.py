@@ -39,14 +39,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """The ONE place the nanos-as-long posture is applied at runtime.
+
+    Sessions built by our session.get_spark() already declare
+    spark.sql.legacy.parquet.nanosAsLong in the builder; this runtime
+    set covers FOREIGN sessions (the driver creates its own). It must
+    stay session-wide: Spark resolves the conf at ACTION time, not
+    read time, so it cannot be scoped to a single read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (legacy conf, runtime-
-    settable) and truncate to microseconds — exactly what DuckDB's
-    reader does — so ts values stay oracle-comparable."""
+    parquet reader rejects. Read nanos as long and truncate to
+    microseconds — exactly what DuckDB's reader does — so ts values
+    stay oracle-comparable."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 

@@ -67,17 +67,25 @@ def connected_components(
     return labels
 
 
-SQL_COMPONENTS = """
-    WITH RECURSIVE
+def sql_components_ctes(pairs_sql: str) -> str:
+    """The recursive-CTE connected-components block, parameterized by
+    the pairs source — the SINGLE definition both the dedup_clusters
+    and dedup_keep_list oracles build on (semantics fixed in one
+    place). Produces CTEs: pairs, nodes, edges, reach, comp(doc_id,
+    cluster_id). Callers prepend WITH RECURSIVE and SELECT from comp."""
+    return f"""
+    pairs AS ({pairs_sql}),
+    nodes AS (SELECT doc_id FROM documents),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(src, dst) AS (
         SELECT src, dst FROM edges
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT n.doc_id,
-           LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
-    FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
-    GROUP BY n.doc_id
-"""
+    ),
+    comp AS (
+      SELECT n.doc_id,
+             LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
+      FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+      GROUP BY n.doc_id)
+    """

@@ -3,11 +3,14 @@ oracle (SURVEY.md §2.3 north-star rows)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable_hash import md5_hex
 from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
 from ..registry import query
+from .clusters import sql_components_ctes
 from .jaccard import jaccard_pairs, sql_jaccard_pairs
 from .minhash import candidate_pairs, minhash_signatures, sql_candidate_pairs, sql_minhash_signatures
 from .simhash import simhash, sql_simhash
@@ -57,20 +60,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE
-    pairs AS ({sql_candidate_pairs()}),
-    nodes AS (SELECT doc_id FROM documents),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT n.doc_id AS doc_id,
-           LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
-    FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
-    GROUP BY n.doc_id
+    WITH RECURSIVE {sql_components_ctes(sql_candidate_pairs())}
+    SELECT doc_id, cluster_id FROM comp
     """,
 )
 def dedup_clusters(spark, sf_dir):
@@ -88,21 +79,7 @@ def dedup_clusters(spark, sf_dir):
 @query(
     "dedup_keep_list",
     oracle=f"""
-    WITH RECURSIVE
-    pairs AS ({sql_candidate_pairs()}),
-    nodes AS (SELECT doc_id FROM documents),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    comp AS (
-      SELECT n.doc_id,
-             LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id
-      FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
-      GROUP BY n.doc_id)
+    WITH RECURSIVE {sql_components_ctes(sql_candidate_pairs())}
     SELECT doc_id FROM comp WHERE doc_id = cluster_id
     """,
 )
@@ -135,9 +112,7 @@ def stratified_sample_balanced(spark, sf_dir):
     sample (portable hash as the shuffle key) for corpus balancing;
     `sampleBy` would be engine-/partitioning-dependent."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    w = W.partitionBy("lang").orderBy(md5_hex(F.col("doc_id")), "doc_id")
     return (
         d.select("lang", "doc_id")
         .withColumn("rn", F.row_number().over(w))

@@ -48,7 +48,9 @@ def hash32_unsalted(col: Column) -> Column:
 
 
 def sql_hash32_unsalted(expr: str) -> str:
-    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+    # CAST mirrors hash32_unsalted's .cast("string") — without it,
+    # DuckDB's md5() rejects non-VARCHAR inputs that Spark silently casts.
+    return f"CAST(CONCAT('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
 
 
 def seeded_md5(col: Column, seed: int) -> Column:

@@ -65,11 +65,17 @@ def _morton_terms(col_a: str, col_b: str, bits: int):
     return " + ".join(terms)
 
 
+# 21 bits per dimension (42-bit Morton) covers keys to ~2M — beyond
+# sf1's l_orderkey range. 16 bits silently ALIASED keys >65535 at
+# sf0.1, interleaving unrelated rows and defeating the clustering.
+MORTON_BITS = 21
+
+
 @query(
     "zorder_morton_keys",
     oracle=f"""
     SELECT l_orderkey, l_partkey,
-           CAST({_morton_terms('l_orderkey', 'l_partkey', 16)} AS BIGINT) AS morton
+           CAST({_morton_terms('l_orderkey', 'l_partkey', MORTON_BITS)} AS BIGINT) AS morton
     FROM lineitem
     WHERE l_linenumber = 1
     """,
@@ -83,5 +89,7 @@ def zorder_morton_keys(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_partkey",
-        F.expr(_morton_terms("l_orderkey", "l_partkey", 16)).cast("bigint").alias("morton"),
+        F.expr(_morton_terms("l_orderkey", "l_partkey", MORTON_BITS))
+        .cast("bigint")
+        .alias("morton"),
     )

@@ -52,11 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Engine-wide posture: parquet TIMESTAMP(NANOS) columns read as
-        # raw longs (Spark has no nanos timestamp type). This is a
-        # session-level switch by design — Spark resolves it at ACTION
-        # time, not read time, so it cannot be scoped per-read; the
-        # catalog's events loader converts the longs to microsecond
-        # timestamps (catalog._load_events).
+        # raw longs (Spark has no nanos timestamp type); the catalog's
+        # events loader converts them to microsecond timestamps. For
+        # sessions we don't build (the driver's), the same posture is
+        # applied at runtime by catalog.ensure_nanos_conf — keep the
+        # two in sync.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -4,11 +4,10 @@ DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
+from ..functions.vectors import as_double_array, sql_cosine_rounded
 from ..registry import query
 from .brute_force import cosine_topk
 from .ivf import sql_assign_cells

@@ -32,7 +32,9 @@ def _stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source; schema pinned
     from the batch read — required for readStream)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
