@@ -76,6 +76,44 @@ def decode_image_meta(docs: DataFrame) -> DataFrame:
     return with_blob(docs).mapInPandas(op, DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id long, window_idx int, mean_amplitude double, peak_amplitude int"
+
+
+def audio_window_features(docs: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """'Audio' feature extraction: per fixed-size byte window, mean and
+    peak amplitude (bytes stand in for PCM samples — swap the body for
+    a real codec read; the windowed-feature plumbing is the operator).
+    The mean is int_sum/window_bytes with a power-of-two denominator —
+    a dyadic rational, exactly representable in double, so NO rounding
+    (rounding would hit exact .5 midpoints where Python banker's-rounds
+    and DuckDB half-up-rounds differently)."""
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                for w in range(0, len(arr), window_bytes):
+                    chunk = arr[w : w + window_bytes]
+                    rows.append(
+                        (
+                            doc_id,
+                            w // window_bytes,
+                            int(chunk.sum()) / len(chunk),
+                            int(chunk.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "mean_amplitude", "peak_amplitude"]
+            )
+            rows = []
+
+    return with_blob(docs).mapInPandas(op, AUDIO_SCHEMA)
+
+
 def sample_frames(docs: DataFrame, stride: int = 1000) -> DataFrame:
     """One row per sampled 'frame': frame_idx = 0..n_bytes//stride —
     the 1→N expansion shape of video frame sampling."""

@@ -37,6 +37,38 @@ def multimodal_image_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             r.i // 256 AS window_idx,
+             ascii(substr(text, CAST(r.i + 1 AS INT), 1)) AS b
+      FROM documents, UNNEST(range(0, octet_length(encode(text)))) AS r(i))
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_amplitude,
+           MAX(b) AS peak_amplitude
+    FROM bytes
+    GROUP BY doc_id, window_idx
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio-style windowed feature extraction (256-byte windows →
+    mean/peak 'amplitude') through Arrow-batched mapInPandas — the
+    third modality of the binary-column plumbing (the corpus is ASCII,
+    so the byte-level oracle mirrors via ascii(substr))."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import audio_window_features
+
+    out = audio_window_features(d)
+    return out.select(
+        "doc_id",
+        "window_idx",
+        "mean_amplitude",
+        F.col("peak_amplitude").cast("long").alias("peak_amplitude"),
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
