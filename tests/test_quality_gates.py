@@ -1,0 +1,102 @@
+"""Quality gates beyond determinism: (1) the differential harness
+actually DETECTS wrong results (a gate that can't fail is no gate);
+(2) approximate operators hold recall floors on corpora with planted
+structure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+def test_harness_detects_value_mismatch(spark, duck):
+    """Feed the harness a query that's off by one row value — it must
+    raise, proving the gate has teeth."""
+    wrong = load_table(spark, SF_SMOKE, "region").withColumn(
+        "r_regionkey",
+        F.when(F.col("r_regionkey") == 0, 99).otherwise(F.col("r_regionkey")),
+    )
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_matches_oracle(wrong, "SELECT * FROM region", duck)
+
+
+def test_harness_detects_count_and_schema_mismatch(spark, duck):
+    r = load_table(spark, SF_SMOKE, "region")
+    with pytest.raises(AssertionError, match="row count"):
+        assert_matches_oracle(r.limit(3), "SELECT * FROM region", duck)
+    with pytest.raises(AssertionError, match="column mismatch"):
+        assert_matches_oracle(
+            r.withColumnRenamed("r_name", "name"), "SELECT * FROM region", duck
+        )
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """3 tight clusters of 30 vectors each: every vector's true top-5
+    neighbors are in its own cluster."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for c in range(3):
+        center = rng.normal(size=32)
+        center /= np.linalg.norm(center)
+        for i in range(30):
+            v = center + rng.normal(scale=0.05, size=32)
+            v /= np.linalg.norm(v)
+            rows.append((c * 30 + i, v.tolist(), c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_lsh_recall_floor_on_clustered_data(spark, clustered_vectors):
+    """Sign-projection LSH must keep ≥60% recall@5 vs brute force on
+    tightly clustered data (random buckets would give ~5%)."""
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.brute_force import (
+        blocked_cosine_topk,
+        cosine_topk,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.lsh import bucketize
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered_vectors, queries, k=5).collect()
+    }
+    bucketed = bucketize(clustered_vectors, vec_col="embedding")
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in blocked_cosine_topk(
+            bucketed, "bucket", F.col("vec_id") % 10 == 0, 5
+        ).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.6, f"LSH recall@5 collapsed to {recall:.2f}"
+
+
+def test_minhash_recall_on_planted_near_dups(spark):
+    """Plant 20 near-dup pairs (1 word changed in 120) — banded MinHash
+    must recover ≥80% of them while producing no pair for unrelated
+    docs that share zero shingles."""
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.minhash import candidate_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for p in range(20):
+        words = list(rng.choice(vocab, size=120))
+        twin = words.copy()
+        twin[60] = "CHANGED"
+        rows.append((2 * p, " ".join(words), "en", "s"))
+        rows.append((2 * p + 1, " ".join(twin), "en", "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in candidate_pairs(docs).collect()}
+    planted = {(2 * p, 2 * p + 1) for p in range(20)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"MinHash recall collapsed to {recall:.2f}"
