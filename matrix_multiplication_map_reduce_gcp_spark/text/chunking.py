@@ -62,6 +62,63 @@ def doc_chunking(spark, sf_dir):
 
 
 @query(
+    "benchmark_decontamination",
+    oracle="""
+    WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    bench_sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bench),
+           UNNEST(range(1, greatest(len(t) - 3, 1))) AS r(i)),
+    train_sh AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4] AS sh
+      FROM (SELECT string_split(text, ' ') AS t FROM train),
+           UNNEST(range(1, greatest(len(t) - 3, 1))) AS r(i)),
+    hits AS (
+      SELECT b.doc_id, COUNT(*) AS contaminated
+      FROM bench_sh b JOIN train_sh tr ON b.sh = tr.sh
+      GROUP BY b.doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS total FROM bench_sh GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(h.contaminated, 0) AS contaminated_shingles,
+           t.total AS total_shingles,
+           CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.total AS containment
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination: for each held-out 'benchmark' doc,
+    the fraction of its 5-gram shingles that appear anywhere in the
+    'training' split — the canonical train/test contamination check.
+    Shape at 100 TB: distinct training shingles (one dedup shuffle)
+    semi-joined against benchmark shingles; integer-ratio output."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+
+    from .analysis import shingle_rows
+
+    bench_sh = shingle_rows(bench, n=5)
+    train_sh = shingle_rows(train, n=5).select("shingle").distinct()
+    totals = bench_sh.groupBy("doc_id").agg(F.count("*").alias("total"))
+    hits = (
+        bench_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(0)).alias("contaminated_shingles"),
+        F.col("total").alias("total_shingles"),
+        (
+            F.coalesce("contaminated", F.lit(0)).cast("double") / F.col("total")
+        ).alias("containment"),
+    )
+
+
+@query(
     "pii_scrub_accounting",
     oracle="""
     SELECT doc_id,
