@@ -64,6 +64,46 @@ def hamming_pairs(fp: DataFrame, max_dist: int = 3, block_bits: int = 0) -> Data
     )
 
 
+def hamming_pairs_banded(fp: DataFrame, max_dist: int = 3) -> DataFrame:
+    """EXACT Hamming pairs at scale via pigeonhole banding: split the
+    fingerprint into max_dist+1 bands — two fingerprints within
+    max_dist bits MUST agree exactly on at least one band (at most
+    max_dist bits differ, so they can't touch all bands). One
+    equi-join per band, union, dedup, verify the true distance.
+    Equivalent results to the all-pairs path, candidate volume
+    proportional to real near-dups instead of n²."""
+    n_bands = max_dist + 1
+    band_bits = N_BITS // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 # ---- DuckDB SQL mirror ----------------------------------------------------
 
 def sql_simhash(n_bits: int = N_BITS) -> str:

@@ -58,6 +58,23 @@ def bucketize(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return corpus.withColumn("bucket", bucket_expr(v))
 
 
+def probe_buckets(bucket, n_planes: int = N_PLANES):
+    """Multi-probe set: the query's bucket plus every bucket at
+    Hamming distance 1 (one plane's sign flipped) — the standard
+    recall lever that probes near-boundary buckets instead of adding
+    hash tables. Returns an array column of n_planes+1 bucket ids."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+
+
+def sql_probe_buckets(bucket: str, n_planes: int = N_PLANES) -> str:
+    ids = ", ".join([bucket] + [f"xor({bucket}, {1 << p})" for p in range(n_planes)])
+    return f"[{ids}]"
+
+
 # ---- DuckDB SQL mirrors ---------------------------------------------------
 
 def sql_bucket_expr(vec: str, n_planes: int = N_PLANES, dim: int = DIM) -> str:

@@ -11,6 +11,7 @@ from ..functions.vectors import as_double_array, sql_cosine_rounded
 from ..registry import query
 from .brute_force import cosine_topk
 from .ivf import sql_assign_cells
+from .lsh import sql_probe_buckets
 from .lsh import bucketize, sql_bucket_expr
 
 N_QUERIES = 5  # query set = vec_id < 5
@@ -128,6 +129,63 @@ def ann_ivf_topk(spark, sf_dir):
 
     e = assign_cells(load_table(spark, sf_dir, "embeddings"))
     return blocked_cosine_topk(e, "cell", F.col("vec_id") < N_QUERIES, TOP_K)
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {sql_bucket_expr('embedding')} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id, embedding, UNNEST({sql_probe_buckets('bucket')}) AS probe
+      FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_sim
+      FROM probes q JOIN bucketed c
+        ON q.probe = c.bucket AND q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN: each query also searches the 8 buckets one
+    sign-flip away — ~9× candidates for the same index, recovering the
+    near-boundary neighbors single-probe misses (the standard recall
+    lever; adding hash tables would cost memory instead)."""
+    from .brute_force import rank_topk
+    from .lsh import probe_buckets
+
+    e = bucketize(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qv"),
+            F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("cv"),
+        "bucket",
+    )
+    from ..functions.vectors import cosine_rounded
+
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+        .distinct()
+    )
+    return rank_topk(scored, TOP_K)
 
 
 @query(

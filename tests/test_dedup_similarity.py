@@ -105,3 +105,25 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_banded_hamming_equals_exact(spark):
+    """Pigeonhole banding must return EXACTLY the all-pairs result."""
+    import numpy as np
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import (
+        hamming_pairs,
+        hamming_pairs_banded,
+    )
+
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2**32))
+    fps = [(0, base)]
+    for i in range(1, 40):
+        fp = base
+        for b in rng.choice(32, size=int(rng.integers(0, 8)), replace=False):
+            fp ^= 1 << int(b)
+        fps.append((i, fp))
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    exact = {tuple(r) for r in hamming_pairs(df, max_dist=3).collect()}
+    banded = {tuple(r) for r in hamming_pairs_banded(df, max_dist=3).collect()}
+    assert banded == exact and len(exact) > 0
