@@ -40,6 +40,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "stream_tumbling_counts",
 ]
 
