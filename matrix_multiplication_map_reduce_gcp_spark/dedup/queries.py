@@ -13,7 +13,7 @@ from ..registry import query
 from .clusters import sql_components_ctes
 from .jaccard import jaccard_pairs, sql_jaccard_pairs
 from .minhash import candidate_pairs, minhash_signatures, sql_candidate_pairs, sql_minhash_signatures
-from .simhash import simhash, sql_simhash
+from .simhash import hamming_pairs_banded, simhash, sql_hamming_pairs, sql_simhash
 
 
 @query(
@@ -49,6 +49,16 @@ def minhash_lsh_pairs(spark, sf_dir):
 def simhash_fingerprints(spark, sf_dir):
     """32-bit SimHash per document (integer-exact, portable hash)."""
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("simhash_near_dup_pairs", oracle=sql_hamming_pairs())
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via EXACT pigeonhole
+    banding: 4 equi-joins on fingerprint bands replace the n² cross
+    product; candidates verified by true bit_count distance. The
+    oracle is the all-pairs formulation — equality is the proof."""
+    fp = simhash(load_table(spark, sf_dir, "documents"))
+    return hamming_pairs_banded(fp, max_dist=3)
 
 
 @query("ngram_jaccard_pairs", oracle=sql_jaccard_pairs())

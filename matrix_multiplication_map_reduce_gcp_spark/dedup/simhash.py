@@ -106,6 +106,19 @@ def hamming_pairs_banded(fp: DataFrame, max_dist: int = 3) -> DataFrame:
 
 # ---- DuckDB SQL mirror ----------------------------------------------------
 
+def sql_hamming_pairs(max_dist: int = 3) -> str:
+    """All-pairs oracle for the banded Spark path: DuckDB's n² join is
+    fine at oracle scale, and pigeonhole banding is provably equal to
+    it (tests/test_dedup_similarity.py::test_banded_hamming_equals_exact)."""
+    return f"""
+    WITH fp AS ({sql_simhash()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+    """
+
+
 def sql_simhash(n_bits: int = N_BITS) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (hv & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
