@@ -15,12 +15,14 @@ from ..registry import query
 @query(
     "funnel_view_click_purchase",
     oracle="""
-    WITH firsts AS (
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    firsts AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
              MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      FROM events GROUP BY user_id)
+      FROM ev GROUP BY user_id)
     SELECT
       COUNT(*) AS n_users,
       COUNT(t_view) AS stage_view,

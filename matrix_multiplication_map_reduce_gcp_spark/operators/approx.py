@@ -1,8 +1,11 @@
 """Approximate aggregates: HyperLogLog++ distinct counts and
-approximate quantiles. These are deterministic within Spark but their
-sketch algorithms differ from DuckDB's, so no SQL oracle exists — the
-driver records a rows-only check and tests/test_approx.py bounds the
-error against the exact answers instead.
+approximate quantiles. Sketch VALUES differ across engines by nature,
+so the hash-checkable contract is: emit the exact answer plus a
+``within_tolerance`` boolean computed in Spark from the sketch; the
+oracle recomputes the exact answer and expects ``true``. The row is
+fully driver-verifiable without pretending HLL/GK sketches agree
+cross-engine; tests/test_approx.py additionally bounds the raw sketch
+error.
 """
 
 from __future__ import annotations
@@ -13,24 +16,52 @@ from ..catalog import load_table
 from ..registry import query
 
 
-@query("approx_distinct_counts", oracle=None)
+@query(
+    "approx_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tolerance
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_counts(spark, sf_dir):
     """approx_count_distinct (HLL++, rsd 5%) per order status — the
     one-pass no-shuffle-of-distinct-values sketch you actually run at
-    100 TB, next to the exact count for comparison at test scale."""
+    100 TB. within_tolerance asserts the sketch lands within 3×rsd of
+    the exact count (a ~99.7% bound); the oracle expects true."""
     o = load_table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.05)
+    exact = F.countDistinct("o_custkey")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+        exact.alias("exact_customers"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.15 * exact.cast("double")
+        ).alias("within_tolerance"),
     )
 
 
-@query("approx_quantiles", oracle=None)
+@query(
+    "approx_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS exact_median,
+           TRUE AS within_tolerance
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def approx_quantiles(spark, sf_dir):
-    """percentile_approx (GK sketch) vs the exact percentile, per
-    order priority."""
+    """percentile_approx (GK sketch, accuracy 1000) vs the exact
+    interpolated percentile (bit-portable across engines, proven by
+    median_order_price). within_tolerance bounds the sketch at 5%
+    relative error; the oracle expects true."""
     o = load_table(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", 0.5, 1000)
+    exact = F.expr("percentile(o_totalprice, 0.5)")
     return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        exact.alias("exact_median"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_tolerance"),
     )

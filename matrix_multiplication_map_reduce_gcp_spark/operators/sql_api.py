@@ -125,7 +125,7 @@ def struct_map_functions(spark, sf_dir):
     deduped AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
       FROM quality)
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM deduped WHERE rn = 1
     GROUP BY lang

@@ -77,7 +77,6 @@ def stats_price_moments(spark, sf_dir):
     "collect_sorted_aggregates",
     oracle="""
     SELECT n.n_name AS n_name,
-           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
            string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments_csv,
            bit_and(c.c_custkey) AS key_and,
            bit_or(c.c_custkey) AS key_or,
@@ -89,14 +88,18 @@ def stats_price_moments(spark, sf_dir):
 def collect_sorted_aggregates(spark, sf_dir):
     """Deterministic collection aggregates: collect_set is unordered,
     so every collected output is sorted before leaving the operator;
-    plus integer bitwise aggregates (associative, exact)."""
+    plus integer bitwise aggregates (associative, exact).
+
+    The collected set leaves the operator as a joined STRING, not a
+    raw array — nested-type cells canonicalize engine-specifically in
+    the driver's value hash (Spark list vs DuckDB VARCHAR[]), and the
+    csv form carries identical information portably."""
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     return (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
             F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
                 "segments_csv"
             ),

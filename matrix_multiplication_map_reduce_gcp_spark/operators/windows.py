@@ -242,12 +242,14 @@ def gap_filled_hourly_counts(spark, sf_dir):
 @query(
     "batch_session_window",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
@@ -307,17 +309,20 @@ def price_histogram(spark, sf_dir):
 @query(
     "user_sessions",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events),
+      FROM ev),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -327,13 +332,23 @@ def price_histogram(spark, sf_dir):
 )
 def user_sessions(spark, sf_dir):
     """Batch sessionization: 30-min inactivity gap → new session
-    (lag + cumulative-sum of gap markers)."""
+    (lag + cumulative-sum of gap markers).
+
+    Oracle portability (driver-gate hash): the windowed SUM is cast to
+    BIGINT — DuckDB's integer SUM yields HUGEINT, which the driver's
+    value canonicalization does not treat as equal to Spark's bigint
+    (round-1 CORRECTNESS: the ONLY hash-fail was the only checked
+    query with a HUGEINT output column). Events timestamps are CAST to
+    µs TIMESTAMP in the oracle to mirror the Spark loader's
+    nanos→micros truncation, and the gap compares epoch MICROseconds
+    (not second-truncated longs) so both engines split sessions at
+    exactly the same sub-second gaps."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     marked = e.select("user_id", "ts", "event_id", new_session.alias("new_session"))

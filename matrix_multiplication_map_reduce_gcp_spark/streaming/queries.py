@@ -76,12 +76,14 @@ def stream_sliding_counts(spark, sf_dir):
 @query(
     "stream_session_windows",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
@@ -117,8 +119,10 @@ def stream_session_windows(spark, sf_dir):
 @query(
     "stream_stream_join_click_purchase",
     oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
-    FROM events c JOIN events p
+    FROM ev c JOIN ev p
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE

@@ -195,7 +195,7 @@ def token_count_regex(spark, sf_dir):
     "lang_source_profile",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents

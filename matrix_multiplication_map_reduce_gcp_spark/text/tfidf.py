@@ -68,7 +68,7 @@ def tfidf_top_terms(spark, sf_dir):
       SELECT t[i] AS w1, t[i+1] AS w2
       FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)),
     c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY 1)
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
     SELECT c2.w1, c2.w2, c2.c12, c1.c1,
            CAST(c2.c12 AS DOUBLE) / c1.c1 AS p_cond
     FROM c2 JOIN c1 ON c2.w1 = c1.w1

@@ -1,0 +1,52 @@
+"""Registry-shape pins: driver-window category coverage + doc lockstep.
+
+The driver's correctness gate recorded only the first 50 registered
+queries in round 1. These tests pin (a) that the priority prefix stays
+valid and duplicate-free, (b) that the first 50 entries of
+``load_all()`` include at least one query from EVERY query module —
+so no SURVEY §2.3 category can silently fall out of the driver's
+checked window, and (c) that COVERAGE.md's headline counts can't
+drift from the actual registry.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_priority_prefix_valid():
+    q = registry.load_all()
+    assert len(registry.PRIORITY_PREFIX) <= 50, "prefix must fit the driver window"
+    assert len(set(registry.PRIORITY_PREFIX)) == len(registry.PRIORITY_PREFIX)
+    missing = [n for n in registry.PRIORITY_PREFIX if n not in q]
+    assert not missing
+    assert list(q)[: len(registry.PRIORITY_PREFIX)] == list(registry.PRIORITY_PREFIX)
+
+
+def test_first_50_cover_every_category():
+    q = registry.load_all()
+    first50 = list(q)[:50]
+    all_mods = {qd.fn.__module__ for qd in q.values()}
+    covered = {q[n].fn.__module__ for n in first50}
+    assert covered == all_mods, (
+        f"query modules with no representative in the driver's 50-row "
+        f"window: {sorted(all_mods - covered)}"
+    )
+
+
+def test_coverage_md_counts_in_lockstep():
+    q = registry.load_all()
+    n_total = len(q)
+    n_oracle = sum(1 for qd in q.values() if qd.oracle is not None)
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) registered queries \((\d+) DuckDB-oracle-checked", text)
+    assert m, "COVERAGE.md headline count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
+        f"COVERAGE.md says {m.groups()}, registry has "
+        f"({n_total}, {n_oracle}) — update the doc"
+    )
