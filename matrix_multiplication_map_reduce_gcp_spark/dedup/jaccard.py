@@ -4,6 +4,16 @@ Candidates are restricted to the same (lang, source) partition — the
 blocking key — so the shingle self-join never degenerates into a
 cross-join. Jaccard = |∩| / |∪| on distinct shingle sets; all-integer
 counts, so the final double division is exactly reproducible.
+
+Scale guard (the 100 TB lever): a stop-shingle — one that appears in
+nearly every document of a block ("of the and") — makes that
+shingle's join group quadratic in the block's document count. Before
+the self-join we aggregate per-(shingle, lang, source) document
+frequency and DROP shingles with df > max_df, bounding any single
+join group's output at max_df². Sizes (the Jaccard denominator) are
+computed over the same filtered shingle space, so similarity is
+measured on informative shingles only — the standard web-dedup
+formulation — and the SQL oracle mirrors the identical filter.
 """
 
 from __future__ import annotations
@@ -13,11 +23,31 @@ from pyspark.sql import functions as F
 
 from ..text.analysis import shingle_rows, sql_shingle_rows
 
+# A shingle shared by more than MAX_DF docs of one (lang, source) block
+# identifies nothing; it only manufactures ~df² candidate pairs.
+MAX_DF = 100
 
-def jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.2) -> DataFrame:
+
+def jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = MAX_DF,
+) -> DataFrame:
     """(doc_a, doc_b, inter, union_n, jaccard) for same-(lang,source)
-    pairs with Jaccard ≥ threshold."""
+    pairs with Jaccard ≥ threshold over shingles with df ≤ max_df."""
     sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
+    # Document frequency per blocked shingle; partial-aggregated
+    # map-side, one small shuffle on the shingle key.
+    df_counts = sh.groupBy("shingle", "lang", "source").agg(
+        F.count("*").alias("df_count")
+    )
+    sh = sh.join(
+        df_counts.filter(F.col("df_count") <= max_df).select(
+            "shingle", "lang", "source"
+        ),
+        ["shingle", "lang", "source"],
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(
@@ -50,9 +80,19 @@ def jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.2) -
     )
 
 
-def sql_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.2) -> str:
+def sql_jaccard_pairs(
+    shingle_n: int = 3, threshold: float = 0.2, max_df: int = MAX_DF
+) -> str:
     return f"""
-    WITH sh AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
+    WITH sh_all AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
+    keep AS (
+      SELECT shingle, lang, source FROM sh_all
+      GROUP BY shingle, lang, source
+      HAVING COUNT(*) <= {max_df}),
+    sh AS (
+      SELECT s.* FROM sh_all s
+      JOIN keep k ON s.shingle = k.shingle AND s.lang = k.lang
+                 AND s.source = k.source),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

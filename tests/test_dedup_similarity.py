@@ -57,6 +57,37 @@ def test_jaccard_scores_order(near_dup_docs):
     assert 0.5 < jp[(0, 1)] < 1.0
 
 
+def test_jaccard_stop_shingle_cap_kills_quadratic_group(spark):
+    """Scale guard: a stop-shingle shared by every doc in a block must
+    NOT manufacture O(n²) candidate pairs. 40 docs share exactly one
+    3-gram ('common shared prefix'); the rest of each doc is unique.
+    Uncapped, the inverted-index self-join emits all C(40,2)=780 pairs;
+    with the df cap the stop-shingle is dropped pre-join and no pair
+    survives."""
+    rows = [
+        (i, f"common shared prefix u{i}a u{i}b u{i}c u{i}d u{i}e", "en", "srcA")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    uncapped = jaccard_pairs(docs, threshold=0.0, max_df=10_000).count()
+    capped = jaccard_pairs(docs, threshold=0.0, max_df=10).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 0
+
+
+def test_jaccard_cap_preserves_true_near_dups(near_dup_docs):
+    """The df cap must not change scores for genuinely similar docs
+    when no shingle exceeds the cap (10 docs here, default cap 100)."""
+    jp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(near_dup_docs, threshold=0.0).collect()
+    }
+    assert jp[(0, 2)] == 1.0
+    assert 0.5 < jp[(0, 1)] < 1.0
+
+
 def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
     fp = simhash(near_dup_docs)
     pairs = {

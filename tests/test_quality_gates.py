@@ -100,3 +100,37 @@ def test_minhash_recall_on_planted_near_dups(spark):
     planted = {(2 * p, 2 * p + 1) for p in range(20)}
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.8, f"MinHash recall collapsed to {recall:.2f}"
+
+
+def test_embedding_banded_near_dup_recall_floor(spark, duck):
+    """The (label, SRP-band)-blocked embedding near-dup operator must
+    recover ≥80% of the exact label-blocked all-pairs result at the
+    0.35 cosine floor on the real sf0.01 fixture — the banding is a
+    scale optimization, not a semantics change. Also pins
+    non-emptiness: a threshold query returning zero rows would be a
+    vacuous pass."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from matrix_multiplication_map_reduce_gcp_spark.functions.vectors import (
+        sql_cosine_rounded,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    cos = sql_cosine_rounded("a.embedding", "b.embedding")
+    exact = {
+        (a, b)
+        for a, b, _ in duck.sql(
+            f"""SELECT a.vec_id, b.vec_id, {cos} FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE {cos} >= 0.35"""
+        ).fetchall()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in registry.load_all()["embedding_near_dup_pairs"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    assert exact, "fixture produced no exact near-dup pairs — vacuous gate"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"banded near-dup recall collapsed to {recall:.2f}"
+    assert not (got - exact), "banded result contains pairs below the floor"
