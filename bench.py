@@ -99,6 +99,20 @@ def main() -> None:
     run_noop(block_multiply(a, b, block_size=250).df)
     timings["matmul_dense_1000_block"] = round(time.perf_counter() - t0, 3)
 
+    # Reference-parity chart artifact (the reference's test.py plotted
+    # MapReduce vs VM; we add our curve). Never let plotting break the
+    # one-JSON-line stdout contract.
+    try:
+        from scripts.plot_bench import write_from_timings
+
+        write_from_timings(
+            timings,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmark_comparison.svg"),
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"plot generation failed: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -19,6 +19,7 @@ formulation — and the SQL oracle mirrors the identical filter.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..text.analysis import shingle_rows, sql_shingle_rows
@@ -37,16 +38,14 @@ def jaccard_pairs(
     """(doc_a, doc_b, inter, union_n, jaccard) for same-(lang,source)
     pairs with Jaccard ≥ threshold over shingles with df ≤ max_df."""
     sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
-    # Document frequency per blocked shingle; partial-aggregated
-    # map-side, one small shuffle on the shingle key.
-    df_counts = sh.groupBy("shingle", "lang", "source").agg(
-        F.count("*").alias("df_count")
-    )
-    sh = sh.join(
-        df_counts.filter(F.col("df_count") <= max_df).select(
-            "shingle", "lang", "source"
-        ),
-        ["shingle", "lang", "source"],
+    # Document frequency via a COUNT window on the same key the
+    # self-join shuffles on — one shuffle that the join then reuses
+    # (vs. a groupBy + equi-join back, which costs two extra shuffles).
+    df_w = W.partitionBy("shingle", "lang", "source")
+    sh = (
+        sh.withColumn("df_count", F.count("*").over(df_w))
+        .filter(F.col("df_count") <= max_df)
+        .drop("df_count")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 

@@ -361,3 +361,42 @@ def user_sessions(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "trailing_30min_event_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events)
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_30m,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_value_30m
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_30min_event_stats(spark, sf_dir):
+    """Time-interval RANGE frame on the TIMESTAMP(NANOS) events table
+    — the trickiest table for frame bounds. Per event: the user's
+    event count and exact decimal value-sum over the trailing 30
+    MINUTES of event time. The ordering key is epoch MICROseconds
+    (unix_micros == DuckDB epoch_us over the µs-cast ts), so both
+    engines place every frame bound on the identical integer axis;
+    RANGE frames are peer-inclusive in both engines, making ties
+    deterministic without a tiebreak column."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1800 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_30m"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_value_30m"),
+    )

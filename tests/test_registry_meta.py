@@ -39,6 +39,44 @@ def test_first_50_cover_every_category():
     )
 
 
+# events.ts is TIMESTAMP(NANOS) in parquet. Spark's loader truncates to
+# microseconds; a ns-fidelity DuckDB (1.1+) keeps nanoseconds, so any
+# oracle that EMITS or ORDERS BY raw ts diverges at the nano digit
+# (round-1's only driver hash-fail). The fix is CAST(ts AS TIMESTAMP)
+# — a no-op on µs engines, ns→µs truncation on ns engines. Oracles
+# below are audited ns-safe WITHOUT the cast because they only bucket
+# ts downward (date_trunc / floor(epoch...)) or never touch ts in
+# output, ordering, or comparisons — downward truncation cannot flip
+# those. Every NEW event-touching oracle must either carry the cast or
+# be audited onto this list.
+NS_SAFE_AUDITED = {
+    "asof_last_order_before_event",  # o_orderdate <= ts: truncation can't cross the date boundary
+    "json_extraction",  # ts unused
+    "stream_tumbling_counts",  # date_trunc('hour') only
+    "stream_dedup_within_watermark",  # DISTINCT on non-ts cols
+    "stream_dedup_keys",  # DISTINCT on non-ts cols
+    "gap_filled_hourly_counts",  # date_trunc('hour') only
+    "weekly_retention_cohorts",  # floor(epoch/604800) only
+    "stream_sliding_counts",  # floor(epoch/1800) only
+}
+
+
+def test_event_ts_oracles_cast_to_micros():
+    q = registry.load_all()
+    offenders = [
+        n
+        for n, qd in q.items()
+        if qd.oracle
+        and re.search(r"\bevents\b", qd.oracle)
+        and "CAST(ts AS TIMESTAMP)" not in qd.oracle
+        and n not in NS_SAFE_AUDITED
+    ]
+    assert not offenders, (
+        f"event-table oracles using raw nanosecond ts without the µs cast "
+        f"(add CAST(ts AS TIMESTAMP) or audit into NS_SAFE_AUDITED): {offenders}"
+    )
+
+
 def test_coverage_md_counts_in_lockstep():
     q = registry.load_all()
     n_total = len(q)

@@ -50,6 +50,37 @@ def test_partitioned_write_prunes(spark, tmp_path_factory):
     assert "o_orderstatus" in executed_plan(scan).split("PartitionFilters")[1][:200]
 
 
+def test_file_scheme_uri_roundtrip(spark, nation, tmp_path_factory):
+    """Explicit file:// URIs go through Hadoop's FileSystem resolution
+    — the same code path an s3a://, gs://, or hdfs:// URI takes (only
+    the scheme→FileSystem binding differs), so scheme-qualified paths
+    must behave identically to bare ones, including partitioned
+    layouts and pruning."""
+    base = tmp_path_factory.mktemp("io") / "nation_uri"
+    uri = f"file://{base}"
+    write_any(nation, uri, partition_by=["n_regionkey"])
+    back = read_any(spark, uri)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    assert "n_regionkey" in executed_plan(pruned).split("PartitionFilters")[1][:200]
+    # scheme-qualified and bare spellings resolve to the same data
+    assert read_any(spark, str(base)).count() == nation.count()
+
+
+def test_glob_and_multipath_reads(spark, nation, tmp_path_factory):
+    """Object-store ingest patterns: glob paths and explicit
+    multi-path loads (daily partition folders at 100 TB)."""
+    root = tmp_path_factory.mktemp("io")
+    for d in ("day=01", "day=02"):
+        write_any(nation.drop("n_comment"), str(root / "glob" / d))
+    globbed = read_any(spark, str(root / "glob" / "day=*"))
+    assert globbed.count() == 2 * nation.count()
+    two = spark.read.parquet(str(root / "glob" / "day=01"), str(root / "glob" / "day=02"))
+    assert two.count() == 2 * nation.count()
+
+
 def test_approx_aggregates_within_tolerance(spark):
     from matrix_multiplication_map_reduce_gcp_spark import registry
 
