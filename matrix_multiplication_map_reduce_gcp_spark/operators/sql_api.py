@@ -109,6 +109,111 @@ def struct_map_functions(spark, sf_dir):
     )
 
 
+# One SQL text per subquery form, executed verbatim by both engines —
+# the subquery surface (EXISTS / scalar / IN / NOT IN / LATERAL) is
+# where engines disagree most, so running identical text is the
+# strongest parity check.
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+"""
+
+
+@query("correlated_exists_orders", oracle=_EXISTS_SQL)
+def correlated_exists_orders(spark, sf_dir):
+    """Correlated EXISTS — decorrelated by both planners into a left
+    semi join on o_custkey with the price predicate pushed below it
+    (verified via explain: no per-row subquery execution)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUB_SQL = """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE CAST(p_retailprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM part)
+          > (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+"""
+
+
+@query("scalar_subquery_above_avg", oracle=_SCALAR_SUB_SQL)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Uncorrelated scalar subqueries: parts priced above the corpus
+    mean. The mean compare is cross-multiplied into exact DECIMAL
+    arithmetic (price·N > Σprice) — a double AVG would be
+    order-dependent across engines. Scalar subqueries execute once and
+    broadcast as literals into the scan filter."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUB_SQL)
+
+
+_NOT_IN_SQL = """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+          FROM customer)) AS n_not_in_with_nulls,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS
+         (SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0))
+        AS n_not_exists_equivalent
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_SQL)
+def not_in_null_semantics(spark, sf_dir):
+    """The NOT IN null footgun, pinned: a NULL in the subquery list
+    makes `x NOT IN (...)` UNKNOWN for every row (tri-valued logic), so
+    the first count is 0 — while the NOT EXISTS spelling of the same
+    business question counts normally. Both engines must agree on both
+    counts; a pipeline migrating filters between the two forms relies
+    on exactly this semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey
+      LIMIT 2) s
+"""
+
+
+@query("lateral_top2_suppliers", oracle=_LATERAL_SQL)
+def lateral_top2_suppliers(spark, sf_dir):
+    """LATERAL correlated subquery with per-group ORDER BY + LIMIT —
+    the top-k-per-key shape written as SQL the way a user would; both
+    planners rewrite it to a ranked window/join, not a per-row loop.
+    Deterministic tiebreak on s_suppkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_IN_SUB_SQL = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderstatus
+"""
+
+
+@query("in_subquery_filter", oracle=_IN_SUB_SQL)
+def in_subquery_filter(spark, sf_dir):
+    """Uncorrelated IN subquery — planned as a semi join (broadcast
+    when the inner side is small), never a materialized value list."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SUB_SQL)
+
+
 @query(
     "training_data_pipeline",
     oracle="""

@@ -41,10 +41,10 @@ def cosine_topk(
     return rank_topk(scored, k)
 
 
-def rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    """(query_id, neighbor_id, cos_sim) → rows with rank ≤ k per query
-    (deterministic tiebreak on neighbor id)."""
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+def rank_topk(scored: DataFrame, k: int, score_col: str = "cos_sim") -> DataFrame:
+    """(query_id, neighbor_id, <score_col>) → rows with rank ≤ k per
+    query (deterministic tiebreak on neighbor id)."""
+    w = W.partitionBy("query_id").orderBy(F.desc(score_col), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

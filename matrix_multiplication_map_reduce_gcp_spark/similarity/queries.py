@@ -13,6 +13,7 @@ from .brute_force import cosine_topk
 from .ivf import sql_assign_cells
 from .lsh import sql_probe_buckets
 from .lsh import bucketize, sql_bucket_expr
+from .quantization import sql_code_rows
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 10
@@ -215,3 +216,81 @@ def ann_lsh_topk(spark, sf_dir):
 
     e = bucketize(load_table(spark, sf_dir, "embeddings"))
     return blocked_cosine_topk(e, "bucket", F.col("vec_id") < N_QUERIES, TOP_K)
+
+
+@query(
+    "embedding_sq8_codes",
+    oracle=f"""
+    WITH codes AS ({sql_code_rows()})
+    SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+           MIN(code) AS code_min, MAX(code) AS code_max,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embedding_sq8_codes(spark, sf_dir):
+    """SQ8 scalar quantization: vectors L2-normalized, one global
+    absmax scale trained over the corpus (a single broadcast scalar),
+    each vector encoded to signed 8-bit codes — 4-8× memory
+    compression for billion-vector indexes. The gate checks per-vector
+    code summaries (sum/min/max/count): any divergence in a single
+    code moves code_sum."""
+    from .quantization import code_rows
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return code_rows(e).groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+        F.count("*").alias("n_dims"),
+    )
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH codes AS ({sql_code_rows()}),
+    prods AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS qdot
+      FROM codes q JOIN codes c ON q.dim = c.dim AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id) AS rank
+      FROM prods)
+    SELECT query_id, neighbor_id, qdot, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_sq8_topk(spark, sf_dir):
+    """ANN top-10 by symmetric-int8 quantized dot product over
+    NORMALIZED vectors: queries broadcast against the corpus, scored
+    with bigint multiply-adds (zip_with + fold — order-independent,
+    unlike float dots, so no rounding is needed anywhere). The corpus
+    never shuffles; at scale this is the cheap first pass whose
+    candidates exact float rescoring then reranks
+    (test_quality_gates pins recall vs ann_brute_force_topk). The
+    oracle recomputes codes and dots from scratch in SQL — the whole
+    normalize→quantize→score→rank pipeline is hash-checked."""
+    from .brute_force import rank_topk
+    from .quantization import code_arrays, int_dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = code_arrays(e)
+    q = arr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    c = arr.select(F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("cc"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qc"), F.col("cc")).alias("qdot"),
+        )
+    )
+    return rank_topk(scored, TOP_K, score_col="qdot")

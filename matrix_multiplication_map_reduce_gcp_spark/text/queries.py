@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .analysis import tokens
+from .analysis import shingles, sql_shingle_rows, tokens
 
 # Tiny per-language stopword profiles (inline dimension data — the
 # lang-id heuristic scores hit-rate per profile and argmaxes).
@@ -211,4 +211,286 @@ def lang_source_profile(spark, sf_dir):
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _sql_top_gram_frac(n: int, alias: str) -> str:
+    """CTE pair computing per-doc max/total n-gram counts in DuckDB."""
+    return f"""
+    g{alias} AS (SELECT doc_id, shingle
+                 FROM ({sql_shingle_rows(n, distinct=False)})),
+    c{alias} AS (SELECT doc_id, shingle, COUNT(*) AS c
+                 FROM g{alias} GROUP BY 1, 2),
+    m{alias} AS (SELECT doc_id, MAX(c) AS top_c,
+                        CAST(SUM(c) AS BIGINT) AS tot
+                 FROM c{alias} GROUP BY 1)"""
+
+
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (SELECT doc_id, len(w) AS n_words,
+                    len(list_distinct(w)) AS n_distinct FROM t),
+    {_sql_top_gram_frac(2, 'b')},
+    {_sql_top_gram_frac(3, 't')}
+    SELECT b.doc_id, b.n_words,
+           CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+           COALESCE(CAST(mb.top_c AS DOUBLE) / mb.tot, 0.0) AS top2gram_frac,
+           COALESCE(CAST(mt.top_c AS DOUBLE) / mt.tot, 0.0) AS top3gram_frac
+    FROM base b LEFT JOIN mb ON b.doc_id = mb.doc_id
+                LEFT JOIN mt ON b.doc_id = mt.doc_id
+    """,
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to the line-less fixture corpus): duplicate-word fraction
+    plus the fraction of all 2-gram/3-gram occurrences claimed by the
+    single most frequent n-gram. High values flag boilerplate and
+    degenerate repetition. All ratios are single divisions of exact
+    integer counts, so both engines emit identical doubles. Word stats
+    are computed row-locally (no shuffle); each n-gram pipeline is
+    explode → two partial-aggregated groupBys keyed by doc_id — the
+    map-side combine absorbs the repetition itself, so skew from a
+    degenerate doc stays bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("__t"))
+    base = toks.select(
+        "doc_id",
+        F.size("__t").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("__t")).cast("bigint").alias("n_distinct"),
+    )
+
+    def top_frac(n: int, out: str):
+        g = toks.select("doc_id", F.explode(shingles(n)).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return c.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out)
+        )
+
+    return (
+        base.join(top_frac(2, "top2gram_frac"), "doc_id", "left")
+        .join(top_frac(3, "top3gram_frac"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                (F.col("n_words") - F.col("n_distinct")).cast("double")
+                / F.col("n_words")
+            ).alias("dup_word_frac"),
+            F.coalesce("top2gram_frac", F.lit(0.0)).alias("top2gram_frac"),
+            F.coalesce("top3gram_frac", F.lit(0.0)).alias("top3gram_frac"),
+        )
+    )
+
+
+@query(
+    "quality_filter_verdict",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             n_chars
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_words,
+             CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_word_len,
+             CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac
+      FROM s)
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+           n_words BETWEEN 20 AND 90 AS pass_word_count,
+           mean_word_len BETWEEN 3.0 AND 5.0 AS pass_mean_word_len,
+           dup_word_frac <= 0.6 AS pass_repetition,
+           (n_words BETWEEN 20 AND 90) AND (mean_word_len BETWEEN 3.0 AND 5.0)
+             AND dup_word_frac <= 0.6 AS keep,
+           CASE WHEN NOT n_words BETWEEN 20 AND 90 THEN 'word_count'
+                WHEN NOT mean_word_len BETWEEN 3.0 AND 5.0 THEN 'word_length'
+                WHEN dup_word_frac > 0.6 THEN 'repetition'
+                ELSE 'keep' END AS reject_reason
+    FROM f
+    """,
+)
+def quality_filter_verdict(spark, sf_dir):
+    """The keep/drop decision of a Gopher/C4-style quality filter,
+    with per-rule booleans and the first failing rule as the reject
+    reason (what a pipeline logs for filter-rate dashboards). Entirely
+    map-side — no shuffle at any scale. mean word length derives from
+    n_chars arithmetically (single-spaced corpus: chars = wordchars +
+    n_words - 1), avoiding a per-word lambda in the row path."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    n_words = F.size(t).cast("bigint")
+    n_distinct = F.size(F.array_distinct(t)).cast("bigint")
+    mean_wl = (F.col("n_chars") - n_words + 1).cast("double") / n_words
+    dup_frac = (n_words - n_distinct).cast("double") / n_words
+    p_wc = (n_words >= 20) & (n_words <= 90)
+    p_wl = (mean_wl >= 3.0) & (mean_wl <= 5.0)
+    p_rep = dup_frac <= 0.6
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        p_wc.alias("pass_word_count"),
+        p_wl.alias("pass_mean_word_len"),
+        p_rep.alias("pass_repetition"),
+        (p_wc & p_wl & p_rep).alias("keep"),
+        F.when(~p_wc, "word_count")
+        .when(~p_wl, "word_length")
+        .when(~p_rep, "repetition")
+        .otherwise("keep")
+        .alias("reject_reason"),
+    )
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH sh AS ({sql_shingle_rows(5, distinct=True)})
+    SELECT shingle AS span, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+    """,
+)
+def duplicate_spans(spark, sf_dir):
+    """Exact-substring duplication index: 5-word spans appearing in 2+
+    documents — the span inventory behind C4/suffix-array-style exact
+    substring dedup. Distinct-per-doc spans → one partial-aggregated
+    count keyed by span. At 100 TB the span key is high-cardinality and
+    near-uniform (the partial agg collapses per-doc repeats first), so
+    the shuffle is balanced; output volume is only the duplicated
+    tail."""
+    from ..text.analysis import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=5, distinct=True)
+    return (
+        sh.groupBy(F.col("shingle").alias("span"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "doc_span_dup_ratio",
+    oracle=f"""
+    WITH sh AS ({sql_shingle_rows(5, distinct=True)}),
+    marked AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS span_docs
+      FROM sh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM marked GROUP BY doc_id
+    """,
+)
+def doc_span_dup_ratio(spark, sf_dir):
+    """Per-document duplicated-text ratio: the fraction of a doc's
+    5-word spans that also occur in another document — the signal C4
+    thresholds to drop boilerplate-heavy pages. One COUNT window on
+    the span key (the same shuffle the duplicate-span index needs),
+    then a per-doc aggregate."""
+    from ..text.analysis import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=5, distinct=True)
+    span_docs = F.count("*").over(W.partitionBy("shingle"))
+    marked = sh.select("doc_id", span_docs.alias("span_docs"))
+    dup = F.sum(F.when(F.col("span_docs") >= 2, 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        dup.alias("n_dup_spans"),
+        (dup.cast("double") / F.count("*")).alias("dup_ratio"),
+    )
+
+
+# Context-window capacity (tokens) for sequence packing.
+PACK_CAPACITY = 2048
+
+_PACK_SQL_CTES = f"""
+    t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS pack_key
+          FROM documents),
+    packed AS (
+      SELECT doc_id, lang, n_tokens, pack_key,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY pack_key, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS prev_cum
+      FROM t)
+"""
+
+
+@query(
+    "sequence_pack_greedy",
+    oracle=f"""
+    WITH {_PACK_SQL_CTES}
+    SELECT doc_id, lang, n_tokens,
+           prev_cum // {PACK_CAPACITY} AS bin_id,
+           prev_cum % {PACK_CAPACITY} AS offset_in_bin
+    FROM packed
+    """,
+)
+def sequence_pack_greedy(spark, sf_dir):
+    """Sequence packing for training: concatenate documents in a
+    deterministic pseudo-random order (md5 of doc_id — a portable
+    shuffle) and cut the stream into fixed {PACK_CAPACITY}-token
+    context windows; each doc is assigned the window its first token
+    lands in (GPT-style concat-then-chunk packing; docs may straddle a
+    boundary, exactly as the training tokenizer would). Packing is
+    PARTITIONED BY LANG — each language packs its own stream, so the
+    prefix-sum window parallelizes across partitions instead of
+    serializing the corpus through one task (the 100 TB shape: shard
+    by (lang, shard_id) and pack per shard)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens()).cast("bigint")
+    t = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pack_key"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("pack_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_cum = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (prev_cum / PACK_CAPACITY).cast("bigint").alias("bin_id"),
+        (prev_cum % PACK_CAPACITY).alias("offset_in_bin"),
+    )
+
+
+@query(
+    "pack_bin_stats",
+    oracle=f"""
+    WITH {_PACK_SQL_CTES}
+    SELECT lang, prev_cum // {PACK_CAPACITY} AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_started,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY} AS fill_ratio
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def pack_bin_stats(spark, sf_dir):
+    """Packing efficiency accounting per (lang, context window): docs
+    starting in the window, their token mass, and fill ratio vs the
+    {PACK_CAPACITY}-token capacity — the waste metric a packing
+    strategy is judged by."""
+    packed = sequence_pack_greedy(spark, sf_dir)
+    return packed.groupBy(
+        "lang", "bin_id"
+    ).agg(
+        F.count("*").alias("n_docs_started"),
+        F.sum("n_tokens").alias("tokens_started"),
+        (F.sum("n_tokens").cast("double") / PACK_CAPACITY).alias("fill_ratio"),
     )

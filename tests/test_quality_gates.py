@@ -102,6 +102,27 @@ def test_minhash_recall_on_planted_near_dups(spark):
     assert recall >= 0.8, f"MinHash recall collapsed to {recall:.2f}"
 
 
+def test_sq8_topk_recall_floor(spark):
+    """Symmetric-int8 quantized top-10 must recover ≥90% of the exact
+    cosine top-10 on the sf0.01 fixture (it is 100% there today) —
+    quantization is a compression lever, not a semantics change."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from .conftest import SF_CORRECTNESS
+
+    qs = registry.load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_brute_force_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_sq8_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "no exact neighbors — vacuous"
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall collapsed to {recall:.2f}"
+
+
 def test_embedding_banded_near_dup_recall_floor(spark, duck):
     """The (label, SRP-band)-blocked embedding near-dup operator must
     recover ≥80% of the exact label-blocked all-pairs result at the

@@ -1,0 +1,79 @@
+"""Behavioral invariants for the LLM-pipeline text operators added in
+round 2: quality verdicts, repetition signals, span-level dedup, and
+sequence packing. (Bit-exactness vs DuckDB is covered by the master
+gate in test_registry_oracle; these pin semantics the hash can't —
+non-vacuousness, conservation laws, bounds.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+from matrix_multiplication_map_reduce_gcp_spark.text.queries import PACK_CAPACITY
+
+from .conftest import SF_SMOKE
+
+QUERIES = registry.load_all()
+
+
+def test_quality_verdict_splits_corpus(spark):
+    rows = QUERIES["quality_filter_verdict"].fn(spark, SF_SMOKE).collect()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped, "thresholds must split the fixture, not rubber-stamp it"
+    for r in rows:
+        assert r.keep == (
+            r.pass_word_count and r.pass_mean_word_len and r.pass_repetition
+        )
+        assert (r.reject_reason == "keep") == r.keep
+        if r.reject_reason == "word_count":
+            assert not r.pass_word_count
+
+
+def test_repetition_signals_bounded(spark):
+    rows = QUERIES["repetition_signals"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 <= r.top2gram_frac <= 1.0
+        assert 0.0 <= r.top3gram_frac <= 1.0
+        # a single most-frequent trigram can't claim more mass than the
+        # most-frequent bigram's ceiling allows on word-soup text
+        assert r.n_words > 0
+
+
+def test_span_dup_conservation(spark):
+    """Σ per-doc duplicated spans == Σ over duplicated spans of their
+    doc counts (both count the same (doc, dup-span) incidences)."""
+    per_doc = (
+        QUERIES["doc_span_dup_ratio"].fn(spark, SF_SMOKE)
+        .agg(F.sum("n_dup_spans"))
+        .collect()[0][0]
+    )
+    per_span = (
+        QUERIES["duplicate_spans"].fn(spark, SF_SMOKE)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert per_doc == per_span
+    assert per_doc > 0, "fixture has no duplicated spans — vacuous"
+
+
+def test_packing_invariants(spark):
+    packed = QUERIES["sequence_pack_greedy"].fn(spark, SF_SMOKE).collect()
+    assert packed
+    for r in packed:
+        assert 0 <= r.offset_in_bin < PACK_CAPACITY
+        assert r.bin_id >= 0
+    # per lang: bins are dense 0..max (the stream has no holes)
+    by_lang: dict[str, set[int]] = {}
+    for r in packed:
+        by_lang.setdefault(r.lang, set()).add(r.bin_id)
+    for lang, bins in by_lang.items():
+        assert bins == set(range(max(bins) + 1)), f"holes in {lang} bins"
+
+    # token conservation: bin stats account for every packed token
+    stats = QUERIES["pack_bin_stats"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.tokens_started for r in stats) == sum(r.n_tokens for r in packed)
+    for s in stats:
+        assert abs(s.fill_ratio - s.tokens_started / PACK_CAPACITY) < 1e-12
