@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.skew",
     "matrix_multiplication_map_reduce_gcp_spark.operators.merge",
     "matrix_multiplication_map_reduce_gcp_spark.operators.stats",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.sketches",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
     "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pagerank",
@@ -92,7 +93,7 @@ PRIORITY_PREFIX = (
     # as-of / range joins
     "asof_last_order_before_event", "range_join_quantity_tiers",
     # approximate aggregates
-    "approx_distinct_counts", "approx_quantiles",
+    "approx_distinct_counts",
     # scalar functions
     "json_extraction",
     # SQL API / end-to-end pipeline
@@ -114,7 +115,7 @@ PRIORITY_PREFIX = (
     # text embeddings + chunking
     "text_hash_embeddings", "benchmark_decontamination",
     # dedup (north star)
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_exact", "minhash_lsh_pairs",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs", "dedup_clusters",
     "stratified_sample_balanced", "embedding_near_dup_pairs",
     # similarity search (north star)
@@ -131,6 +132,8 @@ PRIORITY_PREFIX = (
     "multimodal_frame_sample",
     # tf-idf / language modeling
     "tfidf_top_terms",
+    # deterministic sketches + clustering (round 2)
+    "cms_heavy_hitters", "kmeans_assignments",
 )
 
 

@@ -14,6 +14,8 @@ from .ivf import sql_assign_cells
 from .lsh import sql_probe_buckets
 from .lsh import bucketize, sql_bucket_expr
 from .quantization import sql_code_rows
+from . import kmeans
+from .kmeans import sql_lloyd_ctes
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 10
@@ -294,3 +296,39 @@ def ann_sq8_topk(spark, sf_dir):
         )
     )
     return rank_topk(scored, TOP_K, score_col="qdot")
+
+
+@query(
+    "kmeans_assignments",
+    oracle=f"""
+    WITH {sql_lloyd_ctes()}
+    SELECT vec_id, k AS cluster, dist
+    FROM a{kmeans.ITERATIONS}
+    """,
+)
+def kmeans_assignments(spark, sf_dir):
+    """Final Lloyd-round cluster assignment (vec_id, cluster, exact
+    squared grid distance) after 2 k-means iterations seeded from
+    vectors 0..K-1 — the IVF training loop, bit-reproducible because
+    every step is integer arithmetic (see similarity/kmeans.py). The
+    corpus is scanned once per iteration and joined against a
+    broadcast K*64-row centroid table; nothing large ever shuffles."""
+    a, _ = kmeans.lloyd(load_table(spark, sf_dir, "embeddings"))
+    return a.select("vec_id", F.col("k").alias("cluster"), "dist")
+
+
+@query(
+    "kmeans_centroids",
+    oracle=f"""
+    WITH {sql_lloyd_ctes()}
+    SELECT k, CAST(dim AS INT) AS dim, c
+    FROM c{kmeans.ITERATIONS}
+    """,
+)
+def kmeans_centroids(spark, sf_dir):
+    """Trained centroid table (k, dim, c) on the 1e-6 integer grid
+    after 2 Lloyd rounds — 512 rows, every component hash-checked.
+    Updates are exact floor(mean) divisions, so any partitioning
+    schedule produces identical centroids."""
+    _, cents = kmeans.lloyd(load_table(spark, sf_dir, "embeddings"))
+    return cents.select("k", F.col("dim").cast("int").alias("dim"), "c")

@@ -1,0 +1,107 @@
+"""Behavioral tests for the deterministic sketches (count-min, Bloom)
+and the integer-exact k-means trainer — properties the hash-gate can't
+express: sketch error bounds, no-false-negative guarantees, Lloyd
+monotonicity. Cross-engine exactness itself is covered by the
+parametrized registry-oracle test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+from matrix_multiplication_map_reduce_gcp_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_bitmap,
+)
+from matrix_multiplication_map_reduce_gcp_spark.similarity import kmeans
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS guarantees est >= exact; with depth 4 x width 512 over
+    sf0.01 lineitem the expected overcount per cell is N/W — assert
+    the top-20 estimates stay within 3x that slack."""
+    qs = registry.load_all()
+    rows = qs["cms_heavy_hitters"].fn(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 20
+    n_total = (
+        load_table(spark, SF_CORRECTNESS, "lineitem").count()
+    )
+    slack = 3 * n_total / CMS_WIDTH
+    for r in rows:
+        assert r.overcount >= 0, f"CMS undercounted {r.l_partkey}"
+        assert r.cms_est >= r.exact_cnt
+        assert r.overcount <= slack, (
+            f"overcount {r.overcount} beyond 3x expected collision mass "
+            f"{slack:.0f} for key {r.l_partkey}"
+        )
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every exact match must pass the bloom filter: per status,
+    n_bloom_pass == n_exact + n_false_positive, and the false-positive
+    rate over non-members stays under 5% (4096 bits / 3 hashes over
+    ~150 build keys is far below saturation)."""
+    qs = registry.load_all()
+    rows = qs["bloom_join_prune"].fn(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_pass == r.n_exact + r.n_false_positive
+        non_members = r.n_probe - r.n_exact
+        if non_members:
+            assert r.n_false_positive / non_members < 0.05
+
+
+def test_bloom_bitmap_membership_complete(spark):
+    """Direct unit check on the bitmap builder: every build key's 3
+    probe positions are set (the filter can never reject a member)."""
+    c = load_table(spark, SF_CORRECTNESS, "customer")
+    build = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    words = {
+        r.word: r.bits for r in bloom_bitmap(build, "c_custkey").collect()
+    }
+    from matrix_multiplication_map_reduce_gcp_spark.functions.portable_hash import (
+        hash32,
+    )
+
+    probe = build.select(
+        *[
+            F.pmod(hash32(F.col("c_custkey"), seed=s), 4096).alias(f"p{s}")
+            for s in range(3)
+        ]
+    ).collect()
+    for r in probe:
+        for s in range(3):
+            p = r[f"p{s}"]
+            assert words.get(p // 32, 0) & (1 << (p % 32)), (
+                f"member bit {p} not set"
+            )
+
+
+def test_kmeans_iteration_improves_objective(spark):
+    """Lloyd's algorithm never increases the within-cluster objective:
+    total squared distance after round 2 <= after round 1 (both exact
+    bigints, so the comparison is noise-free)."""
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = kmeans.quantized_dims(e)
+    cents = q.filter(F.col("vec_id") < kmeans.K).select(
+        F.col("vec_id").alias("k"), "dim", F.col("qx").alias("c")
+    )
+    a1 = kmeans.assign(q, cents)
+    obj1 = a1.agg(F.sum("dist")).collect()[0][0]
+    c1 = kmeans.update(q, a1)
+    a2 = kmeans.assign(q, c1)
+    obj2 = a2.agg(F.sum("dist")).collect()[0][0]
+    assert obj2 <= obj1, f"objective rose: {obj1} -> {obj2}"
+
+
+def test_kmeans_all_clusters_populated_and_assignments_total(spark):
+    qs = registry.load_all()
+    a = qs["kmeans_assignments"].fn(spark, SF_CORRECTNESS)
+    n_vecs = load_table(spark, SF_CORRECTNESS, "embeddings").count()
+    per = {r.cluster: r.n for r in a.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == n_vecs
+    assert len(per) == kmeans.K, f"empty clusters: {set(range(kmeans.K)) - set(per)}"
