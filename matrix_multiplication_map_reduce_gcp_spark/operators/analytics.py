@@ -155,3 +155,73 @@ def time_rollup_revenue(spark, sf_dir):
             (F.grouping("yr") + F.grouping("mo") * 2).alias("gid"),
         )
     )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    seg AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS seg_id
+      FROM flagged),
+    runs AS (
+      SELECT user_id, seg_id, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to,
+             n_events
+      FROM runs)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current, n_events
+    FROM hist
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 built from an event stream:
+    collapse each user's consecutive same-event_type runs
+    (gaps-and-islands via LAG + running change-count), emit one
+    versioned row per run with [valid_from, valid_to) effective range
+    and an is_current flag — the dimension-table build step of every
+    warehouse load. All windows share ONE partitioning (user_id), so
+    Spark plans a single sort+shuffle reused across LAG, the running
+    sum, and LEAD. Timestamps are compared at microseconds in both
+    engines (CAST in the oracle mirrors Spark's parquet ns->us
+    loader), with event_id as the total-order tiebreak."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    seg = e.withColumn(
+        "seg_id",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    runs = seg.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -198,3 +198,35 @@ def stream_dedup_keys(spark, sf_dir):
         ["user_id", "event_type"]
     )
     return run_to_table(deduped, spark, "append")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joined per
+    micro-batch against a static customer dimension (the canonical
+    lookup-table pattern — the static side is planned as a broadcast
+    into every micro-batch, no stream-side state). Aggregates by
+    (segment, event_type) in exact decimal; availableNow + complete
+    mode makes the run batch-equivalent for the oracle."""
+    from ..catalog import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    out = run_to_table(agg, spark, "complete")
+    return out.select("c_mktsegment", "event_type", "n", "total_value")

@@ -494,3 +494,119 @@ def pack_bin_stats(spark, sf_dir):
         F.sum("n_tokens").alias("tokens_started"),
         (F.sum("n_tokens").cast("double") / PACK_CAPACITY).alias("fill_ratio"),
     )
+
+
+# ---- Domain-mixture resampling -------------------------------------------
+#
+# Balancing a training mixture across domains (languages here) without
+# floats: keep_rate_d = min_domain_tokens / domain_tokens, and a doc
+# is kept iff hash32(doc_id) / 2^32 < keep_rate — evaluated as the
+# EXACT bigint cross-multiplication h * domain_tokens < 2^32 *
+# min_tokens, so both engines make the identical keep/drop decision on
+# every document (no float rate, no RNG). The md5 hash is the sampling
+# "coin": uniform, deterministic, reproducible across runs and
+# engines. The 100 TB shape: one tiny per-domain aggregate broadcast
+# back onto a map-only filter — the corpus never shuffles.
+
+_TWO32 = 1 << 32
+
+_MIX_SQL_CTES = """
+    d AS (SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h
+          FROM documents),
+    dom AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS domain_tokens
+            FROM d GROUP BY 1),
+    m AS (SELECT MIN(domain_tokens) AS min_tokens FROM dom),
+    kept AS (SELECT d.doc_id, d.lang, d.n_tokens
+             FROM d JOIN dom USING (lang) CROSS JOIN m
+             WHERE d.h * dom.domain_tokens < 4294967296 * m.min_tokens)
+"""
+
+
+@query(
+    "domain_mixture_plan",
+    oracle=f"""
+    WITH {_MIX_SQL_CTES}
+    SELECT dom.lang, dom.n_docs, dom.domain_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM dom LEFT JOIN (SELECT lang, COUNT(*) AS n_kept,
+                               SUM(n_tokens) AS kept_tokens
+                        FROM kept GROUP BY 1) k USING (lang)
+    """,
+)
+def domain_mixture_plan(spark, sf_dir):
+    """Per-domain mixture accounting: original doc/token mass and the
+    mass surviving token-balanced resampling (every language downsampled
+    to the smallest language's token budget). The keep decision is an
+    exact integer cross-multiply of the doc's hash coin against the
+    domain rate — deterministic, engine-portable, no RNG state. Kept
+    token mass lands within ~hash-uniformity noise of min_tokens for
+    every domain (pinned in tests)."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        hash32_unsalted(F.col("doc_id")).alias("h"),
+    )
+    dom = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("domain_tokens"),
+    )
+    m = dom.agg(F.min("domain_tokens").alias("min_tokens"))
+    kept = (
+        d.join(F.broadcast(dom.select("lang", "domain_tokens")), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.col("h") * F.col("domain_tokens")
+            < F.lit(_TWO32) * F.col("min_tokens")
+        )
+    )
+    k = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
+    )
+    return dom.join(k, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "domain_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+@query(
+    "domain_balanced_sample",
+    oracle=f"""
+    WITH {_MIX_SQL_CTES}
+    SELECT doc_id, lang, n_tokens FROM kept
+    """,
+)
+def domain_balanced_sample(spark, sf_dir):
+    """The kept-document list of the token-balanced mixture — the
+    actual training-set manifest a sampler would write. Map-only after
+    two broadcast scalars; rerunning at any partitioning yields the
+    identical manifest."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        hash32_unsalted(F.col("doc_id")).alias("h"),
+    )
+    dom = d.groupBy("lang").agg(F.sum("n_tokens").alias("domain_tokens"))
+    m = dom.agg(F.min("domain_tokens").alias("min_tokens"))
+    return (
+        d.join(F.broadcast(dom), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.col("h") * F.col("domain_tokens")
+            < F.lit(_TWO32) * F.col("min_tokens")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )

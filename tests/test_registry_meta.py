@@ -58,6 +58,7 @@ NS_SAFE_AUDITED = {
     "gap_filled_hourly_counts",  # date_trunc('hour') only
     "weekly_retention_cohorts",  # floor(epoch/604800) only
     "stream_sliding_counts",  # floor(epoch/1800) only
+    "stream_static_enrich",  # ts unused: joins user_id, aggregates value
 }
 
 

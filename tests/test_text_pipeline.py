@@ -77,3 +77,56 @@ def test_packing_invariants(spark):
     assert sum(r.tokens_started for r in stats) == sum(r.n_tokens for r in packed)
     for s in stats:
         assert abs(s.fill_ratio - s.tokens_started / PACK_CAPACITY) < 1e-12
+
+
+def test_domain_mixture_balances_token_mass(spark):
+    """Every language's kept token mass must land within hash-noise of
+    the smallest language's budget: 0.5x..1.5x min_tokens (binomial
+    noise at ~60-doc domains), and the smallest domain keeps ~all of
+    itself."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from .conftest import SF_CORRECTNESS
+
+    qs = registry.load_all()
+    rows = qs["domain_mixture_plan"].fn(spark, SF_CORRECTNESS).collect()
+    assert len(rows) >= 3
+    min_tokens = min(r.domain_tokens for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_docs
+        assert 0.5 * min_tokens <= r.kept_tokens <= 1.5 * min_tokens, (
+            f"{r.lang}: kept {r.kept_tokens} vs budget {min_tokens}"
+        )
+
+
+def test_scd2_ranges_partition_each_user_timeline(spark):
+    """SCD2 invariants: per user, exactly one current row; ranges are
+    non-overlapping and contiguous (each valid_to equals the next
+    valid_from); n_events sums to the user's event count."""
+    from collections import defaultdict
+
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from .conftest import SF_CORRECTNESS
+
+    qs = registry.load_all()
+    rows = qs["scd2_user_event_history"].fn(spark, SF_CORRECTNESS).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    ev_counts = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_CORRECTNESS, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r.valid_from)
+        assert sum(r.n_events for r in hist) == ev_counts[uid]
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from, f"gap/overlap for user {uid}"
+        for a, b in zip(hist, hist[1:]):
+            assert a.event_type != b.event_type, "uncollapsed adjacent runs"
