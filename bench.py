@@ -41,6 +41,12 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
+    "ann_sq8_topk",
+    "kmeans_assignments",
+    "cms_heavy_hitters",
+    "quality_filter_verdict",
+    "sequence_pack_greedy",
+    "scd2_user_event_history",
     "stream_tumbling_counts",
 ]
 

@@ -224,3 +224,37 @@ def sample_frames(docs: DataFrame, stride: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset"])
 
     return with_blob(docs).mapInPandas(op, FRAMES_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, width int, height int, channels int, ahash long"
+
+
+def image_ahash(docs: DataFrame) -> DataFrame:
+    """(doc_id, width, height, channels, ahash) — average-hash
+    perceptual fingerprint over the REAL decoded pixels: bit i is set
+    iff pixel_i >= mean(pixels), first 60 pixels (bigint-safe, no sign
+    bit). The mean compare is the exact integer cross-multiply
+    px*n >= sum, so the hash is bit-reproducible in SQL. Identical
+    images (and byte-identical pixel streams) collide; the downstream
+    groupBy is the image-dedup step of a multimodal pipeline."""
+    decode = png_decode
+
+    def op(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, ch, px = decode(bytes(blob))
+                n, s = len(px), sum(px)
+                bits = 0
+                for i in range(min(60, n)):
+                    if px[i] * n >= s:
+                        bits |= 1 << i
+                rows.append((doc_id, w, h, ch, bits))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "ahash"]
+            )
+            rows = []
+
+    return with_png_blob(docs).mapInPandas(op, PHASH_SCHEMA)

@@ -110,3 +110,62 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_idx").cast("long").alias("frame_idx"),
         "frame_offset",
     )
+
+
+@query(
+    "multimodal_image_dup_groups",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             1 + ascii(substr(text, 1, 1)) % 8 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 8 AS height,
+             CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END
+               AS channels
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, channels, r.i AS i,
+             ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) AS b
+      FROM params,
+           UNNEST(range(0, CAST(width AS BIGINT) * height * channels)) AS r(i)),
+    tot AS (
+      SELECT doc_id, CAST(SUM(b) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY 1),
+    hashes AS (
+      SELECT p.doc_id, p.width, p.height, p.channels,
+             CAST(COALESCE(SUM(CASE WHEN p.i < 60 AND p.b * t.n >= t.s
+                  THEN CAST(1 AS BIGINT) << CAST(p.i AS INT) ELSE 0 END), 0)
+                  AS BIGINT) AS ahash
+      FROM px p JOIN tot t USING (doc_id)
+      GROUP BY 1, 2, 3, 4)
+    SELECT width, height, channels, ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+    FROM hashes
+    GROUP BY 1, 2, 3, 4
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_image_dup_groups(spark, sf_dir):
+    """Image near-duplicate groups by perceptual average-hash over the
+    REAL decoded pixel stream (decode -> aHash in one Arrow-batched
+    pass, exact integer mean-compare so the oracle reproduces every
+    bit). Groups = images agreeing on (dims, channels, ahash) — the
+    multimodal dedup step; at 100 TB this is a hash-groupBy whose key
+    is 28 bytes/image, the same scale shape as text dedup_exact."""
+    from .blobs import image_ahash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = image_ahash(d)
+    return (
+        h.groupBy("width", "height", "channels", "ahash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

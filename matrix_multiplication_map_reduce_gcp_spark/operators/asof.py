@@ -135,3 +135,87 @@ def range_join_quantity_tiers(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "pit_feature_join",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             SUM(spend) OVER w AS cum_spend
+      FROM daily
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   ROWS UNBOUNDED PRECEDING)),
+    feat AS (
+      SELECT e.event_id, e.user_id, c.cum_n, c.cum_spend,
+             c.o_orderdate AS last_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY c.o_orderdate DESC) AS rn
+      FROM events e LEFT JOIN cum c
+        ON c.o_custkey = e.user_id AND c.o_orderdate <= e.ts)
+    SELECT event_id, user_id,
+           COALESCE(cum_n, 0) AS n_orders_before,
+           CAST(COALESCE(cum_spend, 0) AS DOUBLE) AS spend_before,
+           last_orderdate
+    FROM feat WHERE rn = 1
+    """,
+)
+def pit_feature_join(spark, sf_dir):
+    """Leakage-free feature extraction (the feature-store
+    point-in-time join): every event sees the customer's order count /
+    exact-decimal lifetime spend AS OF the event instant — never a
+    later order. Shape: per-customer daily aggregates get running
+    cumulative features (one window), then the union-sort as-of trick
+    carries the latest feature row onto each event — one shuffle + one
+    sort per side, NO join blow-up (the naive join-then-rank the
+    oracle spells multiplies each event by all earlier order days).
+    Events with no history get (0, 0.0, NULL) — exactly what a
+    training pipeline must emit for cold-start rows."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend"),
+        )
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("spend").over(w).alias("cum_spend"),
+    )
+    joined = asof_join(
+        events,
+        cum,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols={
+            "cum_n": "n_orders_before",
+            "cum_spend": "spend_raw",
+            "o_orderdate": "last_orderdate",
+        },
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_orders_before", F.lit(0)).cast("bigint").alias("n_orders_before"),
+        F.coalesce(F.col("spend_raw"), F.lit(0).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("spend_before"),
+        "last_orderdate",
+    )

@@ -12,13 +12,18 @@ divisions. Every iteration is therefore bit-reproducible under any
 partitioning/shuffle schedule, in both engines.
 
 Shapes (and why this survives 100 TB):
-- quantized dims: map-only posexplode, never shuffled;
-- assignment: broadcast join against the K*64-row centroid table,
-  then a groupBy (vec_id, k) whose partial agg collapses map-side
-  (all 64*K rows of one vector sit in one input partition);
-- update: groupBy (k, dim) — 512 groups, partial-aggregated;
+- assignment is MAP-ONLY: each vector row cross-joins the broadcast
+  K-row centroid-ARRAY table and folds the squared distance inside
+  codegen (zip_with + aggregate over bigints — exact, so any fold
+  schedule agrees); the argmin is one groupBy(vec_id) of
+  min(struct(dist, k)) — a single n-row shuffle per round, not 64n;
+- update: posexplode the kept assignment and groupBy (k, dim) —
+  512 groups, partial-aggregated map-side;
 - the driver loop moves only the tiny centroid table per round —
   the corpus is scanned once per iteration and never re-shuffled.
+The DuckDB oracle keeps the simpler long-form join shape: every
+intermediate is an exact integer, so physical shape cannot change a
+single value.
 
 Reference parity: the reference repo has no clustering; this extends
 the SURVEY §2 similarity-search category (IVF training) the same way
@@ -29,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 N_DIMS = 64
 K = 8  # clusters; initial centroids = vectors 0..K-1
@@ -37,34 +41,63 @@ Q = 1_000_000  # quantization grid (1e-6 component resolution)
 ITERATIONS = 2
 
 
-def quantized_dims(e: DataFrame) -> DataFrame:
-    """(vec_id, dim, qx) — embedding components on the integer grid."""
-    x = F.posexplode(F.col("embedding").cast("array<double>")).alias(
-        "dim", "x"
+def quantized_arrays(e: DataFrame) -> DataFrame:
+    """(vec_id, qv array<bigint>) — embeddings on the integer grid."""
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * Q).cast("bigint"),
+        ).alias("qv"),
     )
-    return e.select("vec_id", x).select(
-        "vec_id", "dim", F.floor(F.col("x") * Q).cast("bigint").alias("qx")
+
+
+def quantized_dims(e: DataFrame) -> DataFrame:
+    """(vec_id, dim, qx) — long form of :func:`quantized_arrays` (the
+    centroid-update shape)."""
+    return quantized_arrays(e).select(
+        "vec_id", F.posexplode("qv").alias("dim", "qx")
+    )
+
+
+def _cent_arrays(cents: DataFrame) -> DataFrame:
+    """(k, cv array<bigint>) — long-form centroids packed into
+    dim-ordered arrays (512 rows in, K rows out)."""
+    return cents.groupBy("k").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), t -> t.c)"
+        ).alias("cv")
     )
 
 
 def assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, k, dist) — nearest centroid by exact squared L2
-    distance, ties broken on the lower cluster id."""
-    d = (
-        q.join(F.broadcast(cents), "dim")
-        .groupBy("vec_id", "k")
-        .agg(
-            F.sum(
-                (F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))
-            ).alias("dist")
-        )
+    distance, ties broken on the lower cluster id.
+
+    ``q`` is long-form (vec_id, dim, qx); it is repacked to arrays and
+    scored MAP-SIDE against the broadcast K-row centroid-array table
+    (zip_with + bigint fold in codegen); the argmin is one
+    min(struct(dist, k)) aggregate — the only shuffle is n rows keyed
+    by vec_id."""
+    qarr = q.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, qx))), t -> t.qx)"
+        ).alias("qv")
     )
-    w = W.partitionBy("vec_id").orderBy("dist", "k")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return assign_arrays(qarr, _cent_arrays(cents))
+
+
+def assign_arrays(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
+    scored = qarr.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", F.struct(dist.alias("dist"), F.col("k")).alias("dk")
+    )
+    best = scored.groupBy("vec_id").agg(F.min("dk").alias("m"))
+    return best.select("vec_id", F.col("m.k").alias("k"), F.col("m.dist").alias("dist"))
 
 
 def update(q: DataFrame, a: DataFrame) -> DataFrame:
@@ -84,15 +117,16 @@ def update(q: DataFrame, a: DataFrame) -> DataFrame:
 def lloyd(e: DataFrame, iterations: int = ITERATIONS):
     """Run ``iterations`` Lloyd rounds; returns (assignments,
     centroids) DataFrames after the final round."""
-    q = quantized_dims(e)
-    cents = (
-        q.filter(F.col("vec_id") < K)
-        .select(F.col("vec_id").alias("k"), "dim", F.col("qx").alias("c"))
+    qarr = quantized_arrays(e)
+    q = qarr.select("vec_id", F.posexplode("qv").alias("dim", "qx"))
+    cent_arr = qarr.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("k"), F.col("qv").alias("cv")
     )
     a = None
     for _ in range(iterations):
-        a = assign(q, cents)
+        a = assign_arrays(qarr, cent_arr)
         cents = update(q, a)
+        cent_arr = _cent_arrays(cents)
     return a, cents
 
 

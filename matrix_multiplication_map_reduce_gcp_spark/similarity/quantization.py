@@ -47,31 +47,37 @@ def _normalized(e: DataFrame) -> DataFrame:
     return e.select("vec_id", F.transform(v, lambda x: x / nrm).alias("nv"))
 
 
-def code_rows(e: DataFrame) -> DataFrame:
-    """(vec_id, dim, code) signed-int8 codes of the NORMALIZED vectors:
-    posexplode + a broadcast single-row global absmax scale."""
-    dims = _normalized(e).select("vec_id", F.posexplode("nv").alias("dim", "x"))
-    scale = dims.groupBy().agg(F.max(F.abs(F.col("x"))).alias("s"))
-    code = F.least(
-        F.floor(F.col("x") / F.col("s") * HALF_LEVELS), F.lit(HALF_LEVELS - 1)
-    ).cast("int")
-    return dims.crossJoin(F.broadcast(scale)).select(
-        "vec_id", "dim", code.alias("code")
-    )
+def _scale(e: DataFrame) -> DataFrame:
+    """One-row (s) global absmax over normalized components — per-row
+    array_max map-side, then a scalar MAX: an n-row aggregate, never
+    the 64n exploded form."""
+    row_max = F.array_max(F.transform(F.col("nv"), F.abs))
+    return _normalized(e).agg(F.max(row_max).alias("s"))
 
 
 def code_arrays(e: DataFrame) -> DataFrame:
-    """(vec_id, codes array<int>) — dim-ordered code vectors for
-    JVM-side integer dot products (collect_list order is pinned by
-    sorting on the dim field)."""
+    """(vec_id, codes array<int>) — dim-ordered code vectors, built
+    MAP-ONLY: normalize -> broadcast the one-row scale -> transform.
+    No explode, no collect_list shuffle; encoding runs at scan
+    bandwidth, which is the point of SQ8 at 10^9 vectors."""
+    coded = F.transform(
+        F.col("nv"),
+        lambda x: F.least(
+            F.floor(x / F.col("s") * HALF_LEVELS), F.lit(HALF_LEVELS - 1)
+        ).cast("int"),
+    )
     return (
-        code_rows(e)
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, code))), t -> t.code)"
-            ).alias("codes")
-        )
+        _normalized(e)
+        .crossJoin(F.broadcast(_scale(e)))
+        .select("vec_id", coded.alias("codes"))
+    )
+
+
+def code_rows(e: DataFrame) -> DataFrame:
+    """(vec_id, dim, code) long form of :func:`code_arrays` (kept for
+    dim-keyed consumers; the hot paths use the array form)."""
+    return code_arrays(e).select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
     )
 
 

@@ -236,15 +236,22 @@ def embedding_sq8_codes(spark, sf_dir):
     each vector encoded to signed 8-bit codes — 4-8× memory
     compression for billion-vector indexes. The gate checks per-vector
     code summaries (sum/min/max/count): any divergence in a single
-    code moves code_sum."""
-    from .quantization import code_rows
+    code moves code_sum. Computed array-native (fold/array_min/
+    array_max/size) — map-only, zero shuffles; the oracle's long-form
+    GROUP BY produces identical values because every quantity is an
+    exact integer."""
+    from .quantization import code_arrays
 
     e = load_table(spark, sf_dir, "embeddings")
-    return code_rows(e).groupBy("vec_id").agg(
-        F.sum("code").alias("code_sum"),
-        F.min("code").alias("code_min"),
-        F.max("code").alias("code_max"),
-        F.count("*").alias("n_dims"),
+    code_sum = F.aggregate(
+        "codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return code_arrays(e).select(
+        "vec_id",
+        code_sum.alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.size("codes").cast("bigint").alias("n_dims"),
     )
 
 

@@ -610,3 +610,51 @@ def domain_balanced_sample(spark, sf_dir):
         )
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+VOCAB_SIZE = 1000
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    vc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+    vocab AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT {VOCAB_SIZE})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit: build the top-{VOCAB_SIZE} corpus
+    vocabulary (deterministic count-then-token tiebreak) and report
+    each document's out-of-vocabulary token rate — the signal that
+    decides whether a tokenizer/vocab fits a corpus before training.
+    The vocab is a broadcast semi-join side; the per-doc agg partial-
+    aggregates map-side. oov_rate is one exact-integer division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(VOCAB_SIZE)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )

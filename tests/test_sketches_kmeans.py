@@ -63,19 +63,12 @@ def test_bloom_bitmap_membership_complete(spark):
     words = {
         r.word: r.bits for r in bloom_bitmap(build, "c_custkey").collect()
     }
-    from matrix_multiplication_map_reduce_gcp_spark.functions.portable_hash import (
-        hash32,
-    )
+    import hashlib
 
-    probe = build.select(
-        *[
-            F.pmod(hash32(F.col("c_custkey"), seed=s), 4096).alias(f"p{s}")
-            for s in range(3)
-        ]
-    ).collect()
-    for r in probe:
+    for r in build.collect():
+        h = hashlib.md5(f"c|{r.c_custkey}".encode()).hexdigest()
         for s in range(3):
-            p = r[f"p{s}"]
+            p = int(h[8 * s : 8 * s + 8], 16) % 4096
             assert words.get(p // 32, 0) & (1 << (p % 32)), (
                 f"member bit {p} not set"
             )
