@@ -225,3 +225,79 @@ def scd2_user_event_history(spark, sf_dir):
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def _profile_sql_row(col: str, kind: str) -> str:
+    """One UNION ALL arm of the profiling oracle (kind: num|str|ts)."""
+    num = f"CAST(MIN({col}) AS DOUBLE), CAST(MAX({col}) AS DOUBLE)" \
+        if kind == "num" else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    s = f"MIN({col}), MAX({col})" if kind == "str" \
+        else "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)"
+    ts = f"MIN({col}), MAX({col})" if kind == "ts" \
+        else "CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)"
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {num.split(',')[0]} AS min_num, {num.split(',', 1)[1]} AS max_num,
+           {s.split(',')[0]} AS min_str, {s.split(',', 1)[1]} AS max_str,
+           {ts.split(',')[0]} AS min_ts, {ts.split(',', 1)[1]} AS max_ts
+    FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+@query(
+    "profile_orders_columns",
+    oracle=" UNION ALL ".join(_profile_sql_row(c, k) for c, k in _PROFILE_COLS),
+)
+def profile_orders_columns(spark, sf_dir):
+    """Table profiling: one row per column with row/null/exact-distinct
+    counts and typed min/max (numeric, string, timestamp slots). The
+    data-quality snapshot every ingestion run records. Computed as ONE
+    single-pass aggregate (Spark's multi-distinct expand: rows
+    duplicate x6 before the partial agg — one scan instead of six;
+    the expand factor equals the column count, a fair trade until
+    column counts reach the hundreds), then unpivoted map-side via
+    inline()."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+
+    def arm(c: str, kind: str):
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        null_t = F.lit(None).cast("timestamp")
+        mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (mn.cast("double") if kind == "num" else null_d).alias("min_num"),
+            (mx.cast("double") if kind == "num" else null_d).alias("max_num"),
+            (mn if kind == "str" else null_s).alias("min_str"),
+            (mx if kind == "str" else null_s).alias("max_str"),
+            (mn if kind == "ts" else null_t).alias("min_ts"),
+            (mx if kind == "ts" else null_t).alias("max_ts"),
+        )
+
+    return one.select(
+        F.inline(F.array(*[arm(c, k) for c, k in _PROFILE_COLS]))
+    )

@@ -400,3 +400,77 @@ def trailing_30min_event_stats(spark, sf_dir):
         F.count("*").over(w).alias("n_30m"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_value_30m"),
     )
+
+
+@query(
+    "event_value_locf_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot
+      FROM e),
+    b AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM s GROUP BY 1),
+    grid AS (
+      SELECT user_id, r.sl AS slot
+      FROM b, UNNEST(range(lo, hi + 1)) AS r(sl)),
+    obs AS (
+      SELECT user_id, slot, value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                         ORDER BY ts DESC, event_id DESC)
+                        AS rn
+            FROM s)
+      WHERE rn = 1),
+    filled AS (
+      SELECT g.user_id, g.slot, o.value AS obs_value
+      FROM grid g LEFT JOIN obs o USING (user_id, slot))
+    SELECT user_id,
+           make_timestamp(slot * 3600 * 1000000) AS slot_start,
+           LAST_VALUE(obs_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY slot
+                   ROWS UNBOUNDED PRECEDING) AS value,
+           obs_value IS NOT NULL AS is_observed
+    FROM filled
+    """,
+)
+def event_value_locf_hourly(spark, sf_dir):
+    """Time-series resampling with forward fill (LOCF): each user's
+    value stream regularized onto an hourly grid spanning their active
+    range; empty hours carry the last observation forward (the
+    feature-regularization step before any fixed-step model). The slot
+    value is the LAST event in the hour (ts, event_id tiebreak); fill
+    is last(ignorenulls) over one per-user sort — values are carried
+    verbatim (no arithmetic), so doubles stay bit-identical. Scale:
+    the grid explode is bounded by active-range x granularity, and
+    every step shares the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    s = ev.withColumn(
+        "slot", F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    )
+    b = s.groupBy("user_id").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = b.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("slot")
+    )
+    obs = (
+        s.groupBy("user_id", "slot")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "slot", F.col("m.value").alias("obs_value"))
+    )
+    filled = grid.join(obs, ["user_id", "slot"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        F.timestamp_seconds(F.col("slot") * 3600).alias("slot_start"),
+        F.last("obs_value", ignorenulls=True).over(w).alias("value"),
+        F.col("obs_value").isNotNull().alias("is_observed"),
+    )
