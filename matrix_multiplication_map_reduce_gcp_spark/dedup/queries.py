@@ -207,3 +207,61 @@ def embedding_near_dup_pairs(spark, sf_dir):
         cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+LEV_PREFIX = 80  # edit distance computed on this prefix (cost cap)
+LEV_MAX = 40
+LEN_BUCKET = 16
+
+
+@query(
+    "levenshtein_near_dup_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+             substr(text, 1, {LEV_PREFIX}) AS head
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
+    """,
+)
+def levenshtein_near_dup_pairs(spark, sf_dir):
+    """Fuzzy dedup by edit distance: document pairs within the same
+    (lang, length-bucket) block whose {LEV_PREFIX}-char prefixes are
+    within {LEV_MAX} edits. Levenshtein is an exact integer in both
+    engines, so every emitted distance is hash-checked. Scale shape:
+    the self-join is blocked on (lang, floor(n_chars/{LEN_BUCKET})) —
+    near-dups rarely differ much in length, so blocks stay dense in
+    true pairs while bounding the quadratic term; the prefix cap
+    bounds each comparison at O({LEV_PREFIX}^2) independent of
+    document size. The cheap md5/minhash passes run first at 100 TB;
+    this is the precise verifier on their candidate buckets."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEN_BUCKET).cast("bigint").alias("len_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "len_bucket",
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "len_bucket",
+        F.col("head").alias("head_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, ["lang", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= LEV_MAX)
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
+    )

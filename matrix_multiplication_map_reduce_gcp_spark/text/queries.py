@@ -658,3 +658,51 @@ def vocab_oov_rate(spark, sf_dir):
             (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
         )
     )
+
+
+BPE_TOP = 20
+
+
+@query(
+    "bpe_first_merges",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    pairs AS (
+      SELECT substr(t, CAST(r.i AS INT), 2) AS pair
+      FROM tok, UNNEST(range(1, length(t))) AS r(i)),
+    counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+    ranked AS (
+      SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+      FROM counted)
+    SELECT pair, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {BPE_TOP}
+    """,
+)
+def bpe_first_merges(spark, sf_dir):
+    """The first step of BPE tokenizer training: count every adjacent
+    character pair inside words across the corpus (occurrence-
+    weighted) and rank the top-{BPE_TOP} merge candidates — the pair a
+    BPE trainer would merge first, with a deterministic (count, pair)
+    tiebreak. Shape: explode tokens -> explode in-word adjacent pairs
+    -> one partial-aggregated count keyed by pair (a few thousand
+    distinct pairs regardless of corpus size, so the shuffle is
+    bounded by alphabet^2, not data volume) -> global top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    # length >= 2 guard: Spark's sequence(1, 0) would be DESCENDING
+    # [1, 0], not empty like DuckDB's half-open range — filter first.
+    tok = d.select(F.explode(tokens()).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), "pair")
+    return (
+        counted.select("pair", "n", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= BPE_TOP)
+    )

@@ -98,3 +98,31 @@ def test_kmeans_all_clusters_populated_and_assignments_total(spark):
     per = {r.cluster: r.n for r in a.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
     assert sum(per.values()) == n_vecs
     assert len(per) == kmeans.K, f"empty clusters: {set(range(kmeans.K)) - set(per)}"
+
+
+def test_levenshtein_dedup_catches_planted_near_dups(spark, tmp_path):
+    """Plant two documents that differ by a 3-char edit (same lang,
+    same length bucket) in a minimal documents.parquet; the fuzzy-dedup
+    query must emit exactly that pair with the exact distance."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("dog", "cat")  # 3 substitutions, same length
+    rows = [
+        (1, base, "en", "srcA", len(base)),
+        (2, edited, "en", "srcA", len(edited)),
+        (3, "completely different content about spark query engines at scale", "en", "srcA", 64),
+        (4, base, "de", "srcB", len(base)),  # other lang: other block
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    qs = registry.load_all()
+    out = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in qs["levenshtein_near_dup_pairs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out.get((1, 2)) == 3, f"planted pair missing/wrong: {out}"
+    assert (1, 4) not in out and (2, 4) not in out, "cross-lang block leak"
