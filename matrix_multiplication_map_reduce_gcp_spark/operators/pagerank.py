@@ -105,3 +105,98 @@ def pagerank_3iter(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("supplier"), F.col("rank").cast("double").alias("rank"))
+
+
+@query(
+    "triangle_count_suppliers",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM und e
+      JOIN deg du ON du.n = e.u
+      JOIN deg dv ON dv.n = e.v),
+    tri AS (
+      SELECT p1.lo AS a, p1.hi AS b, p2.hi AS c
+      FROM oriented p1
+      JOIN oriented p2 ON p2.lo = p1.hi
+      JOIN oriented p3 ON p3.lo = p1.lo AND p3.hi = p2.hi),
+    participation AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS n FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_triangles DESC, n) AS rn
+      FROM participation)
+    SELECT n AS supplier, n_triangles, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def triangle_count_suppliers(spark, sf_dir):
+    """Triangle counting on the supplier co-occurrence graph with the
+    degree-ordered edge orientation (compact-forward): every edge
+    points from the (degree, id)-smaller endpoint to the larger, so
+    each triangle is enumerated exactly once and the 2-path fan-out is
+    bounded by the OUT-degree under that orientation — O(m^1.5) work
+    instead of the naive sum of deg^2 over hub vertices; this is the
+    standard trick that makes distributed triangle counting survive
+    power-law graphs. Emits the top-20 suppliers by triangle
+    participation (the clustering-hub ranking)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    p1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    p2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    p3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    part = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_triangles"), "n")
+    return (
+        part.select(
+            F.col("n").alias("supplier"),
+            "n_triangles",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

@@ -108,3 +108,63 @@ def collect_sorted_aggregates(spark, sf_dir):
             F.bit_xor("c_custkey").alias("key_xor"),
         )
     )
+
+
+@query(
+    "iqr_price_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1),
+    flagged AS (
+      SELECT o.o_orderpriority, o.o_totalprice, f.q1, f.q3,
+             o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+               OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1) AS is_outlier
+      FROM orders o JOIN fences f USING (o_orderpriority))
+    SELECT o_orderpriority, q1, q3,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE is_outlier) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN is_outlier
+                         THEN CAST(o_totalprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS outlier_value
+    FROM flagged
+    GROUP BY 1, 2, 3
+    """,
+)
+def iqr_price_outliers(spark, sf_dir):
+    """Tukey-fence outlier audit per order priority: exact interpolated
+    quartiles (bit-portable across engines, like median_order_price),
+    1.5*IQR fences computed with the identical IEEE double arithmetic
+    on both sides, outlier mass in exact decimal. Shape: one small
+    per-group fence aggregate broadcast back onto the scan — the
+    two-pass profile every data-quality monitor runs; no row-level
+    state, so it parallelizes at scan bandwidth."""
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    flagged = o.join(F.broadcast(fences), "o_orderpriority").withColumn(
+        "is_outlier", is_out
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return flagged.groupBy("o_orderpriority", "q1", "q3").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.sum(
+            F.when(
+                F.col("is_outlier"), F.col("o_totalprice").cast("decimal(12,2)")
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("outlier_value"),
+    )
