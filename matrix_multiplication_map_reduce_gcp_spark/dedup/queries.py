@@ -174,37 +174,41 @@ def embedding_near_dup_pairs(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
-    bkt = e.select(
-        "vec_id", "label", v.alias("emb"), bucket_expr(v).alias("bucket")
-    )
+    bkt = e.select("vec_id", "label", bucket_expr(v).alias("bucket"))
+    # Band/join/dedup on IDS ONLY — the 512-byte embedding arrays never
+    # enter the band explode, the candidate self-join, or the distinct
+    # shuffle; vectors join back once per SURVIVING candidate pair.
+    # At 10^9 vectors this is the difference between shuffling ids and
+    # shuffling the corpus x bands twice.
     bands = bkt.select(
         "vec_id",
         "label",
-        "emb",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
                 "i -> struct(i AS band_idx, shiftright(bucket, 2 * i) & 3 AS band_val))"
             )
         ).alias("bd"),
-    ).select("vec_id", "label", "emb", "bd.band_idx", "bd.band_val")
+    ).select("vec_id", "label", "bd.band_idx", "bd.band_val")
     a = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"),
-        "label", "band_idx", "band_val",
+        F.col("vec_id").alias("vec_a"), "label", "band_idx", "band_val"
     )
     b = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"),
-        "label", "band_idx", "band_val",
+        F.col("vec_id").alias("vec_b"), "label", "band_idx", "band_val"
     )
     cand = (
         a.join(b, ["label", "band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    va = e.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
     cos = cosine_rounded(F.col("va"), F.col("vb"))
     return (
-        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )
 

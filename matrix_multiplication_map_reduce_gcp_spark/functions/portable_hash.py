@@ -60,3 +60,33 @@ def seeded_md5(col: Column, seed: int) -> Column:
 
 def sql_seeded_md5(expr: str, seed: int) -> str:
     return f"md5(CONCAT('s{seed}|', CAST({expr} AS VARCHAR)))"
+
+
+# ---- digest slicing: k independent 32-bit hashes from ONE md5 ------------
+#
+# Sketches needing k hash functions (count-min depth, Bloom probes)
+# pay one digest per key and slice the 32 hex chars into four 8-char
+# windows — same portability contract as hash32, ~4x cheaper on the
+# build scan. Both engines' parse idioms live HERE so they cannot
+# drift apart per consumer module.
+
+
+def digest(col: Column) -> Column:
+    """One md5 hex digest per key — the source of all hash slices."""
+    return F.md5(F.concat(F.lit("c|"), col.cast("string")))
+
+
+def digest_slice32(h: str, seed) -> Column:
+    """32-bit hash #seed (0..3) from digest column named ``h``;
+    ``seed`` is a column name or an int literal."""
+    return F.expr(
+        f"CAST(conv(substring({h}, 1 + 8 * {seed}, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def sql_digest(expr: str) -> str:
+    return f"md5(CONCAT('c|', CAST({expr} AS VARCHAR)))"
+
+
+def sql_digest_slice32(h: str, seed: str) -> str:
+    return f"CAST(CONCAT('0x', substr({h}, 1 + 8 * ({seed}), 8)) AS BIGINT)"

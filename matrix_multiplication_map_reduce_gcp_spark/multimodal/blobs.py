@@ -104,9 +104,16 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             idat += body
         elif tag == b"IEND":
             break
+    if width is None:
+        raise ValueError("invalid PNG: no IHDR chunk")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG: inflated {len(raw)} bytes, "
+            f"expected {height * (stride + 1)}"
+        )
     pixels = bytearray()
     for r in range(height):
         row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]

@@ -27,7 +27,8 @@ from .blobs import decode_image_meta, sample_frames
       FROM documents),
     px AS (
       SELECT doc_id, width, height, channels,
-             ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) AS b
+             CASE WHEN n = 0 THEN 0
+                  ELSE ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) END AS b
       FROM params,
            UNNEST(range(0, CAST(width AS BIGINT) * height * channels)) AS r(i))
     SELECT doc_id, width, height, channels,
@@ -125,7 +126,8 @@ def multimodal_frame_sample(spark, sf_dir):
       FROM documents),
     px AS (
       SELECT doc_id, width, height, channels, r.i AS i,
-             ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) AS b
+             CASE WHEN n = 0 THEN 0
+                  ELSE ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) END AS b
       FROM params,
            UNNEST(range(0, CAST(width AS BIGINT) * height * channels)) AS r(i)),
     tot AS (

@@ -179,7 +179,7 @@ def time_rollup_revenue(spark, sf_dir):
     hist AS (
       SELECT user_id, event_type, valid_from,
              LEAD(valid_from) OVER (PARTITION BY user_id
-                                    ORDER BY valid_from) AS valid_to,
+                                    ORDER BY valid_from, seg_id) AS valid_to,
              n_events
       FROM runs)
     SELECT user_id, event_type, valid_from, valid_to,
@@ -216,7 +216,10 @@ def scd2_user_event_history(spark, sf_dir):
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    # seg_id tiebreak: two runs can share valid_from when same-µs
+    # events with different types split a run — seg_id is the total
+    # order (monotone in (ts, event_id) per user).
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "seg_id")
     return runs.select(
         "user_id",
         "event_type",
@@ -228,21 +231,29 @@ def scd2_user_event_history(spark, sf_dir):
 
 
 def _profile_sql_row(col: str, kind: str) -> str:
-    """One UNION ALL arm of the profiling oracle (kind: num|str|ts)."""
-    num = f"CAST(MIN({col}) AS DOUBLE), CAST(MAX({col}) AS DOUBLE)" \
-        if kind == "num" else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
-    s = f"MIN({col}), MAX({col})" if kind == "str" \
-        else "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)"
-    ts = f"MIN({col}), MAX({col})" if kind == "ts" \
-        else "CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)"
+    """One UNION ALL arm of the profiling oracle (kind: num|str|ts):
+    the matching typed min/max slot is filled, the others are typed
+    NULLs."""
+    slots = {
+        "num": ("CAST(MIN({c}) AS DOUBLE)", "CAST(MAX({c}) AS DOUBLE)",
+                "CAST(NULL AS DOUBLE)"),
+        "str": ("MIN({c})", "MAX({c})", "CAST(NULL AS VARCHAR)"),
+        "ts": ("MIN({c})", "MAX({c})", "CAST(NULL AS TIMESTAMP)"),
+    }
+    exprs = []
+    for k, (mn, mx, null) in slots.items():
+        if k == kind:
+            exprs += [mn.format(c=col), mx.format(c=col)]
+        else:
+            exprs += [null, null]
     return f"""
     SELECT '{col}' AS col_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
            CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
-           {num.split(',')[0]} AS min_num, {num.split(',', 1)[1]} AS max_num,
-           {s.split(',')[0]} AS min_str, {s.split(',', 1)[1]} AS max_str,
-           {ts.split(',')[0]} AS min_ts, {ts.split(',', 1)[1]} AS max_ts
+           {exprs[0]} AS min_num, {exprs[1]} AS max_num,
+           {exprs[2]} AS min_str, {exprs[3]} AS max_str,
+           {exprs[4]} AS min_ts, {exprs[5]} AS max_ts
     FROM orders"""
 
 

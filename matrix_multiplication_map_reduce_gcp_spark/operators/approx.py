@@ -4,8 +4,10 @@ so the hash-checkable contract is: emit the exact answer plus a
 ``within_tolerance`` boolean computed in Spark from the sketch; the
 oracle recomputes the exact answer and expects ``true``. The row is
 fully driver-verifiable without pretending HLL/GK sketches agree
-cross-engine; tests/test_approx.py additionally bounds the raw sketch
-error.
+cross-engine (tests/test_sources.py::test_approx_aggregates_within_tolerance
+exercises the same contract locally). For sketches whose contents ARE
+engine-portable — count-min, Bloom — see operators/sketches.py, where
+the estimates themselves are hash-checked.
 """
 
 from __future__ import annotations

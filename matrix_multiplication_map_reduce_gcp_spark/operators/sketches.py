@@ -32,6 +32,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable_hash import (
+    digest as _digest,
+    digest_slice32 as _slice32,
+    sql_digest as _sql_digest,
+    sql_digest_slice32 as _sql_slice32,
+)
 from ..registry import query
 
 # Count-min sketch geometry.
@@ -45,26 +51,6 @@ WORD_BITS = 32
 BLOOM_HASHES = 3
 BLOOM_BAL = 9000  # build side: customers with c_acctbal > this
 
-
-def _digest(key: Column) -> Column:
-    """One md5 hex digest per key — the source of all hash slices."""
-    return F.md5(F.concat(F.lit("c|"), key.cast("string")))
-
-
-def _slice32(h: str, seed) -> Column:
-    """32-bit hash #seed (0..3) from digest column ``h``; ``seed`` may
-    be a column name or an int literal."""
-    return F.expr(
-        f"CAST(conv(substring({h}, 1 + 8 * {seed}, 8), 16, 10) AS BIGINT)"
-    )
-
-
-def _sql_digest(key: str) -> str:
-    return f"md5(CONCAT('c|', CAST({key} AS VARCHAR)))"
-
-
-def _sql_slice32(h: str, seed: str) -> str:
-    return f"CAST(CONCAT('0x', substr({h}, 1 + 8 * ({seed}), 8)) AS BIGINT)"
 
 
 def _seeds(n: int) -> Column:

@@ -60,3 +60,90 @@ def test_hamming_default_is_exact(spark):
     )
     got = hamming_pairs(fp, max_dist=3).collect()
     assert len(got) == 1 and got[0].hamming == 1
+
+
+def test_scd2_same_timestamp_runs_are_deterministic(spark, tmp_path):
+    """Two events at the SAME microsecond with different types split
+    into two runs sharing valid_from; the (valid_from, seg_id)
+    tiebreak must chain them deterministically in BOTH engines
+    (review round 2: LEAD ordered by valid_from alone was ambiguous)."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0, 7, "click", 1.0, "{}"),   # same ts, new run
+        (3, t0 + datetime.timedelta(hours=1), 7, "view", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            # the real fixture stores TIMESTAMP(NANOS); the catalog
+            # loader normalizes ns->us and breaks on anything else
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    qs = registry.load_all()
+    qd = qs["scd2_user_event_history"]
+    got = sorted(
+        (r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in qd.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = sorted(
+        (r[1], r[2], r[3], r[4], r[5]) for r in con.sql(qd.oracle).fetchall()
+    )
+    assert got == want
+    # run 1 (view@t0) must close at t0 (zero-length validity), run 2
+    # (click@t0) closes at t0+1h, run 3 is current.
+    assert [g[3] for g in got].count(True) == 1
+
+
+def test_image_oracles_handle_empty_text(spark, tmp_path):
+    """documents with text='' must agree between the Spark decoder
+    (1x1 all-zero PNG -> pixel_sum 0, ahash from zero pixels) and the
+    oracle (review round 2: r.i % 0 made every oracle pixel NULL)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "", "hello world"]),
+            "lang": pa.array(["en", "en", "en"]),
+            "source": pa.array(["s", "s", "s"]),
+            "n_chars": pa.array([0, 0, 11], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    qs = registry.load_all()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    meta = qs["multimodal_image_meta"]
+    got = sorted(tuple(r) for r in meta.fn(spark, str(tmp_path)).collect())
+    want = sorted(con.sql(meta.oracle).fetchall())
+    assert got == want
+    assert got[0][5] == 0  # pixel_sum of the empty doc is 0, not NULL
+
+    dup = qs["multimodal_image_dup_groups"]
+    got_d = sorted(tuple(r) for r in dup.fn(spark, str(tmp_path)).collect())
+    want_d = sorted(con.sql(dup.oracle).fetchall())
+    assert got_d == want_d
+    assert len(got_d) == 1  # the two empty docs form one dup group
