@@ -269,3 +269,34 @@ def levenshtein_near_dup_pairs(spark, sf_dir):
         .filter(dist <= LEV_MAX)
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {sql_components_ctes(sql_candidate_pairs())},
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplication-profile histogram: how many near-dup clusters exist
+    at each size (and the doc mass they hold) — the one-glance answer
+    to 'how duplicated is this corpus', and the number that predicts
+    dedup's token savings. Two tiny aggregates on top of the connected
+    components; singleton clusters dominate by design."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(candidate_pairs(docs), docs.select("doc_id"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )

@@ -706,3 +706,40 @@ def bpe_first_merges(spark, sf_dir):
         counted.select("pair", "n", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= BPE_TOP)
     )
+
+
+# Split fractions in hash-coin buckets of 100: test < 5, val < 15.
+_SPLIT_SQL = """
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CASE
+             WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 5 THEN 'test'
+             WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 15 THEN 'val'
+             ELSE 'train'
+           END AS split
+    FROM documents
+"""
+
+
+@query("train_val_test_manifest", oracle=_SPLIT_SQL)
+def train_val_test_manifest(spark, sf_dir):
+    """Deterministic 85/10/5 train/val/test split: the md5 hash coin
+    (mod 100) assigns every document a split that is stable across
+    runs, partitionings, and engines — no RNG state to manage, and a
+    document can never leak between splits on a rerun (the property
+    an evaluation pipeline actually needs). Map-only."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.pmod(hash32_unsalted(F.col("doc_id")), 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        F.when(coin < 5, "test")
+        .when(coin < 15, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
