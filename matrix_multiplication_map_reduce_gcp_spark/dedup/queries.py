@@ -300,3 +300,88 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).alias("n_docs"),
     )
+
+
+SN_PREFIX = 40  # sort-key prefix length
+SN_WINDOW = 3  # each doc pairs with the next SN_WINDOW-1 neighbors
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, substr(text, 1, {SN_PREFIX}) AS head
+      FROM documents),
+    nb AS (
+      SELECT lang, source, doc_id, head,
+             LEAD(doc_id, 1) OVER w AS n1, LEAD(head, 1) OVER w AS h1,
+             LEAD(doc_id, 2) OVER w AS n2, LEAD(head, 2) OVER w AS h2
+      FROM d WINDOW w AS (PARTITION BY lang, source ORDER BY head, doc_id)),
+    pairs AS (
+      SELECT lang, source, doc_id, head, n1 AS nbr, h1 AS nbr_head
+      FROM nb WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT lang, source, doc_id, head, n2, h2
+      FROM nb WHERE n2 IS NOT NULL)
+    SELECT lang, source,
+           LEAST(doc_id, nbr) AS doc_a, GREATEST(doc_id, nbr) AS doc_b,
+           CAST(levenshtein(head, nbr_head) AS BIGINT) AS head_edit_distance
+    FROM pairs
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking: docs sorted by a
+    {SN_PREFIX}-char prefix key within each (lang, source) block pair
+    with their next {SN_WINDOW - 1} sort neighbors; each candidate is
+    verified by the exact prefix edit distance. The classic
+    complement to hash blocking — near-dups with small leading edits
+    sort adjacently even when their md5/minhash buckets differ.
+
+    Scale shape: one window sort per (lang, source) partition and a
+    LINEAR candidate count (w-1 pairs per doc, never quadratic in the
+    block). At 100 TB the window runs per-partition after a shuffle
+    on the block key; no self-join materializes. A global (unkeyed)
+    sort would be the scale-killer variant — blocking on (lang,
+    source) keeps every window partition-local."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, SN_PREFIX).alias("head"),
+    )
+    w = W.partitionBy("lang", "source").orderBy("head", "doc_id")
+    # Window exprs are not allowed inside generators: materialize the
+    # lead columns first, then explode the neighbor structs.
+    led = d
+    for off in range(1, SN_WINDOW):
+        led = led.withColumn(
+            f"nbr{off}", F.lead("doc_id", off).over(w)
+        ).withColumn(f"nbr_head{off}", F.lead("head", off).over(w))
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"nbr{off}").alias("nbr"),
+                F.col(f"nbr_head{off}").alias("nbr_head"),
+            )
+            for off in range(1, SN_WINDOW)
+        ]
+    )
+    return (
+        led.select(
+            "lang",
+            "source",
+            "doc_id",
+            "head",
+            F.explode(nbrs).alias("p"),
+        )
+        .filter(F.col("p.nbr").isNotNull())
+        .select(
+            "lang",
+            "source",
+            F.least("doc_id", "p.nbr").alias("doc_a"),
+            F.greatest("doc_id", "p.nbr").alias("doc_b"),
+            F.levenshtein("head", F.col("p.nbr_head"))
+            .cast("bigint")
+            .alias("head_edit_distance"),
+        )
+    )

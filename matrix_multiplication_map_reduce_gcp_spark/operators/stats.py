@@ -168,3 +168,50 @@ def iqr_price_outliers(spark, sf_dir):
         .cast("double")
         .alias("outlier_value"),
     )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH fences AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1),
+    clamped AS (
+      SELECT o.o_orderpriority, f.p05, f.p95,
+             LEAST(GREATEST(o.o_totalprice, f.p05), f.p95) AS cp
+      FROM orders o JOIN fences f USING (o_orderpriority))
+    SELECT o_orderpriority, p05, p95,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(cp AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM clamped GROUP BY 1, 2, 3
+    """,
+)
+def winsorized_price_stats(spark, sf_dir):
+    """Winsorized (5%-clamped) mean order price per priority — the
+    robust-mean companion to iqr_price_outliers: instead of flagging
+    tail rows it clamps them to the exact interpolated P05/P95 before
+    averaging, so a handful of extreme prices can't move the metric.
+    Same two-pass shape: tiny per-group fence aggregate broadcast
+    onto the scan; clamped sum in exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    cp = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .withColumn("cp", cp)
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("cp").cast("decimal(12,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.operators.skew",
     "matrix_multiplication_map_reduce_gcp_spark.operators.merge",
     "matrix_multiplication_map_reduce_gcp_spark.operators.stats",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.timeseries",
     "matrix_multiplication_map_reduce_gcp_spark.operators.sketches",
     "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
     "matrix_multiplication_map_reduce_gcp_spark.operators.analytics",
@@ -56,6 +57,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.tfidf",
+    "matrix_multiplication_map_reduce_gcp_spark.text.bm25",
     "matrix_multiplication_map_reduce_gcp_spark.streaming.queries",
     "matrix_multiplication_map_reduce_gcp_spark.multimodal.queries",
 )
@@ -82,8 +84,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries follow in registration order. tests/test_registry_meta.py
 # asserts the prefix stays complete and in sync.
 PRIORITY_PREFIX = (
-    # matrix (reference O1-O14 core)
-    "matmul", "matmul_blocked",
+    # matrix (reference O1-O14 core; matmul_blocked follows in
+    # registration order — same module is already represented)
+    "matmul",
     # relational scans/joins/aggs
     "pricing_summary", "region_nation_revenue", "top_orders",
     # window functions
@@ -123,7 +126,7 @@ PRIORITY_PREFIX = (
     "ann_ivf_topk",
     # text analysis (north star)
     "doc_token_stats", "doc_quality_score", "lang_id_stopwords",
-    "doc_fingerprint", "lang_source_profile",
+    "doc_fingerprint",
     # streaming
     "stream_tumbling_counts", "stream_session_windows",
     "stream_stream_join_click_purchase", "stream_dedup_within_watermark",
@@ -134,6 +137,8 @@ PRIORITY_PREFIX = (
     "tfidf_top_terms",
     # deterministic sketches + clustering (round 2)
     "cms_heavy_hitters", "kmeans_assignments",
+    # time-series + ranked retrieval (round 2)
+    "time_weighted_value", "bm25_topk",
 )
 
 

@@ -339,3 +339,86 @@ def kmeans_centroids(spark, sf_dir):
     schedule produces identical centroids."""
     _, cents = kmeans.lloyd(load_table(spark, sf_dir, "embeddings"))
     return cents.select("k", F.col("dim").cast("int").alias("dim"), "c")
+
+
+POOL_PER_LABEL = 2  # negative-candidate pool rows per label
+NEG_K = 2  # hard negatives kept per anchor
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH pool AS (
+      SELECT vec_id, label, embedding FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY label
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= {POOL_PER_LABEL}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, p.vec_id AS negative_id,
+             p.label AS negative_label,
+             {sql_cosine_rounded('a.embedding', 'p.embedding')} AS cos_sim
+      FROM embeddings a JOIN pool p ON a.label != p.label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, negative_id) AS rn
+      FROM scored)
+    SELECT anchor_id, negative_id, negative_label, cos_sim,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {NEG_K}
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: each
+    anchor keeps its {NEG_K} most-similar vectors ({POOL_PER_LABEL}
+    per label, md5-sampled) drawn from OTHER labels — the highest-
+    cosine wrong-label candidates are exactly the 'hard' negatives a
+    triplet/InfoNCE loss wants.
+
+    Scale shape: the candidate pool is {POOL_PER_LABEL}·|labels| rows
+    (broadcast); the corpus is scanned once, map-side, computing
+    |pool| cosines per anchor — no corpus self-join, no shuffle of
+    the embedding column. Growing the pool trades broadcast size for
+    negative quality; the corpus-side cost stays linear."""
+    from pyspark.sql import Window as W
+    from ..functions.portable_hash import md5_hex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy(md5_hex(F.col("vec_id")), "vec_id")
+    pool = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POOL_PER_LABEL)
+        .select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            as_double_array("embedding").alias("neg_vec"),
+        )
+    )
+    anchors = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        as_double_array("embedding").alias("anchor_vec"),
+    )
+    from ..functions.vectors import cosine_rounded
+
+    scored = (
+        anchors.join(
+            F.broadcast(pool),
+            F.col("anchor_label") != F.col("negative_label"),
+        )
+        .select(
+            "anchor_id",
+            "negative_id",
+            "negative_label",
+            cosine_rounded(
+                F.col("anchor_vec"), F.col("neg_vec")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= NEG_K)
+        .select("anchor_id", "negative_id", "negative_label", "cos_sim", "rank")
+    )
