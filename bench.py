@@ -77,22 +77,36 @@ def main() -> None:
 
     # Warm the JVM/codegen paths on the smallest SF so headline numbers
     # measure the queries, not session startup.
-    queries["matmul"].fn(spark, "/root/testdata/sf0.001").count()
+    try:
+        queries["matmul"].fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as exc:  # pragma: no cover
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Per-query fault isolation: one broken query must never cost the
+    # round its entire bench record (round-2 lesson — a single
+    # AnalysisException produced rc=1 and zero numbers).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    errors: dict[str, str] = {}
+
+    def timed(name, thunk) -> None:
         t0 = time.perf_counter()
-        run_noop(queries[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            thunk()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+
+    for name in HEADLINE:
+        timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)))
 
     # Reference-comparable dense matmul ladder — the exact sizes the
     # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
     # Cloud Functions; its NumPy VM oracle: 0.3-0.7 s).
     for n in (4, 10, 50, 100, 200):
         a, b = gen_matrix(spark, n, seed=1), gen_matrix(spark, n, seed=2)
-        t0 = time.perf_counter()
-        run_noop(a.multiply(b, exact=False).df)
-        timings[f"matmul_dense_{n}"] = round(time.perf_counter() - t0, 3)
+        timed(f"matmul_dense_{n}",
+              lambda a=a, b=b: run_noop(a.multiply(b, exact=False).df))
 
     # Beyond the reference's ladder: 1000×1000 dense via the SUMMA
     # block path (1e9 multiply-pairs — the entry-level join-agg plan
@@ -101,9 +115,8 @@ def main() -> None:
     from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
 
     a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
-    t0 = time.perf_counter()
-    run_noop(block_multiply(a, b, block_size=250).df)
-    timings["matmul_dense_1000_block"] = round(time.perf_counter() - t0, 3)
+    timed("matmul_dense_1000_block",
+          lambda: run_noop(block_multiply(a, b, block_size=250).df))
 
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the
@@ -120,17 +133,16 @@ def main() -> None:
         print(f"plot generation failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -84,13 +84,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries follow in registration order. tests/test_registry_meta.py
 # asserts the prefix stays complete and in sync.
 PRIORITY_PREFIX = (
-    # matrix (reference O1-O14 core; matmul_blocked follows in
-    # registration order — same module is already represented)
-    "matmul",
+    # matrix (reference O1-O14 core) — r3 rotation adds the two block
+    # paths, never driver-checked before
+    "matmul", "matmul_blocked", "matmul_mllib_blockmatrix",
     # relational scans/joins/aggs
     "pricing_summary", "region_nation_revenue", "top_orders",
-    # window functions
-    "user_sessions", "top3_orders_per_customer",
+    # window functions (+ SCD2 history, rotated in r3)
+    "user_sessions", "scd2_user_event_history",
     # set ops
     "union_distinct_nations",
     # as-of / range joins
@@ -99,10 +99,10 @@ PRIORITY_PREFIX = (
     "approx_distinct_counts",
     # scalar functions
     "json_extraction",
-    # SQL API / end-to-end pipeline
-    "training_data_pipeline", "struct_map_functions",
-    # iterative / graph
-    "power_iteration_2step", "pagerank_3iter",
+    # SQL API / subqueries / end-to-end pipeline
+    "training_data_pipeline", "not_in_null_semantics",
+    # iterative / graph (triangle counting rotated in r3)
+    "power_iteration_2step", "triangle_count_suppliers",
     # skew handling
     "skew_salted_hot_key_join",
     # MERGE / upsert
@@ -117,22 +117,22 @@ PRIORITY_PREFIX = (
     "incremental_agg_maintenance",
     # text embeddings + chunking
     "text_hash_embeddings", "benchmark_decontamination",
-    # dedup (north star)
+    # dedup (north star; levenshtein verifier rotated in r3)
     "dedup_exact", "minhash_lsh_pairs",
-    "simhash_near_dup_pairs", "ngram_jaccard_pairs", "dedup_clusters",
-    "stratified_sample_balanced", "embedding_near_dup_pairs",
-    # similarity search (north star)
-    "ann_brute_force_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
-    "ann_ivf_topk",
+    "simhash_near_dup_pairs", "dedup_clusters",
+    "stratified_sample_balanced", "levenshtein_near_dup_pairs",
+    # similarity search (north star; hard-negative mining rotated in r3)
+    "ann_brute_force_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "hard_negative_mining",
     # text analysis (north star)
-    "doc_token_stats", "doc_quality_score", "lang_id_stopwords",
-    "doc_fingerprint",
+    "doc_token_stats", "lang_id_stopwords", "doc_fingerprint",
+    # sequence packing (rotated in r3)
+    "sequence_pack_greedy",
     # streaming
     "stream_tumbling_counts", "stream_session_windows",
     "stream_stream_join_click_purchase", "stream_dedup_within_watermark",
     # multimodal
     "multimodal_image_meta", "multimodal_audio_windows",
-    "multimodal_frame_sample",
     # tf-idf / language modeling
     "tfidf_top_terms",
     # deterministic sketches + clustering (round 2)

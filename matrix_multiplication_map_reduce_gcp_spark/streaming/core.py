@@ -1,8 +1,8 @@
 """Streaming source + sink helpers.
 
-The events fixture is one parquet file with TIMESTAMP(NANOS) — the
-stream source reads it with the same nanos→micros normalization as
-the batch catalog, so streaming and batch results are comparable.
+The stream source reads the events fixture with the same
+schema-adaptive ts normalization as the batch catalog (nanos-as-long
+or native micros), so streaming and batch results are comparable.
 """
 
 from __future__ import annotations
@@ -10,7 +10,6 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _SINK_IDS = itertools.count()
 
@@ -32,12 +31,12 @@ def _stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source; schema pinned
     from the batch read — required for readStream)."""
-    from ..catalog import ensure_nanos_conf
+    from ..catalog import ensure_nanos_conf, normalize_events_ts
 
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_events_ts(raw)
 
 
 def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
