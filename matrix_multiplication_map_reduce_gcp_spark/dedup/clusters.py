@@ -7,10 +7,19 @@ neighborhood; converges in O(component diameter) rounds to a unique
 fixpoint, so the result is deterministic and oracle-checkable (the
 DuckDB oracle computes the same fixpoint with a recursive CTE).
 
-Scale shape per round: one join (labels ⋈ edges) + one groupBy(min).
-The driver loop stops when a round changes nothing — the classic
-Spark iterative-algorithm pattern (like the reference's orchestrator
-barrier loop, orchestrator/main.py:84-116, but data-driven)."""
+Scale shape per round: one join (labels ⋈ edges) + one groupBy(min),
+plus a labels self-join that implements POINTER JUMPING (each node
+also adopts its current label's label). Plain neighbor-min needs
+O(component diameter) rounds — a 10^6-node chain at 100 TB would blow
+any iteration cap — while the jumping variant halves remaining
+distance-to-root every round, converging in O(log diameter) rounds
+(the same doubling idea as Kiveris et al.'s alternating star
+algorithm, "Connected Components in MapReduce and Beyond", SoCC'14).
+The fixpoint is unchanged (min doc_id per component), so the DuckDB
+recursive-CTE oracle still matches exactly. The driver loop stops
+when a round changes nothing — the classic Spark iterative-algorithm
+pattern (like the reference's orchestrator barrier loop,
+orchestrator/main.py:84-116, but data-driven)."""
 
 from __future__ import annotations
 
@@ -36,12 +45,29 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # Pointer jumping: my label's label. cluster_id is always some
+        # node's doc_id, so the self-join is a plain equi-join on the
+        # same key the labels table is already hashed by.
+        jumped = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("p_doc"),
+                    F.col("cluster_id").alias("jmin"),
+                ),
+                F.col("l.cluster_id") == F.col("p_doc"),
+                "left",
+            )
+            .select(F.col("l.doc_id").alias("doc_id"), "cluster_id", "jmin")
+        )
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            jumped.join(neighbor_min, jumped.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce("nmin", F.col("cluster_id")),
+                    F.coalesce("jmin", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )

@@ -191,12 +191,14 @@ def triangle_count_suppliers(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
+    # Top-k first (TakeOrderedAndProject — per-partition heaps, no
+    # global sort), THEN rank the surviving <=20 rows; a row_number
+    # over the full participation table would drag every supplier row
+    # into one window partition.
+    top = part.orderBy(F.desc("n_triangles"), "n").limit(20)
     w = W.orderBy(F.desc("n_triangles"), "n")
-    return (
-        part.select(
-            F.col("n").alias("supplier"),
-            "n_triangles",
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= 20)
+    return top.select(
+        F.col("n").alias("supplier"),
+        "n_triangles",
+        F.row_number().over(w).alias("rank"),
     )

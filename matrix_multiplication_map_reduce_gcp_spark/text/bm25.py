@@ -111,6 +111,10 @@ def bm25_topk(spark, sf_dir):
     tfn = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)
     )
+    # The stats side is ONE row — crossJoin(broadcast) plans as a
+    # BroadcastNestedLoopJoin with a single-row build side, i.e. a
+    # scalar pin, not a data product (a constant-key equi-join gets
+    # folded back to the same plan anyway).
     contrib = (
         F.broadcast(qt)
         .join(tf, "term")

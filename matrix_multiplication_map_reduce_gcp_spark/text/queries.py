@@ -701,11 +701,11 @@ def bpe_first_merges(spark, sf_dir):
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    # Top-k via TakeOrderedAndProject, then rank the <=BPE_TOP rows —
+    # never a global row_number over the full pair table.
+    top = counted.orderBy(F.desc("n"), "pair").limit(BPE_TOP)
     w = W.orderBy(F.desc("n"), "pair")
-    return (
-        counted.select("pair", "n", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= BPE_TOP)
-    )
+    return top.select("pair", "n", F.row_number().over(w).alias("rank"))
 
 
 # Split fractions in hash-coin buckets of 100: test < 5, val < 15.

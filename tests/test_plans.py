@@ -58,6 +58,31 @@ def test_hot_paths_have_codegen(spark):
         assert whole_stage_codegen_spans(Q[name].fn(spark, SF_SMOKE)) >= 1, name
 
 
+def test_r2_operators_no_cartesian(spark):
+    """Round-2 additions must keep the banded/broadcast join shape:
+    candidate generation never runs an unbroadcast all-pairs product
+    that would explode at 100 TB. Two BroadcastNestedLoopJoins are
+    intended shapes and allowed by name: hard_negative_mining's theta
+    join (label !=) streams the corpus against a broadcast pool, and
+    bm25_topk pins a ONE-row corpus-stats scalar to every posting."""
+    for name in ("sorted_neighborhood_pairs", "triangle_count_suppliers"):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+    for name in ("bm25_topk", "hard_negative_mining"):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name  # broadcast build side
+
+
+def test_r2_operators_broadcast_small_sides(spark):
+    """The query set (bm25) and the co-occurrence edge list (triangle
+    counting) are small by construction — they must ship as broadcast
+    hash joins, not shuffle the corpus."""
+    for name in ("bm25_topk", "triangle_count_suppliers"):
+        assert has_broadcast_hash_join(Q[name].fn(spark, SF_SMOKE)), name
+
+
 def test_no_python_udfs_in_relational_paths(spark):
     """Relational + dedup queries must stay JVM-side (Python only in
     the explicitly-Pandas multimodal/block operators)."""

@@ -30,10 +30,31 @@ def test_components_unconvergence_raises(spark):
         [(i, i + 1) for i in range(1, 25)], "doc_a long, doc_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 26)], "doc_id long")
+    # Pointer jumping covers distance ~2^r in r rounds; 1 round cannot
+    # collapse a 25-node chain, and unconvergence must raise, not
+    # silently return split components.
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, nodes, max_iter=5)
+        connected_components(chain, nodes, max_iter=1)
     ok = connected_components(chain, nodes, max_iter=30)
     assert {r.cluster_id for r in ok.collect()} == {1}
+
+
+def test_components_path_graph_converges_at_default_iters(spark):
+    """A 50-node path has diameter 49: plain neighbor-min propagation
+    needs ~49 rounds and would blow the default max_iter=20. Pointer
+    jumping must converge it within the default budget (O(log d))."""
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.clusters import (
+        connected_components,
+    )
+
+    n = 50
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    got = connected_components(path, nodes).collect()
+    assert len(got) == n
+    assert {r.cluster_id for r in got} == {1}
 
 
 def test_block_multiply_sums_duplicate_cells(spark):
