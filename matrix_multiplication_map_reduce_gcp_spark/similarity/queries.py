@@ -422,3 +422,108 @@ def hard_negative_mining(spark, sf_dir):
         .filter(F.col("rank") <= NEG_K)
         .select("anchor_id", "negative_id", "negative_label", "cos_sim", "rank")
     )
+
+
+# ---- Product quantization (PQ / ADC) --------------------------------------
+
+from . import pq as _pq  # noqa: E402
+
+
+@query(
+    "pq_codes",
+    oracle=f"""
+    WITH {_pq.sql_pq_ctes()}
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM scode
+    """,
+)
+def pq_codes(spark, sf_dir):
+    """PQ index of the corpus: 4x16 codebook trained with 2
+    exact-integer Lloyd rounds per subspace, then each vector stored
+    as 4 nibble codes (2 bytes/vector — the compression that lets a
+    100 TB corpus's ANN index live in cluster RAM). Codes are
+    assigned map-only against the broadcast codebook."""
+    return _pq.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq.sql_pq_ctes()},
+    dtab AS (
+      SELECT q.vec_id AS query_id, q.sub, c.k AS code,
+             CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+      FROM sq q JOIN sc{_pq.PQ_ITERS} c ON q.sub = c.sub AND q.dim = c.dim
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT d.query_id, s.vec_id AS neighbor_id,
+             CAST(SUM(d.pd) AS BIGINT) AS adc_dist
+      FROM scode s JOIN dtab d ON s.sub = d.sub AND s.code = d.code
+      WHERE s.vec_id != d.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance ANN: each query builds a broadcast 4x16
+    table of exact subspace distances and every corpus vector is
+    scored with 4 table lookups over its PQ codes — the corpus's raw
+    vectors never join, never shuffle. Exact bigint distances make
+    the ranking (and the oracle hash) deterministic."""
+    return _pq.adc_topk(
+        load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
+    )
+
+
+@query(
+    "ann_pq_rerank_topk",
+    oracle=f"""
+    WITH {_pq.sql_pq_ctes()},
+    dtab AS (
+      SELECT q.vec_id AS query_id, q.sub, c.k AS code,
+             CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+      FROM sq q JOIN sc{_pq.PQ_ITERS} c ON q.sub = c.sub AND q.dim = c.dim
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT d.query_id, s.vec_id AS neighbor_id,
+             CAST(SUM(d.pd) AS BIGINT) AS adc_dist
+      FROM scode s JOIN dtab d ON s.sub = d.sub AND s.code = d.code
+      WHERE s.vec_id != d.query_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS srn
+        FROM adc) WHERE srn <= {_pq.SHORTLIST}),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS l2_dist
+      FROM short s
+      JOIN sq a ON a.vec_id = s.query_id
+      JOIN sq b ON b.vec_id = s.neighbor_id
+               AND a.sub = b.sub AND a.dim = b.dim
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_rerank_topk(spark, sf_dir):
+    """ADC shortlist + exact rerank — the production IVF-PQ search:
+    PQ codes prune the corpus to 50 candidates/query (compressed-
+    domain scan), then only those 50 get a full-vector exact distance
+    and the final top-10 ranking. Recall is set by the shortlist
+    width, not the code width."""
+    return _pq.adc_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
+    )

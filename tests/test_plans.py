@@ -83,6 +83,17 @@ def test_r2_operators_broadcast_small_sides(spark):
         assert has_broadcast_hash_join(Q[name].fn(spark, SF_SMOKE)), name
 
 
+def test_pq_plans_broadcast_only(spark):
+    """PQ training/assignment/ADC must be broadcast-hash-join shaped
+    end to end: the corpus never cross-joins and never leaves the JVM."""
+    for name in ("pq_codes", "ann_pq_adc_topk", "ann_pq_rerank_topk"):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_no_python_udfs_in_relational_paths(spark):
     """Relational + dedup queries must stay JVM-side (Python only in
     the explicitly-Pandas multimodal/block operators)."""

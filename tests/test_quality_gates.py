@@ -155,3 +155,26 @@ def test_embedding_banded_near_dup_recall_floor(spark, duck):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"banded near-dup recall collapsed to {recall:.2f}"
     assert not (got - exact), "banded result contains pairs below the floor"
+
+
+def test_pq_rerank_recall_floor(spark):
+    """ADC-shortlist + exact-rerank PQ search must recover ≥80% of the
+    exact top-10 on the sf0.01 fixture (0.86 today). Pure ADC is the
+    compressed-domain pruning stage, so its own recall is allowed to
+    be modest — but the shortlist it feeds the reranker must not
+    collapse."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from .conftest import SF_CORRECTNESS
+
+    qs = registry.load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_brute_force_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_pq_rerank_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "no exact neighbors — vacuous"
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.8, f"PQ rerank recall collapsed to {recall:.2f}"
