@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "ann_sq8_topk",
+    "ann_pq_rerank_topk",
     "kmeans_assignments",
     "cms_heavy_hitters",
     "quality_filter_verdict",

@@ -47,6 +47,11 @@ M = 16  # subspaces
 SUB_DIMS = N_DIMS // M  # 16 dims per subspace
 K_PQ = 16  # centroids per subspace (codes are nibbles)
 PQ_ITERS = 2  # Lloyd rounds per subspace
+# Codebooks are trained on a bounded corpus sample (the first
+# TRAIN_SAMPLE vec_ids), the standard production posture: training
+# cost stays O(sample · iters) while indexing/search stream the full
+# corpus. At 100 TB you train on ~1e5-1e6 vectors, never the corpus.
+TRAIN_SAMPLE = 1024
 
 
 def _sub_rows(e: DataFrame) -> DataFrame:
@@ -110,9 +115,10 @@ def _assign_codes(sub_rows: DataFrame, packed: DataFrame) -> DataFrame:
 
 def train_codebook(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     """(sub, k, dim, c) — PQ codebook after ``iters`` Lloyd rounds per
-    subspace. dim is LOCAL to the subspace (0..SUB_DIMS-1). Seeds:
-    subvectors of corpus vectors 0..K_PQ-1."""
-    sub_rows = _sub_rows(e)
+    subspace, trained on the first TRAIN_SAMPLE corpus vectors. dim is
+    LOCAL to the subspace (0..SUB_DIMS-1). Seeds: subvectors of corpus
+    vectors 0..K_PQ-1."""
+    sub_rows = _sub_rows(e.filter(F.col("vec_id") < TRAIN_SAMPLE))
     q = sub_rows.select(
         "vec_id", "sub", F.posexplode("sv").alias("dim", "qx")
     )
@@ -127,6 +133,11 @@ def train_codebook(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
             q.join(codes.select("vec_id", "sub", "code"), ["vec_id", "sub"])
             .groupBy("sub", F.col("code").alias("k"), "dim")
             .agg(((s - F.pmod(s, n)) / n).cast("bigint").alias("c"))
+            # The codebook is M·K·SUB_DIMS rows (tiny). Materialize it
+            # per round — downstream consumers (codes, dtab, rerank)
+            # would otherwise re-execute the whole training lineage
+            # once EACH (same driver-loop posture as dedup/clusters.py).
+            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -230,6 +241,114 @@ def adc_rerank_topk(
     )
 
 
+NPROBE = 3  # IVF cells probed per query
+
+
+def ivfpq_topk(
+    e: DataFrame,
+    n_queries: int,
+    k: int,
+    nprobe: int = NPROBE,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """(query_id, neighbor_id, l2_dist, rank) — the full IVF-PQ stack:
+    coarse IVF cells prune the corpus to the query's ``nprobe``
+    nearest cells, ADC over PQ codes scores only those candidates,
+    and the ADC shortlist gets an exact full-vector rerank.
+
+    Scale shape: cell assignment and code assignment are both
+    map-only passes over the corpus against broadcast models; the
+    candidate set (≈ nprobe/n_cells of the corpus per query) is the
+    only thing scored, and raw vectors are touched just for the
+    shortlist. nprobe is the recall/cost knob. At 100 TB the code
+    index would additionally be PARTITIONED BY cell so a probe reads
+    only its cells' files — the same partition-pruning story as any
+    partitioned scan."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import as_double_array, cosine_rounded
+    from .ivf import N_CENTROIDS, assign_cells
+
+    cells = assign_cells(e).select("vec_id", "cell")
+    # nprobe nearest cells per query (same rounded-cosine ranking the
+    # cell assignment uses, so probe #1 is always the query's own cell).
+    ivf_cents = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_array("embedding").alias("cv"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("v")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), "centroid_id")
+    probe = (
+        qv.join(ivf_cents, how="cross")
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine_rounded(F.col("v"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    cand = cells.join(F.broadcast(probe), "cell").select("query_id", "vec_id")
+
+    cents = train_codebook(e, iters)
+    codes = _assign_codes(_sub_rows(e), _packed(cents)).select(
+        "vec_id", "sub", "code"
+    )
+    dtab = (
+        _sub_rows(e.filter(F.col("vec_id") < n_queries))
+        .join(F.broadcast(_packed(cents)), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.explode("cents").alias("p"),
+            F.col("sv"),
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.col("p.k").cast("int").alias("code"),
+            _sqdist(F.col("sv"), F.col("p.cv")).alias("pd"),
+        )
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qarr = quantized_arrays(e)
+    qvecs = qarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    exact = (
+        qarr.join(F.broadcast(short), qarr.vec_id == short.neighbor_id)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sqdist(F.col("qv"), F.col("q_qv")).alias("l2_dist"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
 # ---- DuckDB SQL mirror ----------------------------------------------------
 
 def sql_pq_ctes(iters: int = PQ_ITERS) -> str:
@@ -243,8 +362,9 @@ def sql_pq_ctes(iters: int = PQ_ITERS) -> str:
              CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * {Q}) AS BIGINT)
                AS qx
       FROM embeddings, UNNEST(range(0, {N_DIMS})) AS r(i)),
+    st AS (SELECT * FROM sq WHERE vec_id < {TRAIN_SAMPLE}),
     sc0 AS (SELECT sub, CAST(vec_id AS INT) AS k, dim, qx AS c
-            FROM sq WHERE vec_id < {K_PQ})""",
+            FROM st WHERE vec_id < {K_PQ})""",
     ]
     for it in range(1, iters + 1):
         prev = f"sc{it - 1}"
@@ -252,7 +372,7 @@ def sql_pq_ctes(iters: int = PQ_ITERS) -> str:
             f"""sd{it} AS (
       SELECT q.vec_id, q.sub, c.k,
              CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS dist
-      FROM sq q JOIN {prev} c ON q.sub = c.sub AND q.dim = c.dim
+      FROM st q JOIN {prev} c ON q.sub = c.sub AND q.dim = c.dim
       GROUP BY 1, 2, 3),
     sa{it} AS (
       SELECT vec_id, sub, k, dist FROM (
@@ -263,7 +383,7 @@ def sql_pq_ctes(iters: int = PQ_ITERS) -> str:
       SELECT q.sub, a.k, q.dim,
              CAST((SUM(q.qx) - ((SUM(q.qx) % COUNT(*)) + COUNT(*)) % COUNT(*))
                   / COUNT(*) AS BIGINT) AS c
-      FROM sq q JOIN sa{it} a ON q.vec_id = a.vec_id AND q.sub = a.sub
+      FROM st q JOIN sa{it} a ON q.vec_id = a.vec_id AND q.sub = a.sub
       GROUP BY 1, 2, 3)"""
         )
     parts.append(

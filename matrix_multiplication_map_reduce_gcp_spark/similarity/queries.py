@@ -10,6 +10,7 @@ from ..catalog import load_table
 from ..functions.vectors import as_double_array, sql_cosine_rounded
 from ..registry import query
 from .brute_force import cosine_topk
+from .ivf import N_CENTROIDS as IVF_N_CENTROIDS
 from .ivf import sql_assign_cells
 from .lsh import sql_probe_buckets
 from .lsh import bucketize, sql_bucket_expr
@@ -525,5 +526,73 @@ def ann_pq_rerank_topk(spark, sf_dir):
     and the final top-10 ranking. Recall is set by the shortlist
     width, not the code width."""
     return _pq.adc_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_pq.sql_pq_ctes()},
+    cellassign AS ({sql_assign_cells()}),
+    cells AS (SELECT vec_id, cell FROM cellassign),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {sql_cosine_rounded('v.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rn
+        FROM embeddings v CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {IVF_N_CENTROIDS}) c
+        WHERE v.vec_id < {N_QUERIES})
+      WHERE rn <= {_pq.NPROBE}),
+    cand AS (
+      SELECT p.query_id, c.vec_id
+      FROM cells c JOIN probe p ON c.cell = p.cell),
+    dtab AS (
+      SELECT q.vec_id AS query_id, q.sub, c.k AS code,
+             CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+      FROM sq q JOIN sc{_pq.PQ_ITERS} c ON q.sub = c.sub AND q.dim = c.dim
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT ca.query_id, s.vec_id AS neighbor_id,
+             CAST(SUM(d.pd) AS BIGINT) AS adc_dist
+      FROM scode s
+      JOIN cand ca ON s.vec_id = ca.vec_id
+      JOIN dtab d ON d.query_id = ca.query_id
+                 AND d.sub = s.sub AND d.code = s.code
+      WHERE s.vec_id != ca.query_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS srn
+        FROM adc) WHERE srn <= {_pq.SHORTLIST}),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS l2_dist
+      FROM short s
+      JOIN sq a ON a.vec_id = s.query_id
+      JOIN sq b ON b.vec_id = s.neighbor_id
+               AND a.sub = b.sub AND a.dim = b.dim
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """The full IVF-PQ stack in one query: coarse cells prune the
+    corpus to 3 probed cells per query, ADC over 8-byte PQ codes
+    scores only those candidates, and the shortlist gets an exact
+    rerank — the canonical memory-bounded billion-vector ANN
+    architecture, with nprobe as the recall/cost knob."""
+    return _pq.ivfpq_topk(
         load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
     )

@@ -86,10 +86,15 @@ def test_r2_operators_broadcast_small_sides(spark):
 def test_pq_plans_broadcast_only(spark):
     """PQ training/assignment/ADC must be broadcast-hash-join shaped
     end to end: the corpus never cross-joins and never leaves the JVM."""
-    for name in ("pq_codes", "ann_pq_adc_topk", "ann_pq_rerank_topk"):
+    for name in ("pq_codes", "ann_pq_adc_topk", "ann_pq_rerank_topk",
+                 "ann_ivfpq_topk"):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoop" not in plan, name
+        if name != "ann_ivfpq_topk":
+            # ivfpq's coarse-cell stage crossJoins the broadcast
+            # 16-row centroid table (ivf.assign_cells's shape) —
+            # a scalar-sized BNLJ build side, not a data product.
+            assert "BroadcastNestedLoop" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 

@@ -178,3 +178,23 @@ def test_pq_rerank_recall_floor(spark):
     assert exact, "no exact neighbors — vacuous"
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.8, f"PQ rerank recall collapsed to {recall:.2f}"
+
+
+def test_ivfpq_recall_floor(spark):
+    """The full IVF-PQ stack (cells → ADC → rerank) must recover ≥80%
+    of the exact top-10 at nprobe=3 of 16 cells (0.90 today)."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from .conftest import SF_CORRECTNESS
+
+    qs = registry.load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_brute_force_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_ivfpq_topk"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "no exact neighbors — vacuous"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall collapsed to {recall:.2f}"
