@@ -67,3 +67,30 @@ def test_both_encodings_agree(spark, tmp_path):
     a = load_table(spark, dirs["ns"], "events").collect()
     b = load_table(spark, dirs["us"], "events").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.mark.parametrize("ts_unit", ["ns", "us"])
+def test_sessions_query_differential_under_both_encodings(spark, tmp_path, ts_unit):
+    """End-to-end closure of the round-1/round-2 ts-encoding failure
+    class: an events QUERY (30-min session windows, raw ts in the
+    output) must hash-match its DuckDB oracle whichever physical
+    encoding the fixture ships with — Spark truncates ns→µs at load,
+    the oracle's CAST(ts AS TIMESTAMP) truncates identically, and on
+    µs data both are no-ops."""
+    import duckdb
+
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    from .conftest import assert_matches_oracle
+
+    sf_dir = tmp_path / f"q_{ts_unit}"
+    sf_dir.mkdir()
+    _write_events(str(sf_dir / "events.parquet"), ts_unit)
+
+    qd = registry.load_all()["batch_session_window"]
+    df = qd.fn(spark, str(sf_dir))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    assert_matches_oracle(df, qd.oracle, con)
