@@ -1,0 +1,88 @@
+"""Repo-WIDE static plan audit: every registered batch query's
+physical plan is checked for the two unconditional 100 TB
+scale-killers — CartesianProduct (an unbroadcast all-pairs product)
+and row-at-a-time Python UDFs outside the explicitly-Pandas operators.
+
+Unlike tests/test_plans.py (deep assertions on hand-picked
+representatives), this sweep guarantees NO query — present or future —
+can introduce a cartesian product or a stray Python-eval node without
+a named, justified exemption below. Plans are obtained statically
+(analysis + physical planning only); building the DataFrame does not
+run the query, so the whole registry sweeps in one session.
+
+Streaming queries are excluded: invoking their fn() drives an
+availableNow stream to completion (an execution, not a plan build);
+their plan discipline is covered by tests/test_streaming.py.
+Iterative-driver queries (dedup_clusters & co.) do run actions while
+BUILDING the result — they stay in the sweep because their per-round
+plans are exactly what the audit should see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from matrix_multiplication_map_reduce_gcp_spark import registry
+from matrix_multiplication_map_reduce_gcp_spark.plans import executed_plan
+
+from .conftest import SF_SMOKE
+
+Q = registry.load_all()
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+# every one has a broadcast build side that is O(1)-sized by
+# construction (scalar stats, literal tier tables, tiny pools). A
+# BNLJ between two data-sized relations would still fail the
+# CartesianProduct check? No — so keep this list REVIEWED: adding a
+# name here asserts the build side is constant-bounded.
+BNLJ_ALLOWED = {
+    "range_join_quantity_tiers",  # 3-row literal tier table
+    "bm25_topk",  # 1-row corpus stats scalar
+    "hard_negative_mining",  # broadcast candidate pool, theta join
+    "ann_brute_force_topk",  # intentional exact baseline, broadcast queries
+    "ann_ivf_cells",  # 16-row centroid table
+    "ann_ivf_topk",  # 16-row centroid table
+    "ann_ivfpq_topk",  # 16-row centroid table (coarse stage)
+    "kmeans_assignments",  # broadcast K-row centroid table
+    "kmeans_centroids",  # broadcast K-row centroid table
+    "ann_sq8_topk",  # broadcast 1-row quantizer scalar + query set
+    "embedding_sq8_codes",  # broadcast 1-row quantizer scalar
+    "skew_salted_hot_key_join",  # broadcast salt-range literal
+    "lang_id_stopwords",  # broadcast ~3-row language/stopword list
+    "region_segment_cross",  # intentional 5x5 dim-by-dim cross product
+    "domain_mixture_plan",  # 1-row corpus totals
+    "domain_balanced_sample",  # broadcast per-domain quotas
+}
+
+# Python-eval nodes are allowed ONLY in the explicitly-Pandas
+# operator families (Arrow-batched by design, never row-at-a-time).
+PYTHON_ALLOWED_MODULES = (
+    "matrix_multiplication_map_reduce_gcp_spark.multimodal",
+    "matrix_multiplication_map_reduce_gcp_spark.matrix",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.pandas_udfs",
+    "matrix_multiplication_map_reduce_gcp_spark.operators.matrix_queries",
+)
+
+SWEEP = sorted(n for n in Q if not n.startswith("stream_"))
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_scale_killers_in_plan(name, spark):
+    qd = Q[name]
+    plan = executed_plan(qd.fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, (
+        f"{name}: cartesian product — an unbroadcast all-pairs join "
+        f"cannot survive scale"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the reviewed "
+            f"allow-list — if the build side is constant-bounded, add "
+            f"the name to BNLJ_ALLOWED with a justification"
+        )
+    mod = qd.fn.__module__
+    if not mod.startswith(PYTHON_ALLOWED_MODULES):
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in plan, (
+            f"{name}: Pandas UDF outside the Pandas operator families"
+        )
