@@ -91,3 +91,16 @@ def test_coverage_md_counts_in_lockstep():
         f"COVERAGE.md says {m.groups()}, registry has "
         f"({n_total}, {n_oracle}) — update the doc"
     )
+
+
+def test_queries_md_in_lockstep():
+    q = registry.load_all()
+    text = (REPO / "QUERIES.md").read_text()
+    m = re.search(r"(\d+) registered queries, (\d+) with DuckDB oracles", text)
+    assert m, "QUERIES.md headline missing"
+    n_oracle = sum(1 for qd in q.values() if qd.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (len(q), n_oracle), (
+        "QUERIES.md stale — regenerate with scripts/dump_registry.py"
+    )
+    for name in q:
+        assert f"`{name}`" in text, f"QUERIES.md missing {name}"
