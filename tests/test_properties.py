@@ -80,3 +80,63 @@ def test_distributivity_a_times_b_plus_c(spark, data):
     left = A.multiply(B.add(C)).to_numpy()
     right_df = A.multiply(B).add(A.multiply(C))
     np.testing.assert_allclose(left, right_df.to_numpy(), rtol=0)
+
+
+@st.composite
+def edge_list(draw, max_nodes=30):
+    n = draw(st.integers(2, max_nodes))
+    n_edges = draw(st.integers(0, min(40, n * 2)))
+    edges = [
+        tuple(
+            sorted(
+                (
+                    draw(st.integers(1, n)),
+                    draw(st.integers(1, n)),
+                )
+            )
+        )
+        for _ in range(n_edges)
+    ]
+    return n, [(a, b) for a, b in edges if a != b]
+
+
+@given(data=edge_list())
+@settings(**SLOW)
+def test_connected_components_match_union_find(spark, data):
+    """Pointer-jumping min-label propagation must agree with a plain
+    union-find on arbitrary graphs (chains, stars, cliques, forests,
+    self-contained duplicates) — the generalization of the fixed
+    known-graph tests."""
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.clusters import (
+        connected_components,
+    )
+
+    n, edges = data
+
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(1, n + 1)}
+
+    pairs = spark.createDataFrame(
+        edges or [(1, 1)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("doc_a != doc_b")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == want
