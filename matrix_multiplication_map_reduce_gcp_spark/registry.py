@@ -83,6 +83,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # §2.3 category into the first 50 returned entries; the remaining
 # queries follow in registration order. tests/test_registry_meta.py
 # asserts the prefix stays complete and in sync.
+# ROTATION QUEUE (round 4+): 101 queries have never received a
+# driver-verified row (the window caps at 50). After the 9 events-
+# dependent entries go green in round 3, swap proven representatives
+# out for these, highest value first:
+#   pq_codes, ann_pq_adc_topk, ann_pq_rerank_topk, ann_ivfpq_topk,
+#   stream_running_user_totals, stream_sliding_counts, stream_static_enrich,
+#   sorted_neighborhood_pairs, dedup_keep_list, dedup_cluster_size_histogram,
+#   batch_session_window, pit_feature_join, weekly_retention_cohorts,
+#   lateral_top2_suppliers, correlated_exists_orders, pii_scrub_accounting,
+#   doc_chunking, duplicate_spans, quality_filter_verdict, bloom_join_prune,
+#   zorder_morton_keys, multimodal_image_dup_groups, supplier_balance_ranks,
+#   matmul_sparse, matrix_gram, matvec, ...
+# Keep >=1 representative per module (test_registry_meta pins this).
 PRIORITY_PREFIX = (
     # matrix (reference O1-O14 core) — r3 rotation adds the two block
     # paths, never driver-checked before
