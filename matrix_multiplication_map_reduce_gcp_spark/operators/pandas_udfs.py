@@ -23,9 +23,21 @@ from ..registry import query
 def _vowel_ratio_udf():
     @F.pandas_udf("double")
     def vowel_ratio(text: pd.Series) -> pd.Series:
-        vowels = text.str.count(r"[aeiou]")
-        letters = text.str.count(r"[a-z]")
-        return (vowels / letters).round(6)
+        # Integer floor grid, NOT .round(6): a ratio landing exactly on
+        # a 5e-7 boundary (e.g. 45/128 = 0.3515625) rounds half-EVEN in
+        # numpy/pandas but half-AWAY in DuckDB's ROUND — found as a
+        # real sf0.1 hash mismatch. floor((v*1e6)//l)/1e6 is exact
+        # integer arithmetic, identical in any engine.
+        import numpy as np
+
+        vowels = text.str.count(r"[aeiou]").astype("int64")
+        letters = text.str.count(r"[a-z]").astype("int64")
+        micro = np.where(
+            letters > 0,
+            (vowels * 1_000_000) // np.maximum(letters, 1),
+            np.nan,
+        )
+        return pd.Series(micro / 1_000_000.0)
 
     return vowel_ratio
 
@@ -34,10 +46,15 @@ def _weighted_avg_udf():
     @F.pandas_udf("double")
     def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
         # grouped-agg pandas_udf: one scalar per group. Cents-integer
-        # arithmetic keeps the sum exact in any accumulation order.
-        cents = (price * 100).round().astype("int64")
-        q = qty.round().astype("int64")
-        return round(float((cents * q).sum()) / float(q.sum()) / 100.0, 6)
+        # arithmetic keeps the sum exact in any accumulation order;
+        # the final value is FLOORED onto the 1e-6 grid in exact int
+        # arithmetic (Python round() is half-even, DuckDB's ROUND is
+        # half-away — same divergence class as the vowel-ratio bug).
+        cents = (price * 100).round().astype("int64")  # 2-dec inputs: no .5 cases
+        q = qty.round().astype("int64")  # integral inputs
+        total = int((cents * q).sum())
+        qsum = int(q.sum())
+        return ((total * 1_000_000) // (qsum * 100)) / 1_000_000.0
 
     return weighted_avg_price
 
@@ -46,8 +63,12 @@ def _weighted_avg_udf():
     "pandas_udf_vowel_ratio",
     oracle="""
     SELECT doc_id,
-           ROUND(CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
-                 / len(regexp_extract_all(text, '[a-z]')), 6) AS vowel_ratio
+           CASE WHEN len(regexp_extract_all(text, '[a-z]')) = 0
+                THEN CAST('nan' AS DOUBLE)
+                ELSE CAST((CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+                           * 1000000)
+                          // len(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+                     / 1000000 END AS vowel_ratio
     FROM documents
     """,
 )
@@ -63,8 +84,10 @@ def pandas_udf_vowel_ratio(spark, sf_dir):
     "pandas_udf_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0, 6) AS wavg_price
+           CAST((SUM(CAST(l_extendedprice * 100 AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 * 1000000)
+                // (SUM(CAST(l_quantity AS BIGINT)) * 100) AS DOUBLE)
+           / 1000000 AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
