@@ -77,29 +77,56 @@ def main() -> None:
     queries = registry.load_all()
 
     # Warm the JVM/codegen paths on the smallest SF so headline numbers
-    # measure the queries, not session startup.
-    try:
-        queries["matmul"].fn(spark, "/root/testdata/sf0.001").count()
-    except Exception as exc:  # pragma: no cover
-        print(f"warmup failed: {exc}", file=sys.stderr)
+    # measure the queries, not session startup. Three distinct paths:
+    # join/agg codegen (matmul), Arrow + applyInPandas (the SUMMA block
+    # kernel — the r3 matmul_dense_1000_block +55% delta appeared with
+    # only the join/agg warm-up), and the wide in-codegen fold
+    # expressions the SQ8/PQ ANN queries compile on first hit.
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+
+    for wname, wthunk in (
+        ("matmul", lambda: queries["matmul"].fn(spark, "/root/testdata/sf0.001").count()),
+        ("block_kernel", lambda: block_multiply(
+            gen_matrix(spark, 40, seed=9), gen_matrix(spark, 40, seed=10),
+            block_size=20).df.count()),
+        ("wide_fold", lambda: queries["ann_sq8_topk"].fn(
+            spark, "/root/testdata/sf0.001").count()),
+    ):
+        try:
+            wthunk()
+        except Exception as exc:  # pragma: no cover
+            print(f"warmup {wname} failed: {exc}", file=sys.stderr)
 
     # Per-query fault isolation: one broken query must never cost the
     # round its entire bench record (round-2 lesson — a single
     # AnalysisException produced rc=1 and zero numbers).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    repetitions: dict[str, list[float]] = {}
 
-    def timed(name, thunk) -> None:
-        t0 = time.perf_counter()
+    def timed(name, thunk, reps: int = 1) -> None:
+        walls = []
         try:
-            thunk()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                thunk()
+                walls.append(round(time.perf_counter() - t0, 3))
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+            return
+        timings[name] = sorted(walls)[len(walls) // 2]  # median
+        if reps > 1:
+            repetitions[name] = walls
+
+    # Queries that moved >10% between r1 and r3 on untouched code —
+    # n=1 evidence couldn't adjudicate whether the cost was real
+    # (VERDICT r3 "What's wrong" #1-2). Median-of-3 settles it.
+    REPEAT3 = {"ngram_jaccard_pairs", "matrix_gram", "matmul_sparse"}
 
     for name in HEADLINE:
-        timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)))
+        timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)),
+              reps=3 if name in REPEAT3 else 1)
 
     # Reference-comparable dense matmul ladder — the exact sizes the
     # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
@@ -107,17 +134,17 @@ def main() -> None:
     for n in (4, 10, 50, 100, 200):
         a, b = gen_matrix(spark, n, seed=1), gen_matrix(spark, n, seed=2)
         timed(f"matmul_dense_{n}",
-              lambda a=a, b=b: run_noop(a.multiply(b, exact=False).df))
+              lambda a=a, b=b: run_noop(a.multiply(b, exact=False).df),
+              reps=3)
 
     # Beyond the reference's ladder: 1000×1000 dense via the SUMMA
     # block path (1e9 multiply-pairs — the entry-level join-agg plan
     # would materialize all of them; the block plan shuffles 4x4x4
     # block pairs and runs BLAS inside applyInPandas).
-    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
-
     a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
     timed("matmul_dense_1000_block",
-          lambda: run_noop(block_multiply(a, b, block_size=250).df))
+          lambda: run_noop(block_multiply(a, b, block_size=250).df),
+          reps=3)
 
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the
@@ -141,8 +168,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if repetitions:
+        # Raw per-repetition walls for the median-of-3 queries — the
+        # committed evidence that adjudicates round-over-round deltas.
+        record["repetitions"] = repetitions
     if errors:
+        # A partial total is not comparable across rounds — flag it so
+        # downstream consumers can't mistake it for a full run.
         record["errors"] = errors
+        record["partial"] = True
     print(json.dumps(record))
 
 

@@ -71,14 +71,18 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
+        # Checkpoint FIRST (truncate lineage), then test convergence
+        # against the checkpointed result — computing `changed` off the
+        # raw `updated` lineage would execute the round's joins twice.
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "doc_id")
             .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_labels
         if changed == 0:
             converged = True
             break

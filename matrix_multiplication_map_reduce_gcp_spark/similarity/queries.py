@@ -439,9 +439,9 @@ from . import pq as _pq  # noqa: E402
     """,
 )
 def pq_codes(spark, sf_dir):
-    """PQ index of the corpus: 4x16 codebook trained with 2
+    """PQ index of the corpus: 16x16 codebook trained with 2
     exact-integer Lloyd rounds per subspace, then each vector stored
-    as 4 nibble codes (2 bytes/vector — the compression that lets a
+    as 16 nibble codes (8 bytes/vector — the compression that lets a
     100 TB corpus's ANN index live in cluster RAM). Codes are
     assigned map-only against the broadcast codebook."""
     return _pq.pq_codes(load_table(spark, sf_dir, "embeddings"))
@@ -472,9 +472,9 @@ def pq_codes(spark, sf_dir):
     """,
 )
 def ann_pq_adc_topk(spark, sf_dir):
-    """Asymmetric-distance ANN: each query builds a broadcast 4x16
+    """Asymmetric-distance ANN: each query builds a broadcast 16x16
     table of exact subspace distances and every corpus vector is
-    scored with 4 table lookups over its PQ codes — the corpus's raw
+    scored with 16 table lookups over its PQ codes — the corpus's raw
     vectors never join, never shuffle. Exact bigint distances make
     the ranking (and the oracle hash) deterministic."""
     return _pq.adc_topk(
