@@ -87,17 +87,45 @@ def assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     return assign_arrays(qarr, _cent_arrays(cents))
 
 
+def _cent_literal(cent_arr: DataFrame):
+    """array<struct<k,cv>> LITERAL of the K-row centroid table — the
+    idiomatic Spark k-means shape (MLlib likewise collects the
+    centroids each round and ships them as a broadcast value, not a
+    relation). K·N_DIMS integers ride in the plan itself, so
+    assignment needs no join node at all: no BroadcastNestedLoopJoin,
+    and no per-vector argmin shuffle either — the K-candidate fold
+    happens inside whole-stage codegen, map-only, exactly like the PQ
+    code assignment (pq.py::_assign_codes)."""
+    rows = sorted(cent_arr.collect(), key=lambda r: r.k)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r.k)).cast("bigint").alias("k"),
+                F.array(*[F.lit(int(c)) for c in r.cv])
+                .cast("array<bigint>")
+                .alias("cv"),
+            )
+            for r in rows
+        ]
+    )
+
+
 def assign_arrays(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    cands = F.transform(
+        _cent_literal(cent_arr),
+        lambda p: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), p["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            p["k"].alias("k"),
+        ),
     )
-    scored = qarr.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", F.struct(dist.alias("dist"), F.col("k")).alias("dk")
+    best = F.array_min(cands)  # lexicographic: min dist, ties to low k
+    return qarr.select(
+        "vec_id", best["k"].alias("k"), best["dist"].alias("dist")
     )
-    best = scored.groupBy("vec_id").agg(F.min("dk").alias("m"))
-    return best.select("vec_id", F.col("m.k").alias("k"), F.col("m.dist").alias("dist"))
 
 
 def update(q: DataFrame, a: DataFrame) -> DataFrame:

@@ -250,6 +250,7 @@ def ivfpq_topk(
     k: int,
     nprobe: int = NPROBE,
     iters: int = PQ_ITERS,
+    shortlist: int = SHORTLIST,
 ) -> DataFrame:
     """(query_id, neighbor_id, l2_dist, rank) — the full IVF-PQ stack:
     coarse IVF cells prune the corpus to the query's ``nprobe``
@@ -260,7 +261,13 @@ def ivfpq_topk(
     map-only passes over the corpus against broadcast models; the
     candidate set (≈ nprobe/n_cells of the corpus per query) is the
     only thing scored, and raw vectors are touched just for the
-    shortlist. nprobe is the recall/cost knob. At 100 TB the code
+    shortlist. nprobe and shortlist are the recall/cost knobs — and
+    they interact: with a TIGHT shortlist, raising nprobe alone can
+    DROP recall (extra ADC-preferred candidates crowd true neighbors
+    out of the fixed-size shortlist; observed empirically in
+    tests/test_pq_recall.py). Recall is monotone in nprobe only when
+    shortlist covers the candidate set — tune the two together.
+    At 100 TB the code
     index would additionally be PARTITIONED BY cell so a probe reads
     only its cells' files — the same partition-pruning story as any
     partitioned scan."""
@@ -325,7 +332,7 @@ def ivfpq_topk(
     ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     short = (
         adc.withColumn("srn", F.row_number().over(ws))
-        .filter(F.col("srn") <= SHORTLIST)
+        .filter(F.col("srn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
     qarr = quantized_arrays(e)

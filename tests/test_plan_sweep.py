@@ -43,8 +43,9 @@ BNLJ_ALLOWED = {
     "ann_ivf_cells",  # 16-row centroid table
     "ann_ivf_topk",  # 16-row centroid table
     "ann_ivfpq_topk",  # 16-row centroid table (coarse stage)
-    "kmeans_assignments",  # broadcast K-row centroid table
-    "kmeans_centroids",  # broadcast K-row centroid table
+    # kmeans_assignments / kmeans_centroids: removed r4 — centroids
+    # now ride the plan as literals (kmeans.py::_cent_literal), so
+    # assignment has no join node at all.
     "ann_sq8_topk",  # broadcast 1-row quantizer scalar + query set
     "embedding_sq8_codes",  # broadcast 1-row quantizer scalar
     "skew_salted_hot_key_join",  # broadcast salt-range literal
