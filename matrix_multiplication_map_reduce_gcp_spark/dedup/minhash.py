@@ -110,9 +110,12 @@ def sql_minhash_signatures(n_hashes: int = N_HASHES, shingle_n: int = 3) -> str:
     """
 
 
-def sql_candidate_pairs(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
+def sql_band_selects(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
+    """UNION ALL producing (doc_id, band, sig) from a CTE named
+    ``sig`` — the banding step shared by the self-join and the
+    incremental batch-vs-index queries."""
     rows_per_band = n_hashes // n_bands
-    band_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(CONCAT({parts})) AS sig FROM sig".format(
             b=b,
             parts=", '_', ".join(
@@ -122,9 +125,12 @@ def sql_candidate_pairs(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str
         )
         for b in range(n_bands)
     )
+
+
+def sql_candidate_pairs(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
     return f"""
     WITH sig AS ({sql_minhash_signatures(n_hashes)}),
-    bands AS ({band_selects})
+    bands AS ({sql_band_selects(n_hashes, n_bands)})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
                              AND a.doc_id < b.doc_id

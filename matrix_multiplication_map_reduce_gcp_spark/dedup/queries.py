@@ -13,7 +13,14 @@ from ..similarity.lsh import sql_bucket_expr
 from ..registry import query
 from .clusters import sql_components_ctes
 from .jaccard import jaccard_pairs, sql_jaccard_pairs
-from .minhash import candidate_pairs, minhash_signatures, sql_candidate_pairs, sql_minhash_signatures
+from .minhash import (
+    candidate_pairs,
+    lsh_bands,
+    minhash_signatures,
+    sql_band_selects,
+    sql_candidate_pairs,
+    sql_minhash_signatures,
+)
 from .simhash import hamming_pairs_banded, simhash, sql_hamming_pairs, sql_simhash
 
 
@@ -384,4 +391,73 @@ def sorted_neighborhood_pairs(spark, sf_dir):
             .cast("bigint")
             .alias("head_edit_distance"),
         )
+    )
+
+
+# ---- Incremental (batch-vs-index) dedup -----------------------------------
+
+BATCH_MOD = 5  # doc_id % 5 == 0 plays the incoming increment (~20%)
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH sig AS ({sql_minhash_signatures()}),
+    bands AS ({sql_band_selects()}),
+    batchb AS (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} = 0),
+    indexb AS (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} <> 0),
+    m AS (
+      SELECT b.doc_id,
+             COUNT(DISTINCT i.doc_id) AS n_index_matches,
+             MIN(i.doc_id) AS first_match_id
+      FROM batchb b JOIN indexb i ON b.band = i.band AND b.sig = i.sig
+      GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(m.n_index_matches, 0) AS n_index_matches,
+           m.first_match_id,
+           CASE WHEN m.doc_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0) d
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental dedup: an incoming BATCH (doc_id % 5 == 0, ~20%)
+    checked against the existing corpus INDEX (the rest) — the shape
+    a production pipeline actually runs daily, where every other
+    dedup query here is the one-off whole-corpus self-join. Each
+    batch doc gets (n_index_matches, first_match_id, verdict
+    'dup'/'new') from a banded-LSH equi-join of batch band rows
+    against index band rows.
+
+    Scale shape (100 TB corpus + daily increment): the index band
+    table is write-once and bucketed by (band, sig); the daily job
+    shingles/minhashes ONLY the increment (map-only over new docs)
+    and equi-joins the bucketed index — cost scales with increment
+    size + collision count, and the corpus raw text is never
+    re-touched. Here both sides derive from `documents` so the DuckDB
+    oracle can replay the split exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs))
+    batch_bands = bands.filter(F.col("doc_id") % BATCH_MOD == 0)
+    index_bands = bands.filter(F.col("doc_id") % BATCH_MOD != 0).select(
+        F.col("doc_id").alias("index_id"), "band", "sig"
+    )
+    matches = (
+        batch_bands.join(index_bands, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("index_id").alias("n_index_matches"),
+            F.min("index_id").alias("first_match_id"),
+        )
+    )
+    batch_docs = docs.filter(F.col("doc_id") % BATCH_MOD == 0).select("doc_id")
+    return batch_docs.join(matches, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_index_matches", F.lit(0).cast("bigint")).alias(
+            "n_index_matches"
+        ),
+        "first_match_id",
+        F.when(F.col("n_index_matches").isNotNull(), F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
     )
