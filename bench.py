@@ -36,6 +36,7 @@ HEADLINE = [
     "json_extraction",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_incremental_lsh",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "ann_brute_force_topk",

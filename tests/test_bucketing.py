@@ -63,3 +63,33 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_cell_partitioned_index_prunes(spark, tmp_path):
+    """The 100 TB IVF-PQ deployment shape (SCALING.md): the code index
+    is written PARTITIONED BY cell, so probing nprobe cells reads only
+    those cells' files — partition pruning at the source, proven here
+    physically via inputFiles(), not just plan text."""
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.ivf import assign_cells
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.pq import pq_codes
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    index = pq_codes(e).join(assign_cells(e).select("vec_id", "cell"), "vec_id")
+    path = str(tmp_path / "ivfpq_index")
+    index.write.partitionBy("cell").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cell").isin(3, 7))
+    # inputFiles() reflects the PRE-pruning file index; input_file_name()
+    # is stamped at execution, so it lists exactly the files the pruned
+    # scan actually touched.
+    files = [
+        r.f
+        for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "probe read no files"
+    assert all("cell=3" in f or "cell=7" in f for f in files), (
+        f"cell probe touched files outside its partitions: {files}"
+    )
+    # And the pruned read still returns exactly the right rows.
+    full = spark.read.parquet(path)
+    assert probe.count() == full.filter(F.col("cell").isin(3, 7)).count() > 0
