@@ -123,7 +123,12 @@ def main() -> None:
     # Queries that moved >10% between r1 and r3 on untouched code —
     # n=1 evidence couldn't adjudicate whether the cost was real
     # (VERDICT r3 "What's wrong" #1-2). Median-of-3 settles it.
-    REPEAT3 = {"ngram_jaccard_pairs", "matrix_gram", "matmul_sparse"}
+    REPEAT3 = {
+        "ngram_jaccard_pairs",
+        "matrix_gram",
+        "matmul_sparse",
+        "ann_brute_force_topk",  # +15% r3→r4 preview on untouched code
+    }
 
     for name in HEADLINE:
         timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)),
