@@ -67,3 +67,60 @@ def approx_quantiles(spark, sf_dir):
         exact.alias("exact_median"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("within_tolerance"),
     )
+
+
+@query(
+    "hll_mergeable_counts",
+    oracle="""
+    SELECT n.n_regionkey, r.r_name,
+           COUNT(DISTINCT o.o_custkey) AS exact_customers,
+           TRUE AS within_tolerance
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def hll_mergeable_counts(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the incremental-analytics
+    shape approx_distinct_counts can't show: one HLL sketch built per
+    nation (hll_sketch_agg), then UNIONED up to region level
+    (hll_union_agg) and only then estimated. At 100 TB this is how
+    distinct counts compose without re-reading raw data: per-day /
+    per-partition sketch rows (a few KB each) are stored and any
+    rollup (week, month, region, global) is a sketch union — the raw
+    keys shuffle once, ever. within_tolerance asserts the TWO-LEVEL
+    estimate lands within 15% of the exact region-level count (HLL
+    default lgConfigK=12 ⇒ rsd ≈ 1.6%; union adds no bias); the
+    oracle recomputes the exact count and expects true."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    per_nation = joined.groupBy("n_nationkey", "n_regionkey").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        exact.join(merged, "n_regionkey")
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "n_regionkey",
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_customers").cast("double"))
+                <= 0.15 * F.col("exact_customers").cast("double")
+            ).alias("within_tolerance"),
+        )
+    )
