@@ -74,6 +74,14 @@ def run_noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Smoke mode (tests/test_bench_contract.py): a 3-query subset that
+    # exercises every code path of THIS harness — timing, repetitions,
+    # dense ladder, plot, JSON emission — so a bench.py regression is
+    # caught by the suite instead of costing the round its BENCH
+    # artifact (the round-2 failure mode).
+    smoke = bool(os.environ.get("SPARK_GRAFT_BENCH_SMOKE"))
+    headline = HEADLINE[:3] if smoke else HEADLINE
+    ladder = (4,) if smoke else (4, 10, 50, 100, 200)
     spark = get_spark(app_name="spark_graft_bench")
     queries = registry.load_all()
 
@@ -130,14 +138,14 @@ def main() -> None:
         "ann_brute_force_topk",  # +15% r3→r4 preview on untouched code
     }
 
-    for name in HEADLINE:
+    for name in headline:
         timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)),
               reps=3 if name in REPEAT3 else 1)
 
     # Reference-comparable dense matmul ladder — the exact sizes the
     # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
     # Cloud Functions; its NumPy VM oracle: 0.3-0.7 s).
-    for n in (4, 10, 50, 100, 200):
+    for n in ladder:
         a, b = gen_matrix(spark, n, seed=1), gen_matrix(spark, n, seed=2)
         timed(f"matmul_dense_{n}",
               lambda a=a, b=b: run_noop(a.multiply(b, exact=False).df),
@@ -147,10 +155,11 @@ def main() -> None:
     # block path (1e9 multiply-pairs — the entry-level join-agg plan
     # would materialize all of them; the block plan shuffles 4x4x4
     # block pairs and runs BLAS inside applyInPandas).
-    a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
-    timed("matmul_dense_1000_block",
-          lambda: run_noop(block_multiply(a, b, block_size=250).df),
-          reps=3)
+    if not smoke:
+        a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
+        timed("matmul_dense_1000_block",
+              lambda: run_noop(block_multiply(a, b, block_size=250).df),
+              reps=3)
 
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the

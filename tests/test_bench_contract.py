@@ -1,0 +1,64 @@
+"""bench.py's output contract is a round artifact: the driver records
+its single stdout JSON line as BENCH_r{N}.json. Round 2 lost its
+entire bench record to one unguarded exception — this test runs the
+harness end-to-end (smoke subset) in a subprocess and pins the
+contract so a bench regression fails the suite, not the round."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def bench_record():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_SMOKE="1",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"bench must print exactly ONE line, got {lines}"
+    return json.loads(lines[0])
+
+
+def test_contract_keys_and_types(bench_record):
+    r = bench_record
+    assert r["metric"] == "headline_queries_total_wall"
+    assert r["unit"] == "sec"
+    assert isinstance(r["value"], (int, float)) and r["value"] > 0
+    assert r["sf"] == 0.001
+    assert isinstance(r["queries"], dict) and r["queries"]
+    assert all(isinstance(v, (int, float)) for v in r["queries"].values())
+
+
+def test_no_errors_and_not_partial(bench_record):
+    assert "errors" not in bench_record, bench_record.get("errors")
+    assert "partial" not in bench_record
+
+
+def test_repetition_evidence_present(bench_record):
+    """Median-of-3 queries must commit their raw walls (the evidence
+    that adjudicates round-over-round deltas)."""
+    reps = bench_record.get("repetitions", {})
+    assert reps, "smoke subset includes REPEAT3 queries; reps missing"
+    for name, walls in reps.items():
+        assert len(walls) == 3
+        assert bench_record["queries"][name] == sorted(walls)[1], name
