@@ -85,10 +85,17 @@ def green_queries(rounds: list[int]) -> set[str]:
 
 
 def propose_window(
-    registered: list[str], modules: dict[str, str], rounds: list[int]
+    registered: list[str],
+    modules: dict[str, str],
+    rounds: list[int],
+    extra_green: tuple[str, ...] = (),
 ) -> tuple[list[str], list[str]]:
-    """Return (window, deferred_never_green) for the given evidence."""
-    green = green_queries(rounds)
+    """Return (window, deferred_never_green) for the given evidence.
+
+    ``extra_green`` lets callers simulate a FUTURE rotation: names
+    treated as already driver-verified on top of the recorded rounds
+    (tests use it to prove the deferred backlog drains next round)."""
+    green = green_queries(rounds) | set(extra_green)
     never_green = [n for n in registered if n not in green]
 
     # Module representatives: prefer a never-green query so the rep

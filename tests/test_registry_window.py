@@ -38,17 +38,35 @@ def test_window_matches_evidence():
     assert tuple(deferred) == window.DEFERRED
 
 
-def test_backlog_drains_within_two_rotations():
-    """Every registered query is scheduled for driver verification
-    within two rounds: the deferred backlog must fit in one future
-    window's fill capacity (window size minus one rep per module)."""
+DRAIN_HORIZON = 3  # windows (current + 2 future rotations)
+
+
+def test_backlog_drains_within_horizon():
+    """Every registered query gets driver-verified within
+    DRAIN_HORIZON rounds: simulate successive rotations (each window
+    assumed green) and assert the never-green backlog reaches zero.
+    Exact simulation, not a capacity formula — deferred queries can
+    themselves become module-rep anchors in a later window, which a
+    (WINDOW - n_modules) bound undercounts. The horizon is what bounds
+    how long a freshly registered query can wait; it only grows when
+    a round registers more new queries than a window can absorb."""
     q = registry.load_all()
-    n_modules = len({qd.fn.__module__ for qd in q.values()})
-    fill_capacity = rotate_window.WINDOW - n_modules
-    assert len(window.DEFERRED) <= fill_capacity, (
-        f"{len(window.DEFERRED)} deferred queries exceed one round's "
-        f"fill capacity ({fill_capacity}) — backlog no longer drains "
-        "within two rotations"
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    green: tuple[str, ...] = ()
+    for rotation in range(1, DRAIN_HORIZON + 1):
+        win, deferred = (
+            (list(window.PRIORITY_PREFIX), list(window.DEFERRED))
+            if rotation == 1
+            else rotate_window.propose_window(
+                list(q), modules, list(window.CONSUMED_ROUNDS), extra_green=green
+            )
+        )
+        if not deferred:
+            return
+        green = tuple(set(green) | set(win))
+    raise AssertionError(
+        f"backlog not drained after {DRAIN_HORIZON} windows; still "
+        f"deferred: {deferred}"
     )
 
 
