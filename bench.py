@@ -50,6 +50,10 @@ HEADLINE = [
     "sequence_pack_greedy",
     "scd2_user_event_history",
     "stream_tumbling_counts",
+    # r4 additions: the A-priori basket self-join and the binned
+    # interval-overlap join — the two heaviest new shuffle shapes.
+    "market_basket_pairs",
+    "incident_impact_events",
 ]
 
 

@@ -312,3 +312,143 @@ def profile_orders_columns(spark, sf_dir):
     return one.select(
         F.inline(F.array(*[arm(c, k) for c, k in _PROFILE_COLS]))
     )
+
+
+# --- market-basket association (A-priori first pass) -----------------
+
+ITEM_MIN_ORDERS = 30  # frequent-item support threshold (orders)
+PAIR_MIN_ORDERS = 3  # frequent-pair support threshold (orders)
+
+
+@query(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    items AS (SELECT l_partkey, COUNT(*) AS item_orders FROM basket GROUP BY 1),
+    freq AS (SELECT * FROM items WHERE item_orders >= {ITEM_MIN_ORDERS}),
+    fb AS (SELECT b.l_orderkey, b.l_partkey, f.item_orders
+           FROM basket b JOIN freq f USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_orders,
+             MIN(a.item_orders) AS orders_a, MIN(b.item_orders) AS orders_b
+      FROM fb a JOIN fb b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket)
+    SELECT part_a, part_b, pair_orders,
+           ROUND(CAST(pair_orders AS DOUBLE) * n_orders
+                 / (orders_a * orders_b), 6) AS lift
+    FROM pairs, tot
+    WHERE pair_orders >= {PAIR_MIN_ORDERS}
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Frequent co-purchased part pairs with lift — the A-priori first
+    pass as one co-partitioned self-join.
+
+    Scale shape: (1) the frequent-ITEM prune runs before the quadratic
+    step, so the self-join only sees items that can possibly form a
+    frequent pair (the A-priori downward-closure bound); (2) the item
+    dictionary is |parts| rows — broadcast, so pruning is map-side;
+    (3) the pair blow-up is per-order C(k,2) with k = basket size
+    (bounded small in order data), and both join sides share one
+    shuffle on l_orderkey; (4) item supports ride the pair rows as two
+    ints (MIN-folded), so lift needs no second join against the counts.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    items = li.groupBy("l_partkey").agg(F.count("*").alias("item_orders"))
+    freq = items.filter(F.col("item_orders") >= ITEM_MIN_ORDERS)
+    fb = li.join(F.broadcast(freq), "l_partkey")
+    a = fb.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("item_orders").alias("ia"),
+    )
+    b = fb.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("item_orders").alias("ib"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("pair_orders"),
+            F.min("ia").alias("orders_a"),
+            F.min("ib").alias("orders_b"),
+        )
+        .filter(F.col("pair_orders") >= PAIR_MIN_ORDERS)
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "part_a",
+        "part_b",
+        "pair_orders",
+        F.round(
+            F.col("pair_orders").cast("double")
+            * F.col("n_orders")
+            / (F.col("orders_a") * F.col("orders_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             substr(event_type, 1, 1) AS ini
+      FROM events),
+    j AS (
+      SELECT user_id,
+             string_agg(ini, '' ORDER BY ts, event_id) AS journey
+      FROM ev GROUP BY user_id)
+    SELECT user_id, journey, LENGTH(journey) AS n_events,
+           CAST(LEN(regexp_extract_all(journey, 'v[^ep]*p')) AS BIGINT)
+             AS n_conversions
+    FROM j
+    """,
+)
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern mining without the
+    operator: each user's event stream collapses to a journey STRING
+    (one char per event, ordered by ts with an id tiebreak), and the
+    pattern 'view, then purchase, with no error or earlier purchase
+    between' becomes the regex v[^ep]*p counted non-overlapping.
+
+    Scale shape: one groupBy shuffle; per-user sequences sort INSIDE
+    the aggregated array (array_sort on the struct — no window
+    machinery), and the regex runs once per user on a compact string.
+    At 100 TB per-user journeys are bounded by retention windows; for
+    unbounded histories the same journey build shards by (user,
+    epoch-week) first."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda s: s["ini"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        "journey",
+        F.length("journey").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("journey", F.lit("v[^ep]*p"), 0))
+        .cast("bigint")
+        .alias("n_conversions"),
+    )

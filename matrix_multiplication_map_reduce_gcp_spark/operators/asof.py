@@ -219,3 +219,65 @@ def pit_feature_join(spark, sf_dir):
         .alias("spend_before"),
         "last_orderdate",
     )
+
+
+@query(
+    "asof_forward_click_to_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    cl AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
+             (SELECT p.event_id FROM ev p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts >= c.ts
+              ORDER BY p.ts, p.event_id LIMIT 1) AS purchase_id
+      FROM ev c WHERE c.event_type = 'click')
+    SELECT cl.click_id, cl.user_id, cl.purchase_id,
+           epoch_us(p.ts) - epoch_us(cl.c_ts) AS wait_us
+    FROM cl LEFT JOIN ev p ON p.event_id = cl.purchase_id
+    """,
+)
+def asof_forward_click_to_purchase(spark, sf_dir):
+    """FORWARD as-of join (merge_asof direction='forward'): for every
+    click, the next purchase by the same user at-or-after it, with the
+    wait in exact integer microseconds — time-to-convert.
+
+    Same union-sort shape as the backward as-of (asof.py:21), mirrored:
+    tag both streams, ONE window sort per user, carry the next
+    purchase with first(ignorenulls) over the FOLLOWING frame. The
+    oracle is the naive correlated top-1 subquery; the union-sort plan
+    replaces the per-row probe with a single shuffle+sort — the only
+    shape that survives dense right sides at 100 TB. Clicks sort
+    before equal-timestamp purchases (tag 0 < 1) so the at-or-after
+    boundary is inclusive under the ROWS frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("tag"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "p_id"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "*",
+        F.first("p_id", ignorenulls=True).over(w).alias("next_p_id"),
+        F.first("p_ts", ignorenulls=True).over(w).alias("next_p_ts"),
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("next_p_id").alias("purchase_id"),
+        (F.unix_micros("next_p_ts") - F.unix_micros("ts")).alias("wait_us"),
+    )

@@ -55,3 +55,90 @@ def merge_upsert_orders(spark, sf_dir):
         "o_orderpriority",
     )
     return merge_upsert(t, source, "o_orderkey")
+
+
+# Portable row fingerprint columns for the CDC diff: strings/ints
+# only — doubles and timestamps render engine-specifically inside
+# md5(concat(...)), integers and plain strings do not.
+_FP = "CONCAT(o_orderstatus, '|', CAST(o_custkey AS VARCHAR), '|', o_orderpriority)"
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey,
+             CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS coin,
+             o_orderstatus, o_custkey, o_orderpriority
+      FROM orders),
+    yesterday AS (
+      SELECT o_orderkey,
+             md5(CONCAT(CASE WHEN coin = 0 THEN 'X' ELSE o_orderstatus END,
+                        '|', CAST(o_custkey AS VARCHAR), '|', o_orderpriority)) AS fp
+      FROM h WHERE coin != 1),
+    today AS (
+      SELECT o_orderkey, md5({_FP}) AS fp
+      FROM h WHERE coin != 2)
+    SELECT CASE WHEN y.o_orderkey IS NULL THEN 'inserted'
+                WHEN t.o_orderkey IS NULL THEN 'deleted'
+                WHEN y.fp != t.fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n
+    FROM yesterday y FULL OUTER JOIN today t USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC snapshot diff: classify every key across two table
+    snapshots as inserted / deleted / changed / unchanged by comparing
+    ROW FINGERPRINTS (md5 over the tracked columns), never column by
+    column — at 100 TB the diff shuffles (key, 16-byte hash), not the
+    rows. One full-outer co-partitioned join on the key; the output is
+    the 4-row summary a reconciliation job alerts on.
+
+    The two snapshots are derived deterministically from the orders
+    fixture with the portable hash coin (coin=0 rows differ, coin=1
+    missing yesterday => inserted, coin=2 missing today => deleted),
+    so the oracle sees bit-identical inputs."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        "o_orderkey",
+        (hash32_unsalted(F.col("o_orderkey")) % 20).alias("coin"),
+        "o_orderstatus",
+        "o_custkey",
+        "o_orderpriority",
+    )
+    fp_today = F.md5(
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            F.col("o_custkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderpriority"),
+        )
+    )
+    fp_yest = F.md5(
+        F.concat(
+            F.when(F.col("coin") == 0, "X").otherwise(F.col("o_orderstatus")),
+            F.lit("|"),
+            F.col("o_custkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderpriority"),
+        )
+    )
+    yesterday = h.filter(F.col("coin") != 1).select(
+        "o_orderkey", fp_yest.alias("fp_y")
+    )
+    today = h.filter(F.col("coin") != 2).select(
+        "o_orderkey", fp_today.alias("fp_t")
+    )
+    j = yesterday.join(today, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("fp_y").isNull(), "inserted")
+        .when(F.col("fp_t").isNull(), "deleted")
+        .when(F.col("fp_y") != F.col("fp_t"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(F.count("*").alias("n"))

@@ -530,3 +530,182 @@ def median_order_price(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
     )
+
+
+# --- write-side planning utilities -----------------------------------
+
+_ROW_BYTES = 104  # conservative on-disk bytes/row for lineitem
+_TARGET_MB = 128  # target output file size
+
+
+@query(
+    "write_partition_plan",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,
+           COUNT(*) AS n_rows,
+           ROUND(COUNT(*) * {_ROW_BYTES} / 1048576.0, 3) AS est_mb,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(CEIL(COUNT(*) * {_ROW_BYTES}
+                              / ({_TARGET_MB} * 1048576.0)) AS BIGINT))
+             AS target_files
+    FROM lineitem GROUP BY 1
+    """,
+)
+def write_partition_plan(spark, sf_dir):
+    """Spill-aware write sizing: per ship-month output partition, the
+    estimated bytes and the file count that lands each file at the
+    128 MB target — the plan you feed to repartitionByRange before a
+    partitioned parquet write so no partition emits a small-file swarm
+    or a single multi-GB file. One aggregation shuffle; the estimate
+    uses a fixed bytes/row so the plan is deterministic (a real
+    deployment would calibrate the constant from footer stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    est_bytes = n * _ROW_BYTES
+    return li.groupBy(
+        F.trunc("l_shipdate", "month").alias("part_month")
+    ).agg(
+        n.alias("n_rows"),
+        F.round(est_bytes / F.lit(1048576.0), 3).alias("est_mb"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(est_bytes / F.lit(_TARGET_MB * 1048576.0)).cast("bigint"),
+        ).alias("target_files"),
+    )
+
+
+@query(
+    "join_size_estimates",
+    oracle="""
+    WITH lp AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+    ls AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+    lo AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+    SELECT 'lineitem_self_part' AS join_name,
+           CAST(SUM(c * c) AS BIGINT) AS est_rows FROM lp
+    UNION ALL
+    SELECT 'lineitem_self_supp', CAST(SUM(c * c) AS BIGINT) FROM ls
+    UNION ALL
+    SELECT 'orders_lineitem', CAST(SUM(c) AS BIGINT) FROM lo
+    """,
+)
+def join_size_estimates(spark, sf_dir):
+    """Planner-style join cardinality estimation from per-key count
+    histograms: |A join B on k| = sum_k cnt_A(k)*cnt_B(k), computed
+    WITHOUT running the join. The self-join rows are exactly the
+    candidate-pair counts a dedup blocking key would generate — this
+    is the estimator you run BEFORE committing to a blocking scheme at
+    100 TB (a hot key shows up here as a huge product, not as a dead
+    executor). One groupBy per key column; output is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def hist_sq(key, name):
+        h = li.groupBy(key).agg(F.count("*").alias("c"))
+        return h.agg(
+            F.lit(name).alias("join_name"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("est_rows"),
+        )
+
+    lo = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    orders_li = lo.agg(
+        F.lit("orders_lineitem").alias("join_name"),
+        F.sum("c").cast("bigint").alias("est_rows"),
+    )
+    return (
+        hist_sq("l_partkey", "lineitem_self_part")
+        .union(hist_sq("l_suppkey", "lineitem_self_supp"))
+        .union(orders_li)
+    )
+
+
+_ZM_BUCKET = 1000  # orders per zone (stands in for a parquet row group)
+_ZM_PROBES = (
+    (1, 1000.0, 2000.0),
+    (2, 50000.0, 60000.0),
+    (3, 300000.0, 400000.0),
+)
+
+
+@query(
+    "zone_map_pruning_audit",
+    oracle=f"""
+    WITH zones AS (
+      SELECT o_orderkey // {_ZM_BUCKET} AS zone,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders GROUP BY 1),
+    probes(probe_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _ZM_PROBES)}),
+    scan AS (
+      SELECT p.probe_id, COUNT(z.zone) AS zones_scanned
+      FROM probes p LEFT JOIN zones z ON z.mx >= p.lo AND z.mn <= p.hi
+      GROUP BY 1),
+    matched AS (
+      SELECT p.probe_id, COUNT(o.o_orderkey) AS rows_matched
+      FROM probes p LEFT JOIN orders o
+        ON o.o_totalprice >= p.lo AND o.o_totalprice <= p.hi
+      GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS zones_total FROM zones)
+    SELECT s.probe_id, s.zones_scanned, t.zones_total, m.rows_matched
+    FROM scan s JOIN matched m USING (probe_id) CROSS JOIN tot t
+    """,
+)
+def zone_map_pruning_audit(spark, sf_dir):
+    """Zone-map (min/max data-skipping) effectiveness audit: build
+    per-zone min/max statistics for o_totalprice (a zone stands in for
+    a parquet row group / data file), then report how many zones each
+    probe range actually needs to scan vs the total — the
+    file-skipping decision every lakehouse reader makes from footer
+    stats before touching data.
+
+    Scale shape: the stats table is O(zones) — thousands of rows per
+    TB — and lives broadcast; probing is a broadcast range join
+    against it, so skipping costs no shuffle of the fact table at all.
+    rows_matched double-checks soundness: counted from the full scan,
+    it must (and does) agree with scanning only the admitted zones."""
+    o = load_table(spark, sf_dir, "orders")
+    zones = o.groupBy(
+        F.expr(f"o_orderkey DIV {_ZM_BUCKET}").alias("zone")
+    ).agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("probe_id"),
+                    F.lit(lo).alias("lo"),
+                    F.lit(hi).alias("hi"),
+                )
+                for i, lo, hi in _ZM_PROBES
+            ]
+        )
+    ).alias("p")
+    pdf = (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(probes)
+        .select("p.*")
+    )
+    scan = (
+        pdf.join(
+            F.broadcast(zones),
+            (F.col("mx") >= F.col("lo")) & (F.col("mn") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(F.count("zone").alias("zones_scanned"))
+    )
+    matched = (
+        pdf.join(
+            o,
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") <= F.col("hi")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(F.count("o_orderkey").alias("rows_matched"))
+    )
+    tot = zones.agg(F.count("*").alias("zones_total"))
+    return (
+        scan.join(matched, "probe_id")
+        .crossJoin(F.broadcast(tot))
+        .select("probe_id", "zones_scanned", "zones_total", "rows_matched")
+    )

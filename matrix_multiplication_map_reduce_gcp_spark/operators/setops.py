@@ -77,3 +77,47 @@ def except_only_open(spark, sf_dir):
     open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_.subtract(filled)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "except_all_returned_parts",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    GROUP BY 1
+    """,
+)
+def except_all_returned_parts(spark, sf_dir):
+    """EXCEPT ALL — MULTISET difference: per part, returned ('R')
+    occurrences minus accepted ('A') occurrences, keeping surplus
+    multiplicity (plain EXCEPT would collapse to existence). Spark
+    plans exceptAll as a count-diff aggregate + generator replay:
+    one shuffle on the value, no sort — the multiset semantics cost
+    the same as a groupBy at any scale. Output is re-aggregated to
+    (key, surplus) so the result is compact and hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a).groupBy("l_partkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "intersect_all_returned_parts",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    GROUP BY 1
+    """,
+)
+def intersect_all_returned_parts(spark, sf_dir):
+    """INTERSECT ALL — MULTISET intersection: per part,
+    min(returned-count, accepted-count) occurrences survive. Same
+    single-shuffle count-min aggregate shape as EXCEPT ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a).groupBy("l_partkey").agg(F.count("*").alias("n"))

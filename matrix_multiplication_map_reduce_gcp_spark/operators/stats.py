@@ -11,6 +11,7 @@ per statistic).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -214,4 +215,162 @@ def winsorized_price_stats(spark, sf_dir):
                 6,
             ).alias("winsorized_mean"),
         )
+    )
+
+
+@query(
+    "chi_square_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    cells AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS row_tot,
+             SUM(n) OVER (PARTITION BY o_orderstatus) AS col_tot,
+             SUM(n) OVER () AS grand_tot
+      FROM obs)
+    SELECT o_orderpriority, o_orderstatus, n,
+           ROUND(CAST(row_tot * col_tot AS DOUBLE) / grand_tot, 6) AS expected,
+           ROUND((n - CAST(row_tot * col_tot AS DOUBLE) / grand_tot)
+                 * (n - CAST(row_tot * col_tot AS DOUBLE) / grand_tot)
+                 / (CAST(row_tot * col_tot AS DOUBLE) / grand_tot), 6)
+             AS contribution
+    FROM cells
+    """,
+)
+def chi_square_contingency(spark, sf_dir):
+    """Chi-square independence test between order priority and status:
+    per-cell observed count, expected count (from the marginals), and
+    chi-square contribution (n-e)^2/e.
+
+    Emitting per-CELL contributions instead of the summed statistic
+    keeps every float op per-row (deterministic, order-independent) —
+    the caller sums a handful of cells. Scale shape: one groupBy
+    shuffle over the data; the marginal windows then run over the
+    aggregated CELLS (|priorities|x|statuses| rows), so the
+    single-partition window is O(cells), not O(rows), at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    cells = obs.select(
+        "*",
+        F.sum("n").over(W.partitionBy("o_orderpriority")).alias("row_tot"),
+        F.sum("n").over(W.partitionBy("o_orderstatus")).alias("col_tot"),
+        F.sum("n").over(W.partitionBy()).alias("grand_tot"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "grand_tot"
+    )
+    d = F.col("n") - e
+    return cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.round(e, 6).alias("expected"),
+        F.round(d * d / e, 6).alias("contribution"),
+    )
+
+
+_WS_K = 5  # sample size per stratum
+# u in (0,1] from the portable 32-bit hash; key = ln(u)/w is the
+# Efraimidis–Spirakis exponential sort key (top-k by key ⇔ weighted
+# sample without replacement), computed from integers through a
+# textually identical formula in both engines.
+_WS_U = "4294967296.0"
+
+
+@query(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             LN(({{h}} + 1) / {_WS_U}) / o_totalprice AS k
+      FROM orders),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY k DESC, o_orderkey) AS rnk
+      FROM keyed)
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM ranked WHERE rnk <= {_WS_K}
+    """.format(
+        h="CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+    ),
+)
+def weighted_sample_orders(spark, sf_dir):
+    """Deterministic weighted sampling without replacement: top-5
+    orders per priority under the Efraimidis–Spirakis exponential
+    key ln(u)/w with u derived from the portable md5 hash of the
+    order key and w = o_totalprice — price-proportional inclusion
+    probability, zero RNG state, stable across runs/partitionings/
+    engines (the property a reproducible training-data sampler needs).
+
+    Scale shape: the key is map-side arithmetic; selection is one
+    top-k-per-group window (rank shuffle on the stratum key). For
+    global (unstratified) k at 100 TB the same key feeds a
+    TakeOrderedAndProject instead — no extra machinery."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    o = load_table(spark, sf_dir, "orders")
+    u = (hash32_unsalted(F.col("o_orderkey")) + 1) / F.lit(4294967296.0)
+    keyed = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("k"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("k"), F.col("o_orderkey")
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WS_K)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, p,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM pw)
+    SELECT l_returnflag, MIN(p) AS weighted_median_price
+    FROM c WHERE 2 * cum >= tot GROUP BY 1
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted (lower) median price per return flag: the
+    smallest price whose cumulative weight reaches half the total.
+
+    EXACT, not sketched: weights accumulate in decimal (associative),
+    the boundary test 2*cum >= tot is integer-exact decimal
+    arithmetic — no float comparison can flip the chosen row. Scale
+    shape: pre-aggregate to (group, value) first so the cumulative
+    window runs over DISTINCT values (deterministic ties, far fewer
+    rows), then one window sort per group — the standard exact
+    weighted-quantile plan; for percentile grids the same cum/tot
+    columns answer every quantile in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("p")
+    ).agg(F.sum(dec("l_quantity")).alias("w"))
+    c = pw.select(
+        "l_returnflag",
+        "p",
+        F.sum("w").over(W.partitionBy("l_returnflag").orderBy("p")).alias("cum"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("p").alias("weighted_median_price"))
     )

@@ -140,3 +140,72 @@ def time_weighted_value(spark, sf_dir):
             F.sum("wv").cast("double") / F.sum("dt").cast("bigint"), 6
         ).alias("twa_value"),
     )
+
+
+# --- interval-overlap join (incident attribution) --------------------
+
+INCIDENT_US = 600 * 1_000_000  # 10-minute incident window
+
+
+@query(
+    "incident_impact_events",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events)
+    SELECT e.event_id AS error_id,
+           COUNT(i.event_id) AS n_impacted,
+           COUNT(DISTINCT i.user_id) AS n_users
+    FROM ev e LEFT JOIN ev i
+      ON i.event_type IN ('view', 'click')
+     AND i.ts >= e.ts AND i.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def incident_impact_events(spark, sf_dir):
+    """Interval-overlap join: every error event opens a 10-minute
+    incident window; count the view/click events (and distinct users)
+    falling inside each window, across ALL users — zero-impact
+    incidents included.
+
+    The oracle is the naive theta-join; the Spark plan is the SCALABLE
+    interval-join shape: both sides are bucketed to 10-minute epoch
+    bins (integer DIV — float division can cross a floor boundary at
+    epoch-microsecond magnitudes), each incident expands to the <=2
+    bins its window touches, and the match becomes a bin EQUI-join +
+    exact residual predicate. Candidate blow-up is bounded by time
+    density per bin, never |errors| x |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("s_us"),
+    )
+    cand = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("impact_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) DIV {INCIDENT_US}").alias("bin"),
+    )
+    binned = err.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {INCIDENT_US}"),
+                F.expr(f"(s_us + {INCIDENT_US} - 1) DIV {INCIDENT_US}"),
+            )
+        ),
+    )
+    hits = binned.join(cand, "bin").filter(
+        (F.col("c_us") >= F.col("s_us"))
+        & (F.col("c_us") < F.col("s_us") + INCIDENT_US)
+    )
+    agg = hits.groupBy("error_id").agg(
+        F.count("*").alias("hit_n"),
+        F.countDistinct("user_id").alias("hit_users"),
+    )
+    return err.select("error_id").join(agg, "error_id", "left").select(
+        "error_id",
+        F.coalesce(F.col("hit_n"), F.lit(0)).alias("n_impacted"),
+        F.coalesce(F.col("hit_users"), F.lit(0)).alias("n_users"),
+    )

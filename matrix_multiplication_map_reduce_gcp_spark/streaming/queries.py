@@ -261,3 +261,110 @@ def stream_running_user_totals(spark, sf_dir):
         F.col("s.n_events").alias("n_events"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+@query(
+    "stream_outer_join_unmatched_clicks",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    mx AS (SELECT MAX(ts) AS max_ts FROM ev)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id
+    FROM ev c CROSS JOIN mx
+    LEFT JOIN ev p
+      ON c.user_id = p.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+      AND c.ts <= mx.max_ts - INTERVAL 45 MINUTE
+    """,
+)
+def stream_outer_join_unmatched_clicks(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every click emits, with
+    its purchase(s) within 30 min if any, else a null-padded row once
+    the watermark proves no purchase can still arrive — the abandoned-
+    cart shape, and the only outer-join form that survives unbounded
+    input (time-bound condition + watermarks let state expire).
+
+    Null rows for a click are only guaranteed once the watermark
+    passes click_ts + 30 min; at end-of-stream the watermark rests at
+    max_ts - 5 min (the delay), so clicks inside the final ~35 min can
+    legitimately still be open. BOTH the returned result and the
+    oracle therefore restrict to clicks older than max_ts - 45 min
+    (10 min safety margin) — comparing exactly the region where the
+    outer semantics are decided."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "5 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "leftOuter",
+    )
+    out = run_to_table(joined, spark, "append")
+    from ..catalog import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("c_ts") <= F.col("max_ts") - F.expr("INTERVAL 45 MINUTE")
+        )
+        .select(
+            "click_id", "purchase_id", F.col("c_user").alias("user_id")
+        )
+    )
+
+
+@query(
+    "stream_complete_topk_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def stream_complete_topk_users(spark, sf_dir):
+    """Streaming top-k: the 10 most active users with their exact
+    decimal value totals, re-ranked every micro-batch. Sorting a
+    stream is only legal in COMPLETE output mode (append/update have
+    no final answer to sort) — this pins that mode/operator contract.
+    State is the per-user aggregate (bounded by |users|), and the sort
+    runs over the AGGREGATED state, not the stream. Ties break on
+    user_id so the emitted k rows are deterministic."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).alias("tv"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+    out = run_to_table(agg, spark, "complete")
+    return out.select(
+        "user_id", "n", F.col("tv").cast("double").alias("total_value")
+    )

@@ -743,3 +743,59 @@ def train_val_test_manifest(spark, sf_dir):
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query(
+    "lang_mixture_kl",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY 1, 2),
+    cells AS (
+      SELECT source, lang, n_sl,
+             SUM(n_sl) OVER (PARTITION BY source) AS n_s,
+             SUM(n_sl) OVER (PARTITION BY lang) AS n_l,
+             SUM(n_sl) OVER () AS n_tot
+      FROM sl),
+    terms AS (
+      SELECT source, n_s,
+             CAST(ROUND((CAST(n_sl AS DOUBLE) / n_s)
+                        * LN((CAST(n_sl AS DOUBLE) / n_s)
+                             / (CAST(n_l AS DOUBLE) / n_tot)) * 1e9)
+                  AS BIGINT) AS term_nano
+      FROM cells)
+    SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_docs,
+           CAST(SUM(term_nano) AS DOUBLE) / 1e9 AS kl_nats
+    FROM terms GROUP BY source
+    """,
+)
+def lang_mixture_kl(spark, sf_dir):
+    """Per-source language-mixture drift: KL(P_lang|source || P_lang)
+    in nats — the monitor a training-data pipeline runs to catch a
+    source whose language mix shifted from the corpus-wide mixture.
+
+    Exactness discipline: each KL term is computed per (source, lang)
+    CELL (deterministic per-row double math from integer counts via a
+    textually identical formula in both engines), scaled to integer
+    nano-nats, and only INTEGERS are summed across rows — so the
+    result is bit-stable under any partitioning / engine. Scale shape:
+    one groupBy shuffle over documents; the marginal windows run over
+    the aggregated |sources|x|langs| cell table, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    sl = d.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    cells = sl.select(
+        "*",
+        F.sum("n_sl").over(W.partitionBy("source")).alias("n_s"),
+        F.sum("n_sl").over(W.partitionBy("lang")).alias("n_l"),
+        F.sum("n_sl").over(W.partitionBy()).alias("n_tot"),
+    )
+    p_s = F.col("n_sl").cast("double") / F.col("n_s")
+    p_g = F.col("n_l").cast("double") / F.col("n_tot")
+    term_nano = F.round(p_s * F.log(p_s / p_g) * F.lit(1e9)).cast("bigint")
+    return (
+        cells.select("source", "n_s", term_nano.alias("term_nano"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_docs"),
+            (F.sum("term_nano").cast("double") / F.lit(1e9)).alias("kl_nats"),
+        )
+    )

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "lang_id_stopwords",  # broadcast ~3-row language/stopword list
     "region_segment_cross",  # intentional 5x5 dim-by-dim cross product
     "domain_mixture_plan",  # 1-row corpus totals
+    "market_basket_pairs",  # 1-row n_orders scalar for lift
+    "zone_map_pruning_audit",  # 3-row literal probe table + 1-row total
     "domain_balanced_sample",  # broadcast per-domain quotas
 }
 
