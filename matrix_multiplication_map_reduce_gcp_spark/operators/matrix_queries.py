@@ -219,3 +219,48 @@ def matrix_trace(spark, sf_dir):
 )
 def matrix_frobenius(spark, sf_dir):
     return matrix_a(spark, sf_dir).frobenius_sq()
+
+
+@query(
+    "matrixgen_source_stats",
+    oracle="""
+    WITH ij AS (
+      SELECT a.range AS i, b.range AS j FROM range(60) a, range(60) b),
+    vals AS (
+      SELECT i, j,
+             CAST(CONCAT('0x', substr(md5(CONCAT('m7|', i, '|', j)), 1, 8)) AS BIGINT) % 100 AS v
+      FROM ij)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(CASE WHEN i = j THEN v ELSE 0 END) AS BIGINT) AS trace,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM vals
+    """,
+)
+def matrixgen_source_stats(spark, sf_dir):
+    """Custom Python DataSource end-to-end: read a 60x60 matrix from
+    the `matrixgen` source (4 partition readers planned by the source
+    itself — sources/matrixgen.py) and reduce it to integer-exact
+    stats. The oracle regenerates the identical matrix in DuckDB from
+    the same md5 cell formula — a full cross-engine check of a source
+    that never touches disk. Ignores sf_dir by design: the source IS
+    the data (the reference's client-side random generator, inverted
+    into a parallel scan)."""
+    from ..sources.matrixgen import register_matrixgen
+
+    register_matrixgen(spark)
+    m = (
+        spark.read.format("matrixgen")
+        .option("n", 60)
+        .option("seed", 7)
+        .option("partitions", 4)
+        .load()
+    )
+    return m.agg(
+        F.count("*").alias("n_entries"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("v")).otherwise(0)).alias(
+            "trace"
+        ),
+        F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+    )

@@ -203,3 +203,40 @@ def regexp_functions(spark, sf_dir):
         F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
         F.when(F.col("c_name").rlike("0{2,}"), 1).otherwise(0).alias("has_00"),
     )
+
+
+@query(
+    "variant_shredding_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing_hits,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_shredding_stats(spark, sf_dir):
+    """Spark 4 VariantType path: props parses ONCE into the binary
+    variant encoding (parse_json), then typed extraction via
+    variant_get — unlike get_json_object, the JSON text is not
+    re-parsed per extraction, which is the difference between O(paths)
+    and O(1) parse work per row on wide payloads at 100 TB.
+    try_variant_get on an absent path yields NULL (counted: always 0
+    hits) instead of failing — the schema-drift-tolerant accessor."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return e.select(
+        "event_type", k.alias("k"), missing.alias("missing")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count("missing").alias("n_missing_hits"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_even"),
+    )

@@ -62,6 +62,7 @@ NS_SAFE_AUDITED = {
     "stream_running_user_totals",  # ts unused: per-user count + cents sum
     "pit_feature_join",  # o_orderdate <= ts: truncation can't cross the date boundary; ts not emitted
     "stream_complete_topk_users",  # ts unused: per-user count + decimal value sum
+    "variant_shredding_stats",  # ts unused: props-only extraction
 }
 
 

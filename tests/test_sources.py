@@ -89,3 +89,29 @@ def test_approx_aggregates_within_tolerance(spark):
         assert r.within_tolerance and r.exact_customers > 0
     for r in q["approx_quantiles"].fn(spark, SF_SMOKE).collect():
         assert r.within_tolerance and r.exact_median > 0
+
+
+def test_matrixgen_python_datasource(spark):
+    """PySpark 4 custom Python DataSource: source-planned partitions,
+    re-read determinism (lineage replay safety), and cell values equal
+    to the md5 replica."""
+    from matrix_multiplication_map_reduce_gcp_spark.sources.matrixgen import (
+        gen_value,
+        register_matrixgen,
+    )
+
+    register_matrixgen(spark)
+    register_matrixgen(spark)  # idempotent
+    df = (
+        spark.read.format("matrixgen")
+        .option("n", 8)
+        .option("seed", 3)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted((r.i, r.j, r.v) for r in df.collect())
+    assert len(rows) == 64
+    assert rows == [(i, j, gen_value(3, i, j)) for i in range(8) for j in range(8)]
+    again = sorted((r.i, r.j, r.v) for r in df.collect())
+    assert again == rows
