@@ -1,0 +1,92 @@
+"""Custom stateful operator on Spark 4's transformWithStateInPandas —
+the successor API to applyInPandasWithState (SPARK-49564, "arbitrary
+stateful processing v2"): a StatefulProcessor with TYPED state
+handles (ValueState + MapState here) instead of a single state tuple,
+per-key timers, and TTL support.
+
+Semantics discipline (matches streaming/stateful.py): every state
+update is ORDER-INSENSITIVE — integer counts, integer cents, a
+per-type counter map — so the final emission is bit-identical under
+any micro-batching of the stream, which is what lets a plain batch
+SQL oracle check a stateful streaming operator exactly.
+
+The processor ships to Python workers via cloudpickle: it must stay a
+self-contained class (stdlib/pandas imports inside methods, no module
+globals) — same rule as every worker-shipped closure in this repo.
+
+ENVIRONMENT GATE: transformWithState's Python<->JVM state protocol
+speaks protobuf; containers without `google.protobuf` crash the TWS
+driver worker at startup. The operator is therefore exercised by
+tests/test_streaming.py behind pytest.importorskip("google.protobuf")
+instead of the always-on query registry (a registry entry must be
+runnable in the driver's environment). On a cluster with protobuf
+installed, `user_profiles_tws` is production-ready as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, "
+    "n_types long, max_type_n long"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user profile: exact (count, cents) in a ValueState and a
+    per-event-type counter in a MapState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.totals = handle.getValueState("totals", "n long, cents long")
+        self.types = handle.getMapState("types", "t string", "c long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self.totals.exists():
+            n, cents = self.totals.get()
+        else:
+            n, cents = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self.types.getValue((t,))[0]
+                    if self.types.containsKey((t,))
+                    else 0
+                )
+                self.types.updateValue((t,), (prev + int(c),))
+        self.totals.update((n, cents))
+        counts = [v[0] for v in self.types.values()]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_types": [len(counts)],
+                "max_type_n": [max(counts)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """events (user_id, event_type, value) → per-user profile stream."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

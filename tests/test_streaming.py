@@ -193,3 +193,99 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == len(rows), "lost or duplicated rows across restart"
     assert out.select("event_id").distinct().count() == len(rows)
+
+
+def test_tws_user_profiles_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 stateful v2, typed
+    ValueState + MapState): final per-user profile must equal the
+    batch aggregate exactly. Gated on protobuf — the TWS Python<->JVM
+    state protocol dependency this container lacks."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import duckdb
+
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.core import (
+        events_stream,
+        run_to_table,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.tws import (
+        user_profiles_tws,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_table(
+            user_profiles_tws(events_stream(spark, sf)), spark, "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.n_types, r.max_type_n)
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "n_types", "max_type_n")).alias("s"))
+        .select("user_id", "s.*")
+        .collect()
+    }
+    want = {
+        u: (n, tv, nt, mx)
+        for u, n, tv, nt, mx in duckdb.sql(
+            f"""
+            WITH per_type AS (
+              SELECT user_id, event_type, COUNT(*) AS c,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tv
+              FROM '{sf}/events.parquet' GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(c) AS BIGINT), ROUND(SUM(tv), 2),
+                   CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT)
+            FROM per_type GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_tickgen_stream_source_exactly_once_across_restarts(spark, tmp_path):
+    """Custom streaming Python DataSource: offsets checkpoint through
+    the engine, each availableNow run consumes one pending increment,
+    and restarts resume from the committed offset — every tick lands
+    in the append sink exactly once, with md5-replica values."""
+    from matrix_multiplication_map_reduce_gcp_spark.sources.tickgen import (
+        BATCH_ROWS,
+        N_TOTAL,
+        gen_cents,
+        register_tickgen,
+    )
+
+    register_tickgen(spark)
+    out = f"{tmp_path}/ticks"
+    ckpt = f"{tmp_path}/ckpt"
+    runs = -(-N_TOTAL // BATCH_ROWS) + 1  # enough runs + one idle run
+    for _ in range(runs):
+        q = (
+            spark.readStream.format("tickgen")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = sorted(
+        (r.tick_id, r.cents) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(k, gen_cents(k)) for k in range(N_TOTAL)]
