@@ -263,3 +263,78 @@ def training_data_pipeline(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
     )
+
+
+@query(
+    "sql_recursive_referral_depth",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, p.depth + 1
+      FROM customer c JOIN chain p ON c.c_custkey // 10 = p.c_custkey
+      WHERE c.c_custkey != 0)
+    SELECT depth, COUNT(*) AS n_customers,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM chain GROUP BY depth
+    """,
+)
+def sql_recursive_referral_depth(spark, sf_dir):
+    """Spark 4 RECURSIVE CTE (SPARK-24497): transitive closure over a
+    derived referral tree (parent = custkey DIV 10, rooted at 0) —
+    per-depth membership counts.
+
+    The recursion is a Catalyst-iterated union: each step joins the
+    previous frontier against the table, so work per round is
+    O(frontier), and rounds equal the tree DEPTH (log_10 of the key
+    space here) — the same frontier-expansion cost model as the
+    pointer-jumping connected components, now expressible directly in
+    SQL. DuckDB runs the identical recursion (// is its integer
+    division) as the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 0
+          UNION ALL
+          SELECT c.c_custkey, p.depth + 1
+          FROM customer c JOIN chain p ON c.c_custkey DIV 10 = p.c_custkey
+          WHERE c.c_custkey != 0)
+        SELECT depth, COUNT(*) AS n_customers,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+@query(
+    "sql_pipe_syntax_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_revenue(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (SPARK-49555): the linear FROM |> WHERE
+    |> AGGREGATE form of a filtered revenue rollup, with the filter
+    threshold bound as a NAMED PARAMETER (spark.sql args= — no string
+    interpolation, no injection surface). Identical Catalyst plan to
+    the classic form the oracle uses; decimal aggregation keeps the
+    double cast order-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= :minqty
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """,
+        args={"minqty": 25},
+    )
