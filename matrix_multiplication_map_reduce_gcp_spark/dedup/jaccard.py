@@ -105,3 +105,98 @@ def sql_jaccard_pairs(
                  JOIN sizes sb ON i.doc_b = sb.doc_id
     WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= {threshold}
     """
+
+
+CONTAIN_THRESHOLD = 0.4  # |S(A) ∩ S(B)| / |S(A)| to flag A ⊂~ B
+
+
+def containment_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """DIRECTED near-containment: (contained, container) pairs where
+    |S(contained) ∩ S(container)| / |S(contained)| ≥ threshold.
+
+    Jaccard misses the quote/boilerplate case — a short doc fully
+    embedded in a long one has tiny |∩|/|∪| but containment ≈ 1 — so
+    sub-document dedup needs the ASYMMETRIC measure (Broder's
+    containment). Same df-capped blocked self-join as jaccard_pairs
+    (one intersect count per unordered pair), then each pair fans out
+    to its two directions and is filtered on the direction's own
+    denominator — no extra shuffle for the asymmetry."""
+    sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
+    df_w = W.partitionBy("shingle", "lang", "source")
+    sh = (
+        sh.withColumn("df_count", F.count("*").over(df_w))
+        .filter(F.col("df_count") <= max_df)
+        .drop("df_count")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", "lang", "source")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", "lang", "source")
+    inter = (
+        a.join(b, ["shingle", "lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "inter",
+        F.col("n_a").alias("n_contained"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        "inter",
+        F.col("n_b").alias("n_contained"),
+    )
+    cont = F.col("inter").cast("double") / F.col("n_contained").cast("double")
+    return (
+        fwd.union(rev)
+        .select("contained", "container", "inter", "n_contained",
+                cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def sql_containment_pairs(
+    shingle_n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = MAX_DF,
+) -> str:
+    return f"""
+    WITH sh_all AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
+    keep AS (
+      SELECT shingle, lang, source FROM sh_all
+      GROUP BY shingle, lang, source
+      HAVING COUNT(*) <= {max_df}),
+    sh AS (
+      SELECT s.* FROM sh_all s
+      JOIN keep k ON s.shingle = k.shingle AND s.lang = k.lang
+                 AND s.source = k.source),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                         AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sized AS (
+      SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                   JOIN sizes sb ON i.doc_b = sb.doc_id),
+    directed AS (
+      SELECT doc_a AS contained, doc_b AS container, inter, n_a AS n_contained FROM sized
+      UNION ALL
+      SELECT doc_b, doc_a, inter, n_b FROM sized)
+    SELECT contained, container, inter, n_contained,
+           CAST(inter AS DOUBLE) / CAST(n_contained AS DOUBLE) AS containment
+    FROM directed
+    WHERE CAST(inter AS DOUBLE) / CAST(n_contained AS DOUBLE) >= {threshold}
+    """

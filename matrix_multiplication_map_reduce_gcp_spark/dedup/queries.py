@@ -12,7 +12,12 @@ from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_roun
 from ..similarity.lsh import sql_bucket_expr
 from ..registry import query
 from .clusters import sql_components_ctes
-from .jaccard import jaccard_pairs, sql_jaccard_pairs
+from .jaccard import (
+    containment_pairs,
+    jaccard_pairs,
+    sql_containment_pairs,
+    sql_jaccard_pairs,
+)
 from .minhash import (
     candidate_pairs,
     lsh_bands,
@@ -461,3 +466,11 @@ def dedup_incremental_lsh(spark, sf_dir):
         .otherwise(F.lit("new"))
         .alias("verdict"),
     )
+
+
+@query("containment_dup_pairs", oracle=sql_containment_pairs())
+def containment_dup_pairs(spark, sf_dir):
+    """Directed shingle containment (Broder): flags documents mostly
+    embedded in another — the quote/boilerplate case symmetric Jaccard
+    underweights. See jaccard.py::containment_pairs for the plan."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"))

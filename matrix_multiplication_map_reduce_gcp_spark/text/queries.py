@@ -799,3 +799,68 @@ def lang_mixture_kl(spark, sf_dir):
             (F.sum("term_nano").cast("double") / F.lit(1e9)).alias("kl_nats"),
         )
     )
+
+
+LM_KEEP_NANO = -4_000_000_000  # keep threshold: avg logprob >= -4.0 nats
+
+
+@query(
+    "lm_bigram_quality_scores",
+    oracle=f"""
+    WITH bg AS (
+      {sql_shingle_rows(n=2, distinct=False)}),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(LN(CAST(COUNT(*) OVER (PARTITION BY shingle) AS DOUBLE)
+                           / (COUNT(*) OVER (PARTITION BY string_split(shingle, ' ')[1])))
+                        * 1e9) AS BIGINT) AS term_nano
+      FROM bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(term_nano) AS DOUBLE) / COUNT(*)) / 1e9 AS avg_logprob,
+           CASE WHEN SUM(term_nano) >= COUNT(*) * CAST({LM_KEEP_NANO} AS BIGINT)
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_quality_scores(spark, sf_dir):
+    """CCNet-style language-model quality filter: score every document
+    by the average log-probability of its word bigrams under the
+    corpus's own bigram MLE model (P(w2|w1) = C(w1 w2)/C(w1 ·)), and
+    keep/drop against a threshold — the classic perplexity proxy for
+    LLM training-data curation, with the corpus itself as the LM.
+
+    JOIN-FREE plan: both model counts ride WINDOWS over the exploded
+    bigram rows (partition by bigram, then by history token), so the
+    model is never materialized or joined back — two shuffles of the
+    bigram stream total, each partially aggregated map-side. Exactness:
+    counts are integers, each ln term rounds to integer nano-nats
+    per-row, only integers sum across rows, and the keep/drop verdict
+    compares integers (sum >= n * threshold) — no float ever crosses a
+    row boundary, so the verdict is bit-stable at any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("__t"))
+        .select("doc_id", F.explode(shingles(2)).alias("shingle"))
+    )
+    c_bg = F.count("*").over(W.partitionBy("shingle"))
+    c_u = F.count("*").over(
+        W.partitionBy(F.split("shingle", " ").getItem(0))
+    )
+    term_nano = F.round(
+        F.log(c_bg.cast("double") / c_u) * F.lit(1e9)
+    ).cast("bigint")
+    scored = bg.select("doc_id", term_nano.alias("term_nano"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            (F.sum("term_nano").cast("double") / F.count("*")) / F.lit(1e9)
+        ).alias("avg_logprob"),
+        F.when(
+            F.sum("term_nano")
+            >= F.count("*") * F.lit(LM_KEEP_NANO).cast("bigint"),
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
