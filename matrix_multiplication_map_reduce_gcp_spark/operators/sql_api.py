@@ -338,3 +338,42 @@ def sql_pipe_syntax_revenue(spark, sf_dir):
         """,
         args={"minqty": 25},
     )
+
+
+@query(
+    "sql_scalar_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS disc_revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_scalar_udf_revenue(spark, sf_dir):
+    """Spark 4 SQL-defined scalar UDF (SPARK-46246, CREATE FUNCTION
+    ... RETURN expr): the discount formula lives as a reusable,
+    catalog-registered SQL function instead of a copy-pasted
+    expression — and because it is pure SQL, Catalyst INLINES it into
+    the plan (no Python, no serialization boundary, full codegen), so
+    it scales exactly like the hand-inlined expression the oracle
+    uses. The body keeps the repo's decimal discipline: exact decimal
+    math inside, one double cast after the SUM."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(25,4)
+        RETURN CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS disc_revenue,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

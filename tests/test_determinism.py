@@ -20,6 +20,15 @@ FLOAT_HEAVY = [
     "ann_brute_force_topk",
     "sql_cte_window_share",
     "power_iteration_2step",
+    # r4 float-emitting additions: nano-integer disciplines (KL, LM,
+    # chi-square), hash-keyed float ordering (weighted sample), and
+    # integer-ratio lift — each must hold bit-identical under AQE-like
+    # re-partitioning.
+    "lang_mixture_kl",
+    "lm_bigram_quality_scores",
+    "chi_square_contingency",
+    "weighted_sample_orders",
+    "market_basket_pairs",
 ]
 
 
