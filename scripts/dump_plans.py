@@ -109,6 +109,24 @@ SHOWCASE = [
         "integer-compare filter; the corpus is scanned once and never "
         "shuffled.",
     ),
+    (
+        "incident_impact_events",
+        "Interval-overlap join as a bin EQUI-join: incidents explode to "
+        "their <=2 epoch bins, candidates bucket map-side, residual "
+        "predicate after the hash join — never |errors| x |events|.",
+    ),
+    (
+        "market_basket_pairs",
+        "A-priori first pass: broadcast frequent-item prune BEFORE the "
+        "quadratic step, then one co-partitioned self-join on the basket "
+        "key; item supports ride the pair rows (no join-back).",
+    ),
+    (
+        "lm_bigram_quality_scores",
+        "Corpus-LM scoring with NO model join: both MLE counts are COUNT "
+        "windows over the exploded bigram rows (partition by bigram, then "
+        "by history token); integer nano-nat terms aggregate per doc.",
+    ),
 ]
 
 
