@@ -240,3 +240,40 @@ def variant_shredding_stats(spark, sf_dir):
         .cast("bigint")
         .alias("n_even"),
     )
+
+
+@query(
+    "try_arithmetic_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_custkey % 3 = 0) AS BIGINT)
+             AS n_div_by_zero,
+           CAST(SUM(CAST(ROUND(o_totalprice / NULLIF(o_custkey % 3, 0), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_safe_ratio,
+           CAST(COUNT(o_totalprice / NULLIF(o_custkey % 3, 0)) AS BIGINT)
+             AS n_ratio_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def try_arithmetic_semantics(spark, sf_dir):
+    """ANSI-mode error semantics (Spark 4 runs ANSI by default, where
+    x/0 THROWS): try_divide yields NULL-on-error instead — the form a
+    pipeline uses when bad denominators are data, not bugs. The oracle
+    expresses the identical semantics portably as x / NULLIF(d, 0)
+    (DuckDB has no try_ family). Each per-row double ratio is rounded
+    and summed in DECIMAL so the aggregate stays order-independent;
+    NULL rows fall out of both the SUM and the COUNT identically in
+    the two engines — pinning that the null-propagation contracts
+    agree, not just the happy path."""
+    o = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 3
+    ratio = F.try_divide(F.col("o_totalprice"), denom)
+    safe = F.round(ratio, 6).cast("decimal(18,6)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(denom == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.sum(safe).cast("double").alias("sum_safe_ratio"),
+        F.count(ratio).alias("n_ratio_rows"),
+    )
