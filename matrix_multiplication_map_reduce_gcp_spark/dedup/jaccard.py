@@ -29,14 +29,15 @@ from ..text.analysis import shingle_rows, sql_shingle_rows
 MAX_DF = 100
 
 
-def jaccard_pairs(
-    docs: DataFrame,
-    shingle_n: int = 3,
-    threshold: float = 0.2,
-    max_df: int = MAX_DF,
-) -> DataFrame:
-    """(doc_a, doc_b, inter, union_n, jaccard) for same-(lang,source)
-    pairs with Jaccard ≥ threshold over shingles with df ≤ max_df."""
+def _capped_intersections(docs, shingle_n: int, max_df: int):
+    """Shared candidate machinery for every exact pairwise measure:
+    df-capped blocked shingle space -> (inter, sizes), where inter is
+    one |S(a) ∩ S(b)| count per unordered same-(lang, source) pair and
+    sizes is each doc's |S| over the SAME filtered shingle space.
+    Jaccard and containment divide these counts differently, but the
+    blocking key, df cap, and distinct-shingle contract live here ONCE
+    (review r4: the copy-pasted pipelines could drift apart while both
+    still passed their own mirrored oracles)."""
     sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
     # Document frequency via a COUNT window on the same key the
     # self-join shuffles on — one shuffle that the join then reuses
@@ -48,19 +49,46 @@ def jaccard_pairs(
         .drop("df_count")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), "shingle", "lang", "source"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), "shingle", "lang", "source"
-    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", "lang", "source")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", "lang", "source")
     inter = (
         a.join(b, ["shingle", "lang", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    return inter, sizes
+
+
+def _sql_capped_intersections(shingle_n: int, max_df: int) -> str:
+    """DuckDB mirror of :func:`_capped_intersections` as CTE bodies
+    (defines sh_all/keep/sh/sizes/inter for the caller to extend)."""
+    return f"""sh_all AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
+    keep AS (
+      SELECT shingle, lang, source FROM sh_all
+      GROUP BY shingle, lang, source
+      HAVING COUNT(*) <= {max_df}),
+    sh AS (
+      SELECT s.* FROM sh_all s
+      JOIN keep k ON s.shingle = k.shingle AND s.lang = k.lang
+                 AND s.source = k.source),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                         AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, inter, union_n, jaccard) for same-(lang,source)
+    pairs with Jaccard ≥ threshold over shingles with df ≤ max_df."""
+    inter, sizes = _capped_intersections(docs, shingle_n, max_df)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     union_n = F.col("n_a") + F.col("n_b") - F.col("inter")
@@ -83,21 +111,7 @@ def sql_jaccard_pairs(
     shingle_n: int = 3, threshold: float = 0.2, max_df: int = MAX_DF
 ) -> str:
     return f"""
-    WITH sh_all AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
-    keep AS (
-      SELECT shingle, lang, source FROM sh_all
-      GROUP BY shingle, lang, source
-      HAVING COUNT(*) <= {max_df}),
-    sh AS (
-      SELECT s.* FROM sh_all s
-      JOIN keep k ON s.shingle = k.shingle AND s.lang = k.lang
-                 AND s.source = k.source),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-                         AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+    WITH {_sql_capped_intersections(shingle_n, max_df)}
     SELECT i.doc_a, i.doc_b, i.inter,
            sa.n_sh + sb.n_sh - i.inter AS union_n,
            CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
@@ -123,35 +137,21 @@ def containment_pairs(
     embedded in a long one has tiny |∩|/|∪| but containment ≈ 1 — so
     sub-document dedup needs the ASYMMETRIC measure (Broder's
     containment). Same df-capped blocked self-join as jaccard_pairs
-    (one intersect count per unordered pair), then each pair fans out
-    to its two directions and is filtered on the direction's own
-    denominator — no extra shuffle for the asymmetry."""
-    sh = shingle_rows(docs, n=shingle_n, keep_cols=("lang", "source"))
-    df_w = W.partitionBy("shingle", "lang", "source")
-    sh = (
-        sh.withColumn("df_count", F.count("*").over(df_w))
-        .filter(F.col("df_count") <= max_df)
-        .drop("df_count")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", "lang", "source")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", "lang", "source")
-    inter = (
-        a.join(b, ["shingle", "lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    (one intersect count per unordered pair, shared machinery in
+    _capped_intersections), then each pair fans out to its two
+    directions and is filtered on the direction's own denominator —
+    no extra shuffle for the asymmetry."""
+    inter, sizes = _capped_intersections(docs, shingle_n, max_df)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    both = inter.join(na, "doc_a").join(nb, "doc_b")
-    fwd = both.select(
+    sized = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = sized.select(
         F.col("doc_a").alias("contained"),
         F.col("doc_b").alias("container"),
         "inter",
         F.col("n_a").alias("n_contained"),
     )
-    rev = both.select(
+    rev = sized.select(
         F.col("doc_b").alias("contained"),
         F.col("doc_a").alias("container"),
         "inter",
@@ -172,21 +172,7 @@ def sql_containment_pairs(
     max_df: int = MAX_DF,
 ) -> str:
     return f"""
-    WITH sh_all AS ({sql_shingle_rows(shingle_n, keep_cols=("lang", "source"))}),
-    keep AS (
-      SELECT shingle, lang, source FROM sh_all
-      GROUP BY shingle, lang, source
-      HAVING COUNT(*) <= {max_df}),
-    sh AS (
-      SELECT s.* FROM sh_all s
-      JOIN keep k ON s.shingle = k.shingle AND s.lang = k.lang
-                 AND s.source = k.source),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-                         AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    WITH {_sql_capped_intersections(shingle_n, max_df)},
     sized AS (
       SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
       FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id

@@ -26,6 +26,7 @@ from ..matrix.fixtures import (
     sql_matrix_sparse,
 )
 from ..registry import query
+from ..sources.matrixgen import sql_gen_value
 
 # Shared SQL fragment: exact sum of products (mirrors CooMatrix.multiply).
 _SQL_DOT = (
@@ -223,12 +224,11 @@ def matrix_frobenius(spark, sf_dir):
 
 @query(
     "matrixgen_source_stats",
-    oracle="""
+    oracle=f"""
     WITH ij AS (
       SELECT a.range AS i, b.range AS j FROM range(60) a, range(60) b),
     vals AS (
-      SELECT i, j,
-             CAST(CONCAT('0x', substr(md5(CONCAT('m7|', i, '|', j)), 1, 8)) AS BIGINT) % 100 AS v
+      SELECT i, j, {sql_gen_value(7, 'i', 'j')} AS v
       FROM ij)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
            CAST(SUM(v) AS BIGINT) AS sum_v,

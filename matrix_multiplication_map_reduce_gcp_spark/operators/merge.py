@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable_hash import sql_hash32_unsalted
 from ..registry import query
 
 
@@ -61,6 +62,7 @@ def merge_upsert_orders(spark, sf_dir):
 # only — doubles and timestamps render engine-specifically inside
 # md5(concat(...)), integers and plain strings do not.
 _FP = "CONCAT(o_orderstatus, '|', CAST(o_custkey AS VARCHAR), '|', o_orderpriority)"
+_COIN = sql_hash32_unsalted("o_orderkey")
 
 
 @query(
@@ -68,7 +70,7 @@ _FP = "CONCAT(o_orderstatus, '|', CAST(o_custkey AS VARCHAR), '|', o_orderpriori
     oracle=f"""
     WITH h AS (
       SELECT o_orderkey,
-             CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS coin,
+             {_COIN} % 20 AS coin,
              o_orderstatus, o_custkey, o_orderpriority
       FROM orders),
     yesterday AS (

@@ -666,23 +666,8 @@ def zone_map_pruning_audit(spark, sf_dir):
     ).agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
-    probes = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("probe_id"),
-                    F.lit(lo).alias("lo"),
-                    F.lit(hi).alias("hi"),
-                )
-                for i, lo, hi in _ZM_PROBES
-            ]
-        )
-    ).alias("p")
-    pdf = (
-        load_table(spark, sf_dir, "region")
-        .limit(1)
-        .select(probes)
-        .select("p.*")
+    pdf = spark.createDataFrame(
+        list(_ZM_PROBES), "probe_id int, lo double, hi double"
     )
     scan = (
         pdf.join(

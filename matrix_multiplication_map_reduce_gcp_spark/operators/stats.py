@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec
+from ..functions.portable_hash import sql_hash32_unsalted
 from ..registry import query
 
 # Σ of decimal products stays exact: (12,2)×(12,2) → scale-4 decimals.
@@ -295,9 +296,7 @@ _WS_U = "4294967296.0"
       FROM keyed)
     SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
     FROM ranked WHERE rnk <= {_WS_K}
-    """.format(
-        h="CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)"
-    ),
+    """.format(h=sql_hash32_unsalted("o_orderkey")),
 )
 def weighted_sample_orders(spark, sf_dir):
     """Deterministic weighted sampling without replacement: top-5

@@ -78,16 +78,13 @@ def _build_source_class():
     return MatrixGenDataSource
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_matrixgen(spark: SparkSession) -> None:
-    """Register the matrixgen source on this session (idempotent)."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register the matrixgen source on this session. Registration
+    REPLACES any prior source of the same name, so calling again is
+    always safe — an id(spark)-keyed seen-set would be wrong here (a
+    GC'd session's id can be reused by a new session, which would then
+    silently skip registration)."""
     spark.dataSource.register(_build_source_class())
-    _REGISTERED.add(key)
 
 
 def gen_value(seed: int, i: int, j: int) -> int:

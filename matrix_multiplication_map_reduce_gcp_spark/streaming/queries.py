@@ -269,7 +269,12 @@ def stream_running_user_totals(spark, sf_dir):
     WITH ev AS (
       SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
       FROM events),
-    mx AS (SELECT MAX(ts) AS max_ts FROM ev)
+    mx AS (
+      SELECT LEAST(
+               MAX(CASE WHEN event_type = 'click' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+             ) AS wm_ts
+      FROM ev)
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,
            c.user_id AS user_id
     FROM ev c CROSS JOIN mx
@@ -277,7 +282,7 @@ def stream_running_user_totals(spark, sf_dir):
       ON c.user_id = p.user_id AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     WHERE c.event_type = 'click'
-      AND c.ts <= mx.max_ts - INTERVAL 45 MINUTE
+      AND c.ts <= mx.wm_ts - INTERVAL 45 MINUTE
     """,
 )
 def stream_outer_join_unmatched_clicks(spark, sf_dir):
@@ -288,12 +293,17 @@ def stream_outer_join_unmatched_clicks(spark, sf_dir):
     input (time-bound condition + watermarks let state expire).
 
     Null rows for a click are only guaranteed once the watermark
-    passes click_ts + 30 min; at end-of-stream the watermark rests at
-    max_ts - 5 min (the delay), so clicks inside the final ~35 min can
-    legitimately still be open. BOTH the returned result and the
-    oracle therefore restrict to clicks older than max_ts - 45 min
-    (10 min safety margin) — comparing exactly the region where the
-    outer semantics are decided."""
+    passes click_ts + 30 min; at end-of-stream the GLOBAL watermark is
+    the MINIMUM over both inputs' (max event time - 5 min delay) — a
+    click stream that goes quiet hours before the purchase stream
+    pins the watermark to the CLICK side's end, not the global max ts
+    (review r4: guarding on max-over-all-events silently withheld the
+    last click's null row whenever one stream ended >45 min before
+    the other). BOTH the returned result and the oracle therefore
+    restrict to clicks older than least(max click ts, max purchase
+    ts) - 45 min (10 min safety margin beyond delay+bound) —
+    comparing exactly the region where the outer semantics are
+    decided."""
     ev = events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -323,11 +333,17 @@ def stream_outer_join_unmatched_clicks(spark, sf_dir):
     out = run_to_table(joined, spark, "append")
     from ..catalog import load_table
 
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+    ev_b = load_table(spark, sf_dir, "events")
+    mx = ev_b.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("wm_ts")
+    )
     return (
         out.crossJoin(F.broadcast(mx))
         .filter(
-            F.col("c_ts") <= F.col("max_ts") - F.expr("INTERVAL 45 MINUTE")
+            F.col("c_ts") <= F.col("wm_ts") - F.expr("INTERVAL 45 MINUTE")
         )
         .select(
             "click_id", "purchase_id", F.col("c_user").alias("user_id")
