@@ -373,3 +373,56 @@ def weighted_median_price(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("p").alias("weighted_median_price"))
     )
+
+
+@query(
+    "ols_price_by_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+           sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)
+             AS intercept,
+           ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+    FROM s
+    """,
+)
+def ols_price_by_quantity(spark, sf_dir):
+    """Group-wise simple linear regression (price ~ quantity per
+    return flag): slope, intercept and R² all derived from the SAME
+    five exact decimal power sums as stats_price_moments — in-engine
+    ML-lite with ONE aggregation shuffle, no MLlib, no iteration. At
+    100 TB this is how you fit millions of per-group baselines (one
+    grouped pass), and the whole per-group float derivation happens on
+    a single aggregated row, so results are bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    slope = cov / varx
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (sy / n - slope * (sx / n)).alias("intercept"),
+        ((cov * cov) / (varx * (syy - sy * sy / n))).alias("r2"),
+    )
