@@ -5,6 +5,7 @@ rollups — the query shapes an engine's end users actually run daily.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -451,4 +452,137 @@ def event_pattern_match(spark, sf_dir):
         F.size(F.regexp_extract_all("journey", F.lit("v[^ep]*p"), 0))
         .cast("bigint")
         .alias("n_conversions"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           ROUND((CAST(rev_dec AS DOUBLE)
+                  - CAST(LAG(rev_dec) OVER w AS DOUBLE))
+                 / CAST(LAG(rev_dec) OVER w AS DOUBLE), 6) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+    """,
+)
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per priority — the canonical
+    time-comparative BI shape. Yearly totals stay DECIMAL (exact,
+    associative) through the aggregation AND through the LAG; the only
+    float op is one growth division per (priority, year) row, rounded
+    to 6. Scale: the window runs over the AGGREGATED year table
+    (O(priorities x years) rows), never the fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = W.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("rev_dec").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        F.col("yr").cast("bigint").alias("yr"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_dec").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+      FROM orders GROUP BY 1)
+    SELECT o_custkey,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_dec AS DOUBLE) AS monetary,
+           NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_dec, o_custkey) AS m_score
+    FROM agg
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency/frequency/monetary quintiles per
+    customer, the marketing-analytics staple. Determinism: every
+    NTILE rides a TOTAL order (metric, then custkey tiebreak), so
+    bucket boundaries cannot differ between engines or partitionings;
+    monetary accumulates in decimal. Scale: one groupBy shuffle over
+    orders, then three windows over the per-customer table; at 100 TB
+    the NTILE's single-partition sort runs over |customers| rows —
+    replace with percentile-bucket joins if even that is too wide."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary_dec"),
+    )
+    return agg.select(
+        "o_custkey",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(W.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary_dec", "o_custkey"))
+        .alias("m_score"),
+    )
+
+
+@query(
+    "event_path_trigrams_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             substr(event_type, 1, 1) AS ini
+      FROM events),
+    tri AS (
+      SELECT ini || LEAD(ini, 1) OVER w || LEAD(ini, 2) OVER w AS trigram
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT trigram, COUNT(*) AS n
+    FROM tri WHERE trigram IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 10
+    """,
+)
+def event_path_trigrams_topk(spark, sf_dir):
+    """Path mining: the 10 most common 3-event journeys across all
+    users (event types as initials, user-ordered by time). The trigram
+    build is two LEADs over ONE shared window sort per user — no
+    collect, no explode — then a bounded global count; top-k plans as
+    TakeOrderedAndProject (constant driver memory). The classic 'what
+    do users do next' analysis at scan-plus-one-window cost."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = F.concat(
+        F.col("ini"), F.lead("ini", 1).over(w), F.lead("ini", 2).over(w)
+    )
+    return (
+        ev.select(tri.alias("trigram"))
+        .filter(F.col("trigram").isNotNull())
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(10)
     )

@@ -209,3 +209,38 @@ def incident_impact_events(spark, sf_dir):
         F.coalesce(F.col("hit_n"), F.lit(0)).alias("n_impacted"),
         F.coalesce(F.col("hit_users"), F.lit(0)).alias("n_users"),
     )
+
+
+@query(
+    "event_change_points",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    marked AS (
+      SELECT event_id, user_id, value,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM ev)
+    SELECT event_id, user_id, value
+    FROM marked
+    WHERE prev IS NULL OR value != prev
+    """,
+)
+def event_change_points(spark, sf_dir):
+    """Change-capture / delta compression for time-series: keep only
+    the rows where a user's value CHANGED from the previous reading
+    (plus each user's first row). This is the storage-side dual of
+    LOCF — at 100 TB of sensor-style data the kept fraction is the
+    true information rate, and downstream LOCF reconstructs the
+    original exactly. One window shuffle on the user key; ordering
+    ties break on event_id, and the oracle orders over the µs-cast ts
+    so nanosecond fixtures agree with Spark's µs loader."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select("event_id", "user_id", "value", prev.alias("prev"))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .select("event_id", "user_id", "value")
+    )
