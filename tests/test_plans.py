@@ -106,3 +106,60 @@ def test_no_python_udfs_in_relational_paths(spark):
                  "ann_brute_force_topk", "lang_id_stopwords"):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_market_basket_prune_broadcasts(spark):
+    """The A-priori frequent-item prune must reach the basket rows as
+    a BROADCAST hash join (map-side), and the quadratic pair step must
+    be an EQUI-join on the basket key — never a cartesian. (At the
+    smoke SF, AQE legitimately broadcasts the tiny pair join too, so
+    the pin is equi-join-on-l_orderkey, not the physical strategy.)"""
+    plan = executed_plan(Q["market_basket_pairs"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join [l_orderkey" in plan  # the pair step keyed on the basket
+
+
+def test_incident_interval_join_is_equi(spark):
+    """The interval-overlap join must plan as an EQUI-join on the epoch
+    bin (+ residual filter) — the theta formulation would be a
+    nested-loop over |errors| x |events|."""
+    plan = executed_plan(Q["incident_impact_events"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 2  # bin equi-join + zero-impact left join
+
+
+def test_forward_asof_single_sort_per_key(spark):
+    """The forward as-of must be the union-sort shape: exactly ONE
+    window sort over the unioned stream, no join node at all."""
+    plan = executed_plan(Q["asof_forward_click_to_purchase"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_lm_scoring_has_no_model_join(spark):
+    """The corpus-LM scorer must ride windows, not materialize/join a
+    model table: no join node anywhere in the plan."""
+    plan = executed_plan(Q["lm_bigram_quality_scores"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 2  # bigram count + history count
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_rows(spark):
+    """The CDC diff's join must be a key equi-join (SMJ/SHJ after the
+    two snapshot projections) and the scan must prune to the key +
+    fingerprint columns only."""
+    df = Q["snapshot_diff_orders"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    for cols in read_schema_columns(df):
+        assert "o_totalprice" not in cols and "o_orderdate" not in cols, cols
+
+
+def test_path_trigrams_topk_take_ordered(spark):
+    """Path-mining top-k must end in TakeOrderedAndProject (constant
+    driver memory), with the trigram build as one shared window."""
+    plan = executed_plan(Q["event_path_trigrams_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 1
