@@ -586,3 +586,69 @@ def event_path_trigrams_topk(spark, sf_dir):
         .orderBy(F.desc("n"), "trigram")
         .limit(10)
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch
+      FROM events),
+    carried AS (
+      SELECT *,
+             LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM ev)
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase is credited
+    to the user's most recent preceding marketing touch (click/view);
+    purchases with no prior touch are 'direct'. The per-channel report
+    (count + attributed revenue) is what funds marketing budgets.
+
+    ONE window pass does the whole credit assignment: the touch column
+    is NULL except on touch events, and last_value(IGNORE NULLS) over
+    [unbounded, 1 preceding) carries the latest touch onto each
+    purchase — the same union-sort LOCF shape as the as-of join
+    (operators/asof.py) but fused into the event stream itself, so no
+    join and exactly one shuffle keyed by user_id. (ts, event_id)
+    makes the ordering total; revenue sums in exact decimal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "last_touch", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("attributed_value"),
+        )
+    )

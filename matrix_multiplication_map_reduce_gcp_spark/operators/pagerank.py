@@ -207,6 +207,96 @@ def triangle_count_suppliers(spark, sf_dir):
 STRONG_TIE_MIN = 5  # co-orders required for an edge to survive
 
 
+LPA_ROUNDS = 3
+
+_SQL_STRONG_EDGES = f"""
+    e0 AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {{strong_min}})
+"""
+
+_SQL_LPA_STEP = """
+    n{it} AS (
+      SELECT e.v AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l{prev} l ON e.u = l.node
+      GROUP BY 1, 2),
+    l{it} AS (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label) AS rn
+        FROM n{it}) WHERE rn = 1)"""
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH {_SQL_STRONG_EDGES.format(strong_min=STRONG_TIE_MIN)},
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0),
+    {','.join(_SQL_LPA_STEP.format(it=i, prev=i - 1) for i in range(1, 3 + 1))}
+    SELECT node AS suppkey, label AS community,
+           COUNT(*) OVER (PARTITION BY label) AS community_size
+    FROM l{3}
+    """,
+)
+def label_propagation_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the strong-tie co-supply graph: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties broken on the smaller label —
+    the deterministic variant (classic LPA breaks ties randomly, which
+    could never be oracle-checked).
+
+    Scale shape: each round is ONE equi-join of the edge list with the
+    n-row label table on the source vertex plus one (node, label)
+    count and a per-node argmax — the same join-groupBy-argmax round
+    as distributed LPA on any Pregel-style system, cost O(m) per
+    round. Labels and edges are localCheckpoint-ed so lineage stays
+    flat across the driver loop; the strong-tie sparsification (see
+    supplier_two_hop_reach) bounds m on the densifying co-occurrence
+    graph. 3 rounds fixed so the DuckDB oracle can unroll the
+    recursion into CTEs and hash-check every intermediate decision."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    e0 = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("k").alias("w"))
+        .filter(F.col("w") >= STRONG_TIE_MIN)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e0.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            e0.join(labels, e0.u == labels.node)
+            .groupBy(F.col("v").alias("vnode"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("vnode").orderBy(F.desc("c"), "label")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("suppkey"),
+        F.col("label").alias("community"),
+        F.count("*").over(W.partitionBy("label")).alias("community_size"),
+    )
+
+
 @query(
     "supplier_two_hop_reach",
     oracle=f"""

@@ -426,3 +426,77 @@ def ols_price_by_quantity(spark, sf_dir):
         (sy / n - slope * (sx / n)).alias("intercept"),
         ((cov * cov) / (varx * (syy - sy * sy / n))).alias("r2"),
     )
+
+
+N_HIST_BUCKETS = 10
+
+
+@query(
+    "equi_width_price_histogram",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      FROM lineitem),
+    stats AS (
+      SELECT MIN(xc) AS minc, MAX(xc) AS maxc, COUNT(*) AS total FROM cents),
+    bucketed AS (
+      SELECT LEAST({N_HIST_BUCKETS - 1},
+                   ((c.xc - s.minc) * {N_HIST_BUCKETS}) // (s.maxc - s.minc))
+               AS bucket,
+             s.minc, s.maxc, s.total
+      FROM cents c CROSS JOIN stats s)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(minc + (bucket * (maxc - minc)) // {N_HIST_BUCKETS} AS BIGINT)
+             AS lo_cents,
+           CAST(minc + ((bucket + 1) * (maxc - minc)) // {N_HIST_BUCKETS}
+                AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / MIN(total) AS frac
+    FROM bucketed
+    GROUP BY bucket, minc, maxc
+    """,
+)
+def equi_width_price_histogram(spark, sf_dir):
+    """10-bucket equi-width histogram of l_extendedprice — the
+    profiling primitive behind optimizer statistics and data-quality
+    dashboards, built the way it must be at 100 TB: pass 1 computes
+    global (min, max, count) — three partially-aggregated scalars —
+    which BROADCAST onto pass 2's map-only bucket assignment, followed
+    by one ≤10-group aggregate. No sort, no sampling, two scans.
+
+    All arithmetic is integer cents (prices enter on the exact
+    DECIMAL(12,2) grid): bucket ids and bucket bounds are integer
+    divisions, so both engines agree bit-for-bit; the only float is
+    the per-row frac = n/total of two integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select((dec("l_extendedprice") * 100).cast("bigint").alias("xc"))
+    stats = cents.agg(
+        F.min("xc").alias("minc"),
+        F.max("xc").alias("maxc"),
+        F.count("*").alias("total"),
+    )
+    bucketed = cents.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(N_HIST_BUCKETS - 1),
+            F.expr(f"((xc - minc) * {N_HIST_BUCKETS}) div (maxc - minc)"),
+        ).alias("bucket"),
+        "minc",
+        "maxc",
+        "total",
+    )
+    return bucketed.groupBy("bucket", "minc", "maxc").agg(
+        F.count("*").alias("n"), F.min("total").alias("total")
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("minc") + F.expr(f"(bucket * (maxc - minc)) div {N_HIST_BUCKETS}"))
+        .cast("bigint")
+        .alias("lo_cents"),
+        (
+            F.col("minc")
+            + F.expr(f"((bucket + 1) * (maxc - minc)) div {N_HIST_BUCKETS}")
+        )
+        .cast("bigint")
+        .alias("hi_cents"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("total")).alias("frac"),
+    )

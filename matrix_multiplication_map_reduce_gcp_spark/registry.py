@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "matrix_multiplication_map_reduce_gcp_spark.similarity.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.queries",
     "matrix_multiplication_map_reduce_gcp_spark.text.tfidf",
+    "matrix_multiplication_map_reduce_gcp_spark.text.curation",
     "matrix_multiplication_map_reduce_gcp_spark.text.bm25",
     "matrix_multiplication_map_reduce_gcp_spark.streaming.queries",
     "matrix_multiplication_map_reduce_gcp_spark.multimodal.queries",

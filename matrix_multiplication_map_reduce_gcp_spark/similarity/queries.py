@@ -596,3 +596,79 @@ def ann_ivfpq_topk(spark, sf_dir):
     return _pq.ivfpq_topk(
         load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
     )
+
+
+SEMDEDUP_TAU = 0.3  # within-cluster cosine threshold
+
+
+@query(
+    "semdedup_keep_list",
+    oracle=f"""
+    WITH {sql_lloyd_ctes()},
+    cells AS (
+      SELECT e.vec_id, a.k AS cell, e.embedding
+      FROM embeddings e JOIN a{kmeans.ITERATIONS} a ON e.vec_id = a.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {sql_cosine_rounded('a.embedding', 'b.embedding')}
+              >= {SEMDEDUP_TAU}),
+    labeled AS (
+      SELECT c.vec_id, c.cell, d.vec_id IS NOT NULL AS is_dup
+      FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id)
+    SELECT vec_id, cell, is_dup,
+           CASE WHEN is_dup THEN 'drop' ELSE 'keep' END AS verdict
+    FROM labeled
+    """,
+)
+def semdedup_keep_list(spark, sf_dir):
+    """SemDeDup (Abbas et al., 2023): semantic deduplication that
+    exact/MinHash dedup cannot see — paraphrases and re-renderings
+    land in the same k-means cell with high embedding cosine even
+    when they share no shingles. Cluster the corpus (the 2-round
+    integer-exact Lloyd trainer, similarity/kmeans.py), compare pairs
+    ONLY within a cell, and drop every vector that has a lower-id
+    in-cell neighbor with cosine ≥ τ — the paper's keep-one-per-group
+    policy made deterministic by the id order.
+
+    Scale shape: clustering is what makes semantic dedup tractable —
+    candidate pairs are Σ|cell|², bounded by the max cell size, never
+    n² (production runs K ≈ √n cells; K=8 here matches the fixture's
+    trainer). The pair join is an equi-join on cell id; the verdict
+    join is a broadcast of the dropped-id list. Cosine is the
+    per-pair rounded-exact fold (functions/vectors.py), so the oracle
+    hash-checks every similarity decision."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, _ = kmeans.lloyd(e)
+    v = as_double_array("embedding")
+    cells = e.join(a.select("vec_id", F.col("k").alias("cell")), "vec_id").select(
+        "vec_id", "cell", v.alias("vec")
+    )
+    from ..functions.vectors import cosine_rounded
+
+    lhs = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("vec").alias("va")
+    )
+    rhs = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    dropped = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_rounded(F.col("va"), F.col("vb")) >= F.lit(SEMDEDUP_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = cells.join(
+        F.broadcast(dropped.withColumn("__d", F.lit(True))), "vec_id", "left"
+    )
+    is_dup = F.coalesce(F.col("__d"), F.lit(False))
+    return flagged.select(
+        "vec_id",
+        "cell",
+        is_dup.alias("is_dup"),
+        F.when(is_dup, "drop").otherwise("keep").alias("verdict"),
+    )

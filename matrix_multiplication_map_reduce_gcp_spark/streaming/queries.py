@@ -384,3 +384,92 @@ def stream_complete_topk_users(spark, sf_dir):
     return out.select(
         "user_id", "n", F.col("tv").cast("double").alias("total_value")
     )
+
+
+@query(
+    "stream_cdc_upsert_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert_state(spark, sf_dir):
+    """foreachBatch upsert sink — the production pattern for
+    maintaining a keyed serving table from a stream when the target
+    system needs MERGE semantics Spark's built-in sinks don't offer.
+    Each micro-batch reduces to one row per user (count + latest
+    (ts, event_id, value) struct), then merges into the persisted
+    state by associative ops only: n_events adds, the latest-struct
+    takes a lexicographic max. Associativity is the correctness
+    argument: ANY micro-batch split of the input produces the same
+    final table (pinned against 1-batch vs 4-batch runs in
+    tests/test_streaming.py).
+
+    The state write is ping-pong (each batch writes state_{id} and
+    the next batch reads it back) — the swap-on-publish shape used
+    when the sink is a parquet/warehouse table, keeping every batch's
+    write atomic-by-rename instead of updating in place. At scale the
+    merge is one shuffle keyed by user_id per batch, sized by |keys|,
+    not stream length."""
+    return run_cdc_upsert(events_stream(spark, sf_dir), spark)
+
+
+def run_cdc_upsert(ev, spark):
+    """Drive the foreachBatch ping-pong upsert over stream ``ev`` to
+    completion (availableNow) and return the final keyed state as a
+    batch DataFrame. Split out of the registry entry so the batch-split
+    invariance test can feed the same sink 1-file and N-file streams."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    state: dict[str, str | None] = {"path": None}
+
+    def upsert(batch_df, batch_id):
+        b = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last"),
+        )
+        if state["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            b = (
+                prev.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last").alias("last"),
+                )
+            )
+        new_path = os.path.join(root, f"state_{batch_id}")
+        b.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.value").alias("last_value"),
+    )

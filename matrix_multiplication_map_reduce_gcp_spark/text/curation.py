@@ -1,0 +1,181 @@
+"""Corpus-curation operators: DSIR-style importance weighting and
+cross-source quality-score calibration.
+
+Both are selection policies for assembling an LLM pretraining mix —
+the step between raw-corpus quality signals (text/queries.py) and the
+mixture/sampling plans (text/queries.py domain_mixture_plan): decide
+HOW MUCH each document looks like the data you want, comparably
+across heterogeneous sources.
+
+Exactness discipline: every per-document number that crosses a row
+boundary is an integer (nano-nat log terms, rank counts); floats
+appear only in per-row final projections computed by an identical
+IEEE expression in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable_hash import hash32_unsalted, sql_hash32_unsalted
+from ..registry import query
+from .analysis import tokens
+
+# Hashed-feature model geometry. The DSIR paper uses 10^4 hashed
+# n-gram buckets; 128 keeps every bucket populated at the fixture's
+# corpus size while exercising the identical pipeline shape.
+DSIR_BUCKETS = 128
+# The "target" (wanted-distribution) slice: a curated-source proxy —
+# in production this is e.g. Wikipedia vs the raw Common Crawl.
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             {sql_hash32_unsalted("t.tok")} % {DSIR_BUCKETS} AS bucket
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)),
+    model AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE source IN {DSIR_TARGET_SOURCES}) AS ct,
+             COUNT(*) AS cr
+      FROM tok GROUP BY bucket),
+    totals AS (
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
+    ratios AS (
+      SELECT m.bucket,
+             CAST(ROUND(LN((CAST(m.ct AS DOUBLE) + 1.0)
+                           / (CAST(t.nt AS DOUBLE) + {DSIR_BUCKETS}.0)) * 1e9)
+                  AS BIGINT)
+             - CAST(ROUND(LN((CAST(m.cr AS DOUBLE) + 1.0)
+                             / (CAST(t.nr AS DOUBLE) + {DSIR_BUCKETS}.0)) * 1e9)
+                    AS BIGINT) AS diff_nano
+      FROM model m CROSS JOIN totals t)
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r.diff_nano) AS BIGINT) AS logweight_nano,
+           (CAST(SUM(r.diff_nano) AS DOUBLE) / COUNT(*)) / 1e9
+             AS avg_logratio,
+           CASE WHEN SUM(r.diff_nano) >= 0 THEN 'keep' ELSE 'drop' END
+             AS verdict
+    FROM tok k JOIN ratios r ON k.bucket = r.bucket
+    GROUP BY k.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by how much more likely its hashed
+    unigram features are under the TARGET distribution (a curated
+    source slice) than under the RAW corpus distribution —
+    log w(x) = Σ_tokens [ln p_target(b(tok)) − ln p_raw(b(tok))]
+    with Laplace-smoothed bucket probabilities over B=128 hashed
+    buckets. Positive log-weight ⇒ the doc looks target-like and is
+    kept (the deterministic thresholded variant of DSIR's importance
+    resampling).
+
+    Scale shape (the reason DSIR beats classifier filtering at 100 TB):
+    the "model" is a B-row table built by ONE map-side-combinable
+    count over the token stream, then rides as a broadcast join onto
+    the scoring pass — two linear scans of the corpus, no per-doc
+    Python, no model server. Exactness: each bucket's two ln() terms
+    round to integer nano-nats once (identical IEEE scalar ops on
+    identical integer inputs in both engines); only integers sum
+    across rows; the keep/drop verdict compares integers."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens()).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        (hash32_unsalted(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    model = tok.groupBy("bucket").agg(
+        F.count(F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    b = F.lit(float(DSIR_BUCKETS))
+    nano = lambda c, n: F.round(  # noqa: E731
+        F.log((c.cast("double") + F.lit(1.0)) / (n.cast("double") + b)) * F.lit(1e9)
+    ).cast("bigint")
+    ratios = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (nano(F.col("ct"), F.col("nt")) - nano(F.col("cr"), F.col("nr"))).alias(
+            "diff_nano"
+        ),
+    )
+    return (
+        tok.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("diff_nano").alias("logweight_nano"),
+            (
+                (F.sum("diff_nano").cast("double") / F.count("*")) / F.lit(1e9)
+            ).alias("avg_logratio"),
+            F.when(F.sum("diff_nano") >= 0, "keep")
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "quality_percentile_calibration",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             0.6 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.4 * (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100) AS quality
+      FROM s)
+    SELECT doc_id, source, quality,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS source_pctile,
+           CASE WHEN PERCENT_RANK() OVER (PARTITION BY source
+                                          ORDER BY quality, doc_id) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """,
+)
+def quality_percentile_calibration(spark, sf_dir):
+    """Cross-source quality calibration: a raw quality score is not
+    comparable across sources (a mediocre wiki page outscores a good
+    forum post), so production filters threshold on the WITHIN-SOURCE
+    percentile instead — keep each source's top half, preserving
+    source diversity that one global cutoff would destroy.
+
+    percent_rank is (rank−1)/(n−1) — two integers per row, so the
+    double is bit-identical in both engines; (quality, doc_id) makes
+    the sort total and tie-stable. Scale: one window shuffle keyed by
+    source; skewed mega-sources are the known caveat and would take
+    the two-pass rank (per-partition counts + broadcast offsets) —
+    here the window is the honest single-pass shape."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    n_tok = F.size(t)
+    n_dis = F.size(F.array_distinct(t))
+    quality = (
+        F.lit(0.6) * (n_dis.cast("double") / n_tok)
+        + F.lit(0.4) * (F.least(n_tok, F.lit(100)).cast("double") / 100)
+    )
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        pct.alias("source_pctile"),
+        F.when(pct >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )

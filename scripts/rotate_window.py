@@ -47,6 +47,13 @@ WINDOW = 50
 # first when capacity is short. Order matters; unknown names are
 # ignored (they fall out as rounds verify them).
 PRIORITY_HINTS = (
+    # Round-4 second-wave flagships: verify new capability the same
+    # round it ships (the r3 lesson — the PQ stack shipped a round
+    # before its first driver row).
+    "dsir_importance_weights", "semdedup_keep_list",
+    "label_propagation_communities", "stream_cdc_upsert_state",
+    "attribution_last_touch", "quality_percentile_calibration",
+    "equi_width_price_histogram",
     "ann_pq_rerank_topk", "ann_ivfpq_topk", "pq_codes", "ann_pq_adc_topk",
     "stream_running_user_totals", "stream_sliding_counts",
     "stream_static_enrich", "sorted_neighborhood_pairs", "dedup_keep_list",

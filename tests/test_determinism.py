@@ -29,6 +29,13 @@ FLOAT_HEAVY = [
     "chi_square_contingency",
     "weighted_sample_orders",
     "market_basket_pairs",
+    # r4 second-wave float emitters: broadcast-model log-ratio scoring
+    # (DSIR), within-source percent_rank calibration, decimal-summed
+    # attribution, integer-ratio histogram fractions.
+    "dsir_importance_weights",
+    "quality_percentile_calibration",
+    "attribution_last_touch",
+    "equi_width_price_histogram",
 ]
 
 

@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "market_basket_pairs",  # 1-row n_orders scalar for lift
     "zone_map_pruning_audit",  # 3-row literal probe table + 1-row total
     "domain_balanced_sample",  # broadcast per-domain quotas
+    "equi_width_price_histogram",  # 1-row (min, max, count) stats scalar
+    "dsir_importance_weights",  # 1-row (Nt, Nr) token-total scalar
 }
 
 # Python-eval nodes are allowed ONLY in the explicitly-Pandas

@@ -289,3 +289,45 @@ def test_tickgen_stream_source_exactly_once_across_restarts(spark, tmp_path):
         (r.tick_id, r.cents) for r in spark.read.parquet(out).collect()
     )
     assert rows == [(k, gen_cents(k)) for k in range(N_TOTAL)]
+
+
+def test_cdc_upsert_invariant_under_batch_splits(spark, two_batch_dir):
+    """The foreachBatch upsert state must be identical whether the
+    stream arrives as one micro-batch or many — the associativity
+    argument (count adds, latest-struct maxes) checked for real."""
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import run_cdc_upsert
+
+    flat, ev_batch = two_batch_dir
+    schema = ev_batch.schema
+
+    one = run_cdc_upsert(
+        spark.readStream.schema(schema).parquet(flat), spark
+    )
+    split = run_cdc_upsert(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat),
+        spark,
+    )
+    key = lambda r: r["user_id"]  # noqa: E731
+    rows_one = sorted((r.asDict() for r in one.collect()), key=key)
+    rows_split = sorted((r.asDict() for r in split.collect()), key=key)
+    assert rows_one == rows_split
+    # and it agrees with the batch answer
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    batch = (
+        ev_batch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(W.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    rows_batch = sorted((r.asDict() for r in batch.collect()), key=key)
+    assert rows_split == rows_batch
