@@ -171,3 +171,73 @@ def multimodal_image_dup_groups(spark, sf_dir):
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+VAD_THRESHOLD = 94.5  # mean-amplitude floor for an "active" window (median-ish)
+
+
+@query(
+    "audio_vad_segments",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id,
+             r.i // 256 AS window_idx,
+             ascii(substr(text, CAST(r.i + 1 AS INT), 1)) AS b
+      FROM documents, UNNEST(range(0, octet_length(encode(text)))) AS r(i)),
+    win AS (
+      SELECT doc_id, window_idx,
+             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_amplitude,
+             MAX(b) AS peak
+      FROM bytes GROUP BY 1, 2),
+    active AS (
+      SELECT doc_id, window_idx, peak,
+             window_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS island
+      FROM win WHERE mean_amplitude >= {VAD_THRESHOLD})
+    SELECT doc_id,
+           CAST(MIN(window_idx) AS INT) AS seg_start,
+           CAST(MAX(window_idx) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(peak) AS BIGINT) AS seg_peak
+    FROM active
+    GROUP BY doc_id, island
+    """,
+)
+def audio_vad_segments(spark, sf_dir):
+    """Voice-activity-style segmentation: windows whose mean
+    'amplitude' clears a floor are active, and maximal runs of
+    consecutive active windows become segments [seg_start, seg_end] —
+    the operator that turns raw audio into the utterance spans a
+    speech-training pipeline actually ingests. Decoding rides the
+    same Arrow-batched mapInPandas as multimodal_audio_windows (swap
+    the byte windows for a PCM codec read at the same seam); the
+    run-detection is the classic gaps-and-islands window_idx − row
+    _number() grouping, one window shuffle keyed by doc_id.
+
+    Exactness: window means are a single int/int division (identical
+    IEEE op in both engines) compared to a constant; everything that
+    crosses rows afterwards — island ids, bounds, peaks — is
+    integer."""
+    from pyspark.sql import Window as W
+
+    from .blobs import audio_window_features
+
+    d = load_table(spark, sf_dir, "documents")
+    win = audio_window_features(d)
+    active = win.filter(F.col("mean_amplitude") >= F.lit(VAD_THRESHOLD)).select(
+        "doc_id",
+        "window_idx",
+        F.col("peak_amplitude").alias("peak"),
+        (
+            F.col("window_idx")
+            - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("window_idx")
+            )
+        ).alias("island"),
+    )
+    return active.groupBy("doc_id", "island").agg(
+        F.min("window_idx").cast("int").alias("seg_start"),
+        F.max("window_idx").cast("int").alias("seg_end"),
+        F.count("*").alias("n_windows"),
+        F.max("peak").cast("long").alias("seg_peak"),
+    ).drop("island")

@@ -124,3 +124,56 @@ def hll_mergeable_counts(spark, sf_dir):
             ).alias("within_tolerance"),
         )
     )
+
+
+UNIVERSE_MOD = 10  # keep 1-in-10 of the key universe
+
+
+@query(
+    "universe_sample_join",
+    oracle=f"""
+    WITH su AS (
+      SELECT * FROM customer
+      WHERE {{h}} % {UNIVERSE_MOD} = 0),
+    se AS (
+      SELECT * FROM events
+      WHERE {{he}} % {UNIVERSE_MOD} = 0)
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM se e JOIN su c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """.format(
+        h="CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)",
+        he="CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)",
+    ),
+)
+def universe_sample_join(spark, sf_dir):
+    """Universe sampling (BlinkDB/Quickr): when a query JOINS two
+    sampled tables, independent Bernoulli samples are worthless — a
+    p% sample of each side keeps only p²% of join output and biases
+    every group. The fix is to sample the JOIN-KEY UNIVERSE with one
+    shared hash: keep a row iff hash(key) lands in the kept bucket
+    range, on BOTH tables. Then join-of-samples == sample-of-join
+    exactly over the kept universe, so per-segment activity profiles
+    computed on 10% of users are unbiased and internally consistent.
+
+    The sample predicates are map-side filters that reach the scan
+    (no shuffle spent on discarded rows) — at 100 TB this is the
+    difference between exploratory joins costing 1% and costing 100%.
+    The portable md5 hash makes the kept universe identical across
+    engines, so the oracle checks the exact kept-universe answer."""
+    from ..functions.portable_hash import hash32_unsalted
+
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    su = c.filter(hash32_unsalted(F.col("c_custkey")) % UNIVERSE_MOD == 0)
+    se = e.filter(hash32_unsalted(F.col("user_id")) % UNIVERSE_MOD == 0)
+    return (
+        se.join(su, se.user_id == su.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

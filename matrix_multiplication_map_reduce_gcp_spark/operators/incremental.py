@@ -93,3 +93,62 @@ def zorder_morton_keys(spark, sf_dir):
         .cast("bigint")
         .alias("morton"),
     )
+
+
+IVM_CUTOFF = "1999-01-01"
+
+
+@query(
+    "join_view_ivm",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_view_ivm(spark, sf_dir):
+    """Incremental maintenance of a JOIN view under inserts to BOTH
+    sides — the delta-join identity
+        (O ∪ ΔO) ⋈ (L ∪ ΔL) = O⋈L ∪ ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL
+    with orders/lineitem split into base (< 1999) and delta (≥ 1999)
+    batches. The maintained view is the union of the base join (the
+    already-materialized 100 TB asset) and the three delta joins,
+    each sized by the DELTA — the reason a daily refresh costs
+    |Δ|·(join fan-out) instead of a full recompute. The oracle IS the
+    full recompute, so the gate checks the identity itself: decimal
+    revenue partials make union-then-aggregate bit-equal to
+    recompute-then-aggregate under any partitioning.
+
+    At scale the three delta joins broadcast Δ when small and the
+    base join is never re-run — here all four run so the fixture
+    proves the algebra, aggregated to a per-flag digest."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    cut = F.lit(IVM_CUTOFF).cast("timestamp")
+    o_base, o_delta = o.filter(F.col("o_orderdate") < cut), o.filter(
+        F.col("o_orderdate") >= cut
+    )
+    l_base, l_delta = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+
+    def j(os, ls):
+        return os.join(ls, os.o_orderkey == ls.l_orderkey).select(
+            "l_returnflag", "l_extendedprice"
+        )
+
+    view = (
+        j(o_base, l_base)
+        .unionByName(j(o_delta, l_base))
+        .unionByName(j(o_base, l_delta))
+        .unionByName(j(o_delta, l_delta))
+    )
+    return view.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

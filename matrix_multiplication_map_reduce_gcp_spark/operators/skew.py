@@ -91,3 +91,69 @@ def skew_salted_hot_key_join(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.sum(dec("l_quantity")).cast("double").alias("qty"),
     )
+
+
+@query(
+    "shuffle_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             CAST(MAX(n_rows) AS BIGINT) AS max_key_rows
+      FROM per_key),
+    top AS (
+      SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rn
+      FROM per_key)
+    SELECT t.key, t.n_rows, CAST(t.rn AS INT) AS rank,
+           s.n_keys, s.total_rows, s.max_key_rows,
+           CAST(s.max_key_rows AS DOUBLE) * s.n_keys / s.total_rows
+             AS imbalance_factor
+    FROM top t CROSS JOIN summary s
+    WHERE t.rn <= 10
+    """,
+)
+def shuffle_skew_report(spark, sf_dir):
+    """Pre-flight skew diagnosis for a planned shuffle key — the
+    report you run BEFORE a 100 TB join to decide between plain
+    hash-join, AQE skew splitting, and manual salting: per-key row
+    counts, the top-10 heaviest keys, and the imbalance factor
+    max·|keys|/total (1.0 = perfectly uniform; the factor is how many
+    times longer the straggler partition runs than the average).
+
+    One map-side-combinable count per key, a TakeOrderedAndProject
+    top-10 (per-partition heaps, no global sort), and a 3-scalar
+    summary broadcast onto the 10 surviving rows. This operator is
+    the measured justification for the repo's salting thresholds
+    (skew_salted_hot_key_join, skew_salted_status_totals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    summary = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_key_rows"),
+    )
+    top = per_key.orderBy(F.desc("n_rows"), "key").limit(10)
+    from pyspark.sql import Window as W
+
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n_rows"), "key"))
+    )
+    return ranked.crossJoin(F.broadcast(summary)).select(
+        "key",
+        "n_rows",
+        "rank",
+        "n_keys",
+        F.col("total_rows").cast("long").alias("total_rows"),
+        "max_key_rows",
+        (
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("total_rows")
+        ).alias("imbalance_factor"),
+    )

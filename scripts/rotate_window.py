@@ -53,7 +53,8 @@ PRIORITY_HINTS = (
     "dsir_importance_weights", "semdedup_keep_list",
     "label_propagation_communities", "stream_cdc_upsert_state",
     "attribution_last_touch", "quality_percentile_calibration",
-    "equi_width_price_histogram",
+    "equi_width_price_histogram", "join_view_ivm", "universe_sample_join",
+    "shuffle_skew_report", "audio_vad_segments",
     "ann_pq_rerank_topk", "ann_ivfpq_topk", "pq_codes", "ann_pq_adc_topk",
     "stream_running_user_totals", "stream_sliding_counts",
     "stream_static_enrich", "sorted_neighborhood_pairs", "dedup_keep_list",

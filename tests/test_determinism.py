@@ -36,6 +36,8 @@ FLOAT_HEAVY = [
     "quality_percentile_calibration",
     "attribution_last_touch",
     "equi_width_price_histogram",
+    "join_view_ivm",
+    "shuffle_skew_report",
 ]
 
 

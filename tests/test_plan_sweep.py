@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "domain_balanced_sample",  # broadcast per-domain quotas
     "equi_width_price_histogram",  # 1-row (min, max, count) stats scalar
     "dsir_importance_weights",  # 1-row (Nt, Nr) token-total scalar
+    "shuffle_skew_report",  # 1-row (n_keys, total, max) summary scalar
 }
 
 # Python-eval nodes are allowed ONLY in the explicitly-Pandas

@@ -63,6 +63,7 @@ NS_SAFE_AUDITED = {
     "pit_feature_join",  # o_orderdate <= ts: truncation can't cross the date boundary; ts not emitted
     "stream_complete_topk_users",  # ts unused: per-user count + decimal value sum
     "variant_shredding_stats",  # ts unused: props-only extraction
+    "universe_sample_join",  # ts unused: hash-sampled user_id join, counts only
 }
 
 
