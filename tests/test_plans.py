@@ -163,3 +163,52 @@ def test_path_trigrams_topk_take_ordered(spark):
     plan = executed_plan(Q["event_path_trigrams_topk"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Window") == 1
+
+
+def test_dsir_model_join_broadcasts(spark):
+    """DSIR's per-token scoring join against the B-row log-ratio model
+    must be a broadcast hash join — the model travels to the tokens,
+    the token stream never shuffles for the join."""
+    plan = executed_plan(Q["dsir_importance_weights"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    """SemDeDup's candidate generation must be an equi-join on the
+    cell id (never a cross product), and the drop-list flag join must
+    broadcast."""
+    plan = executed_plan(Q["semdedup_keep_list"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_scan_prunes_to_price(spark):
+    """Both histogram passes must read ONLY l_extendedprice."""
+    df = Q["equi_width_price_histogram"].fn(spark, SF_SMOKE)
+    for cols in read_schema_columns(df):
+        assert cols == ["l_extendedprice"], cols
+
+
+def test_attribution_single_window_no_join(spark):
+    """Last-touch attribution fuses LOCF into the event stream: one
+    window pass, zero joins."""
+    plan = executed_plan(Q["attribution_last_touch"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_skew_report_topk_take_ordered(spark):
+    """The heavy-key top-10 must be per-partition heaps
+    (TakeOrderedAndProject), never a global sort of the key table."""
+    plan = executed_plan(Q["shuffle_skew_report"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_view_ivm_all_equi_joins(spark):
+    """All four IVM delta joins must be key equi-joins — no nested
+    loop anywhere in the maintained-view plan."""
+    plan = executed_plan(Q["join_view_ivm"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
