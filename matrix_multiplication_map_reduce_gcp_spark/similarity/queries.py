@@ -672,3 +672,125 @@ def semdedup_keep_list(spark, sf_dir):
         is_dup.alias("is_dup"),
         F.when(is_dup, "drop").otherwise("keep").alias("verdict"),
     )
+
+
+KNN_GRAPH_K = 5
+
+
+@query(
+    "knn_graph_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {sql_bucket_expr('embedding')} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id, embedding, UNNEST({sql_probe_buckets('bucket')}) AS probe
+      FROM bucketed),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst,
+             {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_sim
+      FROM probes q JOIN bucketed c
+        ON q.probe = c.bucket AND q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                   ORDER BY cos_sim DESC, dst) AS rank
+      FROM scored)
+    SELECT src, dst, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {KNN_GRAPH_K}
+    """,
+)
+def knn_graph_lsh(spark, sf_dir):
+    """Approximate k-NN GRAPH construction — every vector's top-5
+    neighbors, not just a query set's. The kNN graph is the substrate
+    for graph-based ANN serving (NN-Descent/HNSW build their layers
+    from exactly this) and for graph clustering over embeddings; at
+    corpus scale the only viable construction is candidate generation
+    by bucketing, and this one reuses the multi-probe SRP-LSH index:
+    every vector probes its own bucket plus the 8 one-bit-flip
+    neighbors (~9×n candidates spread over 256 buckets, never n²),
+    then an exact rounded cosine ranks the candidates per source.
+
+    Shuffle story: one narrow bucketing pass (map-only fold-dots),
+    one equi-join on bucket id, one per-src top-k window — identical
+    plan at 10⁹ vectors with more planes (buckets scale as 2^planes,
+    candidate volume as 9n²/2^planes). Per-vector recall is the
+    multi-probe recall pinned for the query-set variant; the graph
+    edges are hash-checked exactly."""
+    from .lsh import probe_buckets
+
+    e = bucketize(load_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        F.col("vec_id").alias("src"),
+        as_double_array("embedding").alias("qv"),
+        F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("dst"),
+        as_double_array("embedding").alias("cv"),
+        "bucket",
+    )
+    from ..functions.vectors import cosine_rounded
+
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+PROTO_DROP_PCTILE = 0.9  # drop the farthest 10% per cell
+
+
+@query(
+    "embedding_prototypicality",
+    oracle=f"""
+    WITH {sql_lloyd_ctes()},
+    ranked AS (
+      SELECT vec_id, k AS cell, dist,
+             PERCENT_RANK() OVER (PARTITION BY k
+                                  ORDER BY dist, vec_id) AS dist_pctile
+      FROM a{kmeans.ITERATIONS})
+    SELECT vec_id, cell, dist, dist_pctile,
+           CASE WHEN dist_pctile >= {PROTO_DROP_PCTILE}
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM ranked
+    """,
+)
+def embedding_prototypicality(spark, sf_dir):
+    """Prototypicality pruning (Sorscher et al., NeurIPS 2022 — 'Beyond
+    neural scaling laws'): rank every vector by its distance to its
+    k-means centroid and drop the farthest tail per cluster — the
+    embedding-space outliers that are disproportionately noise,
+    OCR garbage, or off-distribution scraps. The keep/drop percentile
+    is the data-pruning knob the paper sweeps.
+
+    Cost on top of clustering: ZERO extra passes — the exact integer
+    squared distance is already the by-product of the Lloyd
+    assignment (kmeans.py); ranking is one percent_rank window per
+    cell (two integers per row → bit-identical doubles). Cells are
+    size-bounded by K, so no window partition outgrows an
+    executor."""
+    from pyspark.sql import Window as W
+
+    a, _ = kmeans.lloyd(load_table(spark, sf_dir, "embeddings"))
+    w = W.partitionBy("k").orderBy("dist", "vec_id")
+    pct = F.percent_rank().over(w)
+    return a.select(
+        "vec_id",
+        F.col("k").alias("cell"),
+        "dist",
+        pct.alias("dist_pctile"),
+        F.when(pct >= PROTO_DROP_PCTILE, "drop").otherwise("keep").alias("verdict"),
+    )

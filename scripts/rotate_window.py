@@ -54,7 +54,8 @@ PRIORITY_HINTS = (
     "label_propagation_communities", "stream_cdc_upsert_state",
     "attribution_last_touch", "quality_percentile_calibration",
     "equi_width_price_histogram", "join_view_ivm", "universe_sample_join",
-    "shuffle_skew_report", "audio_vad_segments",
+    "shuffle_skew_report", "audio_vad_segments", "knn_graph_lsh",
+    "embedding_prototypicality",
     "ann_pq_rerank_topk", "ann_ivfpq_topk", "pq_codes", "ann_pq_adc_topk",
     "stream_running_user_totals", "stream_sliding_counts",
     "stream_static_enrich", "sorted_neighborhood_pairs", "dedup_keep_list",

@@ -38,6 +38,8 @@ FLOAT_HEAVY = [
     "equi_width_price_histogram",
     "join_view_ivm",
     "shuffle_skew_report",
+    "knn_graph_lsh",
+    "embedding_prototypicality",
 ]
 
 
