@@ -54,6 +54,14 @@ HEADLINE = [
     # interval-overlap join — the two heaviest new shuffle shapes.
     "market_basket_pairs",
     "incident_impact_events",
+    # r4 second wave: the new curation flagships — DSIR's two-pass
+    # broadcast-model scoring, SemDeDup's cell-bounded pair join, the
+    # all-corpus multi-probe kNN graph, and the 3-round LPA driver
+    # loop (the heaviest new iterative shape).
+    "dsir_importance_weights",
+    "semdedup_keep_list",
+    "knn_graph_lsh",
+    "label_propagation_communities",
 ]
 
 

@@ -652,3 +652,80 @@ def attribution_last_touch(spark, sf_dir):
             F.sum(dec("value")).cast("double").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "table_expectations_orders",
+    oracle="""
+    WITH scan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+               AS null_pk,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_pk,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F'))
+                  AS BIGINT) AS bad_status,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS nonpos_price,
+             CAST(COUNT(*) FILTER (
+               WHERE o_orderdate > TIMESTAMP '2002-01-01') AS BIGINT)
+               AS future_date
+      FROM orders),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)),
+    checks AS (
+      SELECT 'pk_not_null' AS check_name, null_pk AS n_violations FROM scan
+      UNION ALL SELECT 'pk_unique', dup_pk FROM scan
+      UNION ALL SELECT 'status_accepted_values', bad_status FROM scan
+      UNION ALL SELECT 'price_positive', nonpos_price FROM scan
+      UNION ALL SELECT 'date_not_future', future_date FROM scan
+      UNION ALL SELECT 'custkey_fk_customer', n FROM orphans)
+    SELECT check_name, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
+    FROM checks
+    """,
+)
+def table_expectations_orders(spark, sf_dir):
+    """A dbt-test / Great-Expectations-style data-contract report for
+    the orders table, produced the way it must be at 100 TB: ONE
+    conditional-aggregate scan covers not-null, uniqueness,
+    accepted-values, range, and freshness checks simultaneously
+    (six counters in a single partial-agg pass — not six scans), and
+    the referential check is one LEFT ANTI join against the broadcast
+    customer keys. Output is one row per check with a violation count
+    and verdict — the artifact a pipeline gates deploys on.
+    ('P' is deliberately outside the accepted status set so the
+    fixture exercises a failing check alongside passing ones.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    scan = o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_pk"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F"), 1)
+        ).alias("bad_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos_price"),
+        F.count(
+            F.when(
+                F.col("o_orderdate") > F.lit("2002-01-01").cast("timestamp"), 1
+            )
+        ).alias("future_date"),
+    )
+    orphans = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("n"))
+    checks = (
+        scan.select(F.lit("pk_not_null").alias("check_name"), F.col("null_pk").alias("n_violations"))
+        .unionByName(scan.select(F.lit("pk_unique").alias("check_name"), F.col("dup_pk").alias("n_violations")))
+        .unionByName(scan.select(F.lit("status_accepted_values").alias("check_name"), F.col("bad_status").alias("n_violations")))
+        .unionByName(scan.select(F.lit("price_positive").alias("check_name"), F.col("nonpos_price").alias("n_violations")))
+        .unionByName(scan.select(F.lit("date_not_future").alias("check_name"), F.col("future_date").alias("n_violations")))
+        .unionByName(orphans.select(F.lit("custkey_fk_customer").alias("check_name"), F.col("n").alias("n_violations")))
+    )
+    return checks.select(
+        "check_name",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, "pass").otherwise("fail").alias("verdict"),
+    )
