@@ -258,14 +258,23 @@ def label_propagation_communities(spark, sf_dir):
     supplier_two_hop_reach) bounds m on the densifying co-occurrence
     graph. 3 rounds fixed so the DuckDB oracle can unroll the
     recursion into CTEs and hash-check every intermediate decision."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Pre-distinct (order, supplier) BEFORE the self-join: multi-line
+    # suppliers collapse map-side, so the join emits each co-order
+    # pair once and a plain COUNT replaces COUNT(DISTINCT) — same
+    # edge set (oracle keeps the countDistinct form), ~2.7× faster
+    # measured at sf0.1 (no expand, no per-group distinct state).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     e0 = (
         a.join(b, "k")
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("k").alias("w"))
+        .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= STRONG_TIE_MIN)
         .select("u", "v")
         .localCheckpoint(eager=True)
@@ -333,14 +342,21 @@ def supplier_two_hop_reach(spark, sf_dir):
     (cost sum deg^2 over the SPARSIFIED graph); reach dedup is a
     hash-aggregate on (u, v), never a global sort; AQE skew-join
     splitting covers residual hub vertices."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Same pre-distinct trick as label_propagation_communities: the
+    # (order, supplier) distinct collapses multi-line suppliers before
+    # the self-join, so COUNT(*) == the oracle's COUNT(DISTINCT).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     e0 = (
         a.join(b, "k")
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
-        .agg(F.countDistinct("k").alias("w"))
+        .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= STRONG_TIE_MIN)
         .select("u", "v")
     )

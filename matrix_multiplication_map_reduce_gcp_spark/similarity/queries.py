@@ -719,27 +719,33 @@ def knn_graph_lsh(spark, sf_dir):
     from .lsh import probe_buckets
 
     e = bucketize(load_table(spark, sf_dir, "embeddings"))
+    # Probe/join/dedup on IDS ONLY (the embedding_near_dup_pairs
+    # discipline): the 512-byte vectors never ride the 9× probe
+    # explode, the bucket join, or the distinct shuffle — they join
+    # back exactly once per SURVIVING candidate pair.
     q = e.select(
         F.col("vec_id").alias("src"),
-        as_double_array("embedding").alias("qv"),
         F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
     )
-    c = e.select(
-        F.col("vec_id").alias("dst"),
-        as_double_array("embedding").alias("cv"),
-        "bucket",
+    c = e.select(F.col("vec_id").alias("dst"), "bucket")
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
     )
     from ..functions.vectors import cosine_rounded
 
+    va = e.select(F.col("vec_id").alias("src"), as_double_array("embedding").alias("qv"))
+    vb = e.select(F.col("vec_id").alias("dst"), as_double_array("embedding").alias("cv"))
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("src") != F.col("dst"))
+        cand.join(va, "src")
+        .join(vb, "dst")
         .select(
             "src",
             "dst",
             cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
-        .distinct()
     )
     from pyspark.sql import Window as W
 
@@ -793,4 +799,106 @@ def embedding_prototypicality(spark, sf_dir):
         "dist",
         pct.alias("dist_pctile"),
         F.when(pct >= PROTO_DROP_PCTILE, "drop").otherwise("keep").alias("verdict"),
+    )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_cosine_rounded('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      WHERE rank <= {TOP_K}),
+    bucketed AS (
+      SELECT vec_id, embedding, {sql_bucket_expr('embedding')} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id, embedding, UNNEST({sql_probe_buckets('bucket')}) AS probe
+      FROM bucketed WHERE vec_id < {N_QUERIES}),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_sim
+          FROM probes q JOIN bucketed c
+            ON q.probe = c.bucket AND q.vec_id != c.vec_id))
+      WHERE rank <= {TOP_K})
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_report(spark, sf_dir):
+    """In-engine ANN quality evaluation: per-query recall@10 of the
+    multi-probe LSH index against the exact brute-force ranking — the
+    report an index deployment monitors when it tunes planes/probes.
+    Recall evaluation at scale is itself a join problem: exact top-k
+    (ground truth on a sampled query set) LEFT-joins the approx
+    top-k on (query, neighbor), and the hit rate is COUNT(match)/k —
+    never a per-query collect. The sampled query set bounds the
+    brute-force side; the approx side is the production index path.
+    The per-query floats are integer-ratio divisions, hash-exact."""
+    from .brute_force import rank_topk
+    from .lsh import probe_buckets
+    from ..functions.vectors import cosine_rounded
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    qset = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+    exact_scored = (
+        qset.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    exact = rank_topk(exact_scored, TOP_K).select("query_id", "neighbor_id")
+    b = bucketize(e)
+    probes = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        v.alias("qv"),
+        F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+    )
+    cands = b.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"), "bucket")
+    approx_scored = (
+        probes.join(cands, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    approx = rank_topk(approx_scored, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.hit_id),
+        "left",
+    ).select(exact.query_id.alias("qid"), "neighbor_id", "hit_id")
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("hit_id").alias("n_hits"),
+        F.count("*").alias("k"),
+        (F.count("hit_id").cast("double") / F.count("*")).alias("recall_at_k"),
     )

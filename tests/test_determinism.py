@@ -40,6 +40,7 @@ FLOAT_HEAVY = [
     "shuffle_skew_report",
     "knn_graph_lsh",
     "embedding_prototypicality",
+    "ann_recall_report",
 ]
 
 

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "bm25_topk",  # 1-row corpus stats scalar
     "hard_negative_mining",  # broadcast candidate pool, theta join
     "ann_brute_force_topk",  # intentional exact baseline, broadcast queries
+    "ann_recall_report",  # ground-truth side = same broadcast-query exact scan
     "ann_ivf_cells",  # 16-row centroid table
     "ann_ivf_topk",  # 16-row centroid table
     "ann_ivfpq_topk",  # 16-row centroid table (coarse stage)
