@@ -716,9 +716,18 @@ def knn_graph_lsh(spark, sf_dir):
     candidate volume as 9n²/2^planes). Per-vector recall is the
     multi-probe recall pinned for the query-set variant; the graph
     edges are hash-checked exactly."""
+    return knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+def knn_graph(corpus, k: int = KNN_GRAPH_K):
+    """Core kNN-graph pipeline over (vec_id, embedding) — split from
+    the registry entry so quality gates can feed planted clustered
+    corpora (tests/test_quality_gates.py pins the recall floor there;
+    the fixture's random embeddings have no neighbor structure to
+    recall)."""
     from .lsh import probe_buckets
 
-    e = bucketize(load_table(spark, sf_dir, "embeddings"))
+    e = bucketize(corpus)
     # Probe/join/dedup on IDS ONLY (the embedding_near_dup_pairs
     # discipline): the 512-byte vectors never ride the 9× probe
     # explode, the bucket join, or the distinct shuffle — they join
@@ -752,7 +761,7 @@ def knn_graph_lsh(spark, sf_dir):
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .filter(F.col("rank") <= k)
     )
 
 

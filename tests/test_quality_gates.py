@@ -198,3 +198,72 @@ def test_ivfpq_recall_floor(spark):
     assert exact, "no exact neighbors — vacuous"
     recall = len(exact & got) / len(exact)
     assert recall >= 0.8, f"IVF-PQ recall collapsed to {recall:.2f}"
+
+
+def test_knn_graph_recall_floor_on_clustered_data(spark):
+    """kNN-graph construction must recover real neighbor structure:
+    on 4 planted 64-dim clusters (noise scale 0.03 → intra-cluster
+    cos ≈ 0.97) the multi-probe graph holds mean recall@5 ≥ 0.8 vs
+    exact, and essentially every edge stays inside its cluster. (The
+    shipped fixture's embeddings are unstructured, so recall there is
+    meaningless — which is precisely what ann_recall_report exists to
+    measure in production.)"""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.queries import knn_graph
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):
+        center = rng.normal(size=64)
+        center /= np.linalg.norm(center)
+        for i in range(25):
+            v = center + rng.normal(scale=0.03, size=64)
+            v /= np.linalg.norm(v)
+            rows.append((c * 25 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = knn_graph(df, 5).collect()
+    got: dict[int, set[int]] = {}
+    for r in edges:
+        got.setdefault(r.src, set()).add(r.dst)
+
+    V = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2)
+    recalls = []
+    for i, vid in enumerate(ids):
+        exact = {
+            ids[j]
+            for j in sorted(
+                range(len(ids)), key=lambda j: (-round(S[i, j], 6), ids[j])
+            )[:5]
+        }
+        recalls.append(len(got.get(vid, set()) & exact) / 5)
+    assert sum(recalls) / len(recalls) >= 0.8
+    same = sum(1 for r in edges if r.src // 25 == r.dst // 25) / len(edges)
+    assert same >= 0.98
+
+
+def test_prototypicality_drop_tail_is_farthest(spark):
+    """Per cell, every dropped vector must be at least as far from the
+    centroid as every kept one, and the drop fraction must be roughly
+    the configured 10% tail."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    rows = registry.load_all()["embedding_prototypicality"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_drop = sum(1 for r in rows if r.verdict == "drop")
+    assert 0 < n_drop < 0.25 * len(rows)
+    for cell, members in by_cell.items():
+        kept_max = max(
+            (r.dist for r in members if r.verdict == "keep"), default=-1
+        )
+        for r in members:
+            if r.verdict == "drop":
+                assert r.dist >= kept_max, (cell, r)
