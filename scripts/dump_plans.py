@@ -127,6 +127,36 @@ SHOWCASE = [
         "windows over the exploded bigram rows (partition by bigram, then "
         "by history token); integer nano-nat terms aggregate per doc.",
     ),
+    (
+        "dsir_importance_weights",
+        "DSIR: the hashed-bucket model is built by one partial-agged count "
+        "and rejoins the token stream as a BroadcastHashJoin — two linear "
+        "scans, the 'classifier' travels in the task closure.",
+    ),
+    (
+        "semdedup_keep_list",
+        "SemDeDup: pair candidates form ONLY inside a k-means cell (equi-"
+        "join on cell id after the map-only literal-centroid assignment); "
+        "the drop list broadcasts back for the verdict join.",
+    ),
+    (
+        "knn_graph_lsh",
+        "All-corpus kNN graph: 9x multi-probe explode, bucket equi-join and "
+        "distinct all carry IDS ONLY — vectors join back once per surviving "
+        "pair before the per-src top-k window.",
+    ),
+    (
+        "attribution_last_touch",
+        "Attribution with NO join: the marketing-touch LOCF rides one "
+        "IGNORE-NULLS window over the event stream itself; one Exchange "
+        "keyed by user, then a 3-row channel aggregate.",
+    ),
+    (
+        "table_expectations_orders",
+        "Six data-contract checks from one conditional-aggregate scan "
+        "(single Exchange of six counters) plus a broadcast anti-join for "
+        "the FK check — checks never multiply scans.",
+    ),
 ]
 
 
