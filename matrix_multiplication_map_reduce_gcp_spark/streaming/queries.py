@@ -473,3 +473,65 @@ def run_cdc_upsert(ev, spark):
         F.col("last.event_id").alias("last_event_id"),
         F.col("last.value").alias("last_value"),
     )
+
+
+@query(
+    "stream_funnel_stages",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM ev GROUP BY user_id)
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS stage_view,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END)
+        AS stage_click,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  AND t_purchase > t_click THEN 1 END) AS stage_purchase
+    FROM firsts
+    """,
+)
+def stream_funnel_stages(spark, sf_dir):
+    """The ordered view→click→purchase funnel computed ON A STREAM —
+    possible without any event-ordering state because the per-user
+    funnel reduces to three conditional MINs, which are commutative:
+    events may arrive in any order across micro-batches and the
+    per-user (t_view, t_click, t_purchase) triple converges to the
+    same values. Stage ordering is then pure arithmetic on the final
+    triple, evaluated on the completed sink. State is 3 timestamps
+    per user — bounded by |users|, independent of stream length; the
+    same trick is why funnel metrics can run continuously where
+    MATCH_RECOGNIZE-style sequence state cannot."""
+    ev = events_stream(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    out = run_to_table(firsts, spark, "complete")
+    return out.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("stage_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )

@@ -55,7 +55,7 @@ PRIORITY_HINTS = (
     "attribution_last_touch", "quality_percentile_calibration",
     "equi_width_price_histogram", "join_view_ivm", "universe_sample_join",
     "shuffle_skew_report", "audio_vad_segments", "knn_graph_lsh",
-    "embedding_prototypicality", "table_expectations_orders", "ann_recall_report",
+    "embedding_prototypicality", "table_expectations_orders", "ann_recall_report", "stream_funnel_stages",
     "ann_pq_rerank_topk", "ann_ivfpq_topk", "pq_codes", "ann_pq_adc_topk",
     "stream_running_user_totals", "stream_sliding_counts",
     "stream_static_enrich", "sorted_neighborhood_pairs", "dedup_keep_list",
