@@ -142,49 +142,117 @@ def update(q: DataFrame, a: DataFrame) -> DataFrame:
     )
 
 
-def lloyd(e: DataFrame, iterations: int = ITERATIONS):
+def lloyd(
+    e: DataFrame,
+    iterations: int = ITERATIONS,
+    k: int | None = None,
+    sample: int | None = None,
+):
     """Run ``iterations`` Lloyd rounds; returns (assignments,
-    centroids) DataFrames after the final round."""
-    qarr = quantized_arrays(e)
-    q = qarr.select("vec_id", F.posexplode("qv").alias("dim", "qx"))
-    cent_arr = qarr.filter(F.col("vec_id") < K).select(
+    centroids) DataFrames after the final round. ``k`` overrides the
+    default cluster count (SemDeDup scales it with corpus size).
+
+    ``sample`` switches to SAMPLED TRAINING (the pq.py posture, and
+    the only affordable one once K grows with n): rounds
+    1..iterations−1 assign and update over the deterministic sample
+    ``vec_id < sample`` only, and the FINAL round assigns the full
+    corpus against the trained centroids with no further update — so
+    the corpus pays one O(n·K·d) pass instead of one per iteration.
+    When the sample covers the corpus the result is bit-identical to
+    unsampled lloyd (final assignment is against the same
+    (iterations−1)-round centroids), which is why the gate-SF answers
+    don't change."""
+    kk = K if k is None else k
+    qarr_full = quantized_arrays(e)
+    qarr_train = (
+        qarr_full if sample is None else qarr_full.filter(F.col("vec_id") < sample)
+    )
+    q_train = qarr_train.select("vec_id", F.posexplode("qv").alias("dim", "qx"))
+    cent_arr = qarr_train.filter(F.col("vec_id") < kk).select(
         F.col("vec_id").alias("k"), F.col("qv").alias("cv")
     )
     a = None
-    for _ in range(iterations):
-        a = assign_arrays(qarr, cent_arr)
-        cents = update(q, a)
+    cents = None
+    for i in range(iterations):
+        last = i == iterations - 1
+        if sample is not None and last:
+            a = assign_arrays(qarr_full, cent_arr)
+            break
+        a = assign_arrays(qarr_train, cent_arr)
+        cents = update(q_train, a)
         cent_arr = _cent_arrays(cents)
     return a, cents
 
 
+# Corpus-adaptive cluster count: K(n) = max(K, floor(n / TARGET_CELL))
+# — the SemDeDup lever that keeps the within-cell pair cost bounded
+# (Σ|cell|² ≈ n·TARGET_CELL) as the corpus grows. At the gate SF
+# (n=500) this equals the default K=8, so the fixed-K trainer queries
+# and the adaptive consumers agree there.
+TARGET_CELL = 64
+# Deterministic training sample for adaptive-K runs: vec_id < 4096.
+# Training cost is O(sample·K·d·iters); only the final assignment
+# pass touches the corpus (once).
+TRAIN_SAMPLE = 4096
+
+
+def adaptive_k(n: int) -> int:
+    return min(max(K, n // TARGET_CELL), TRAIN_SAMPLE)
+
+
+def sql_adaptive_k() -> str:
+    """DuckDB scalar mirroring :func:`adaptive_k` over ``embeddings``."""
+    return (
+        f"(SELECT LEAST(GREATEST({K}, CAST(COUNT(*) // {TARGET_CELL} AS BIGINT)), "
+        f"{TRAIN_SAMPLE}) FROM embeddings)"
+    )
+
+
 # ---- DuckDB SQL mirror ----------------------------------------------------
 
-def sql_lloyd_ctes(iterations: int = ITERATIONS) -> str:
+def sql_lloyd_ctes(
+    iterations: int = ITERATIONS,
+    k_sql: str | None = None,
+    sample_sql: str | None = None,
+) -> str:
     """CTE chain q, c0, d1, a1, c1, d2, a2, c2, ... mirroring
-    :func:`lloyd` exactly."""
+    :func:`lloyd` exactly. ``k_sql`` overrides the seed-count SQL
+    expression (e.g. :func:`sql_adaptive_k`); ``sample_sql`` mirrors
+    sampled training (train rounds restricted to vec_id < sample,
+    final round assigning the full corpus, no final update)."""
+    kk = str(K) if k_sql is None else k_sql
     parts = [
         f"""q AS (
       SELECT vec_id, r.i AS dim,
              CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * {Q}) AS BIGINT)
                AS qx
       FROM embeddings, UNNEST(range(0, {N_DIMS})) AS r(i)),
-    c0 AS (SELECT vec_id AS k, dim, qx AS c FROM q WHERE vec_id < {K})""",
+    c0 AS (SELECT vec_id AS k, dim, qx AS c FROM q WHERE vec_id < {kk})""",
     ]
     for it in range(1, iterations + 1):
         prev = f"c{it - 1}"
+        last = it == iterations
+        train_filter = (
+            f" AND q.vec_id < {sample_sql}"
+            if sample_sql is not None and not last
+            else ""
+        )
         parts.append(
             f"""d{it} AS (
       SELECT q.vec_id, c.k,
              CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS dist
-      FROM q JOIN {prev} c ON q.dim = c.dim
+      FROM q JOIN {prev} c ON q.dim = c.dim{train_filter}
       GROUP BY 1, 2),
     a{it} AS (
       SELECT vec_id, k, dist FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY dist, k) AS rn
-        FROM d{it}) WHERE rn = 1),
-    c{it} AS (
+        FROM d{it}) WHERE rn = 1)"""
+        )
+        if sample_sql is not None and last:
+            break  # sampled mode: no update after the full assignment
+        parts.append(
+            f"""c{it} AS (
       SELECT a.k, q.dim,
              CAST((SUM(q.qx) - ((SUM(q.qx) % COUNT(*)) + COUNT(*)) % COUNT(*))
                   / COUNT(*) AS BIGINT) AS c

@@ -604,7 +604,7 @@ SEMDEDUP_TAU = 0.3  # within-cluster cosine threshold
 @query(
     "semdedup_keep_list",
     oracle=f"""
-    WITH {sql_lloyd_ctes()},
+    WITH {sql_lloyd_ctes(k_sql=kmeans.sql_adaptive_k(), sample_sql=str(kmeans.TRAIN_SAMPLE))},
     cells AS (
       SELECT e.vec_id, a.k AS cell, e.embedding
       FROM embeddings e JOIN a{kmeans.ITERATIONS} a ON e.vec_id = a.vec_id),
@@ -633,14 +633,24 @@ def semdedup_keep_list(spark, sf_dir):
     policy made deterministic by the id order.
 
     Scale shape: clustering is what makes semantic dedup tractable —
-    candidate pairs are Σ|cell|², bounded by the max cell size, never
-    n² (production runs K ≈ √n cells; K=8 here matches the fixture's
-    trainer). The pair join is an equi-join on cell id; the verdict
-    join is a broadcast of the dropped-id list. Cosine is the
-    per-pair rounded-exact fold (functions/vectors.py), so the oracle
-    hash-checks every similarity decision."""
+    candidate pairs are Σ|cell|², so the cluster count MUST grow with
+    the corpus: K(n) = max(8, n/64) on both engines (the DuckDB seed
+    count is the same scalar subquery), keeping the pair volume at
+    ~n·64 instead of n²/K. And because flat Lloyd training is
+    O(n·K·d) per round, centroids train on the deterministic
+    vec_id < 4096 sample (the pq.py posture) with ONE full-corpus
+    assignment pass at the end. The r4 sf1 probe measured the
+    fixed-K=8 version at 48× wall for 10× data and full-corpus
+    adaptive-K training at another ~3×; both levers together are
+    what the paper (and any production run) turns. The pair join
+    is an equi-join on cell id; the verdict join is a broadcast of
+    the dropped-id list. Cosine is the per-pair rounded-exact fold
+    (functions/vectors.py), so the oracle hash-checks every
+    similarity decision."""
     e = load_table(spark, sf_dir, "embeddings")
-    a, _ = kmeans.lloyd(e)
+    a, _ = kmeans.lloyd(
+        e, k=kmeans.adaptive_k(e.count()), sample=kmeans.TRAIN_SAMPLE
+    )
     v = as_double_array("embedding")
     cells = e.join(a.select("vec_id", F.col("k").alias("cell")), "vec_id").select(
         "vec_id", "cell", v.alias("vec")
