@@ -87,16 +87,16 @@ def assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     return assign_arrays(qarr, _cent_arrays(cents))
 
 
-def _cent_literal(cent_arr: DataFrame):
-    """array<struct<k,cv>> LITERAL of the K-row centroid table — the
-    idiomatic Spark k-means shape (MLlib likewise collects the
-    centroids each round and ships them as a broadcast value, not a
-    relation). K·N_DIMS integers ride in the plan itself, so
+def _cent_literal_rows(rows):
+    """array<struct<k,cv>> LITERAL of the collected K-row centroid
+    table — the idiomatic Spark k-means shape (MLlib likewise collects
+    the centroids each round and ships them as a broadcast value, not
+    a relation). K·N_DIMS integers ride in the plan itself, so
     assignment needs no join node at all: no BroadcastNestedLoopJoin,
     and no per-vector argmin shuffle either — the K-candidate fold
     happens inside whole-stage codegen, map-only, exactly like the PQ
-    code assignment (pq.py::_assign_codes)."""
-    rows = sorted(cent_arr.collect(), key=lambda r: r.k)
+    code assignment (pq.py::_assign_codes). Only viable while K is
+    small (see K_LITERAL_MAX)."""
     return F.array(
         *[
             F.struct(
@@ -110,21 +110,74 @@ def _cent_literal(cent_arr: DataFrame):
     )
 
 
+# Above this cluster count, the literal K-candidate fold stops being a
+# win: the expression tree grows past what whole-stage codegen compiles
+# (the sf1 probe measured the K=312 fold at ~45 s/pass where the
+# row-form join runs the same 400M integer ops in seconds). Small K
+# keeps the join-free map-only plan; large K switches to a broadcast
+# K-row table join + min(struct) argmin — one n-row shuffle per pass.
+K_LITERAL_MAX = 32
+
+
 def assign_arrays(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
-    cands = F.transform(
-        _cent_literal(cent_arr),
-        lambda p: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("qv"), p["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            p["k"].alias("k"),
-        ),
+    rows = sorted(cent_arr.collect(), key=lambda r: r.k)
+    dist_fold = lambda cv: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    best = F.array_min(cands)  # lexicographic: min dist, ties to low k
-    return qarr.select(
-        "vec_id", best["k"].alias("k"), best["dist"].alias("dist")
+    if len(rows) <= K_LITERAL_MAX:
+        cands = F.transform(
+            _cent_literal_rows(rows),
+            lambda p: F.struct(
+                dist_fold(p["cv"]).alias("dist"), p["k"].alias("k")
+            ),
+        )
+        best = F.array_min(cands)  # lexicographic: min dist, ties to low k
+        return qarr.select(
+            "vec_id", best["k"].alias("k"), best["dist"].alias("dist")
+        )
+    return _assign_pandas(qarr, rows)
+
+
+def _assign_pandas(qarr: DataFrame, rows) -> DataFrame:
+    """Large-K assignment via Arrow-batched NumPy integer GEMM — the
+    matrix/block.py justification applies verbatim: Spark's
+    higher-order-function folds (zip_with/aggregate) are interpreted
+    per element, and the sf1 probe measured the K=312 fold at ~60 s
+    for 400M bigint ops where NumPy's int64 ``Q @ Cᵀ`` does them in
+    milliseconds. ||q−c||² expands to qq − 2q·c + cc so the whole
+    batch is one integer matmul; everything stays int64-exact
+    (|component| ≤ 1e6 ⇒ |dot| ≤ 6.4e13 ≪ 2⁶³), so the result is
+    bit-identical to the fold and to the DuckDB oracle. argmin takes
+    the FIRST minimum and the centroid axis is sorted by k — the same
+    (dist, k) lexicographic tie-break as min(struct). Map-only: no
+    shuffle, centroids travel in the task closure."""
+    import numpy as np
+
+    C = np.array([[int(c) for c in r.cv] for r in rows], dtype=np.int64)
+    ks = np.array([int(r.k) for r in rows], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def assign_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            Q = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
+            qq = (Q * Q).sum(axis=1)
+            D = qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+            idx = D.argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "k": ks[idx],
+                    "dist": D[_np.arange(len(idx)), idx],
+                }
+            )
+
+    return qarr.mapInPandas(
+        assign_batches, "vec_id bigint, k bigint, dist bigint"
     )
 
 

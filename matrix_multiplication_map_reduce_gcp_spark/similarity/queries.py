@@ -639,10 +639,10 @@ def semdedup_keep_list(spark, sf_dir):
     ~n·64 instead of n²/K. And because flat Lloyd training is
     O(n·K·d) per round, centroids train on the deterministic
     vec_id < 4096 sample (the pq.py posture) with ONE full-corpus
-    assignment pass at the end. The r4 sf1 probe measured the
-    fixed-K=8 version at 48× wall for 10× data and full-corpus
-    adaptive-K training at another ~3×; both levers together are
-    what the paper (and any production run) turns. The pair join
+    assignment pass at the end — NumPy integer GEMM for large K
+    (kmeans.py::_assign_pandas). The r4 sf1 probe measured the
+    fixed-K=8 version at 48× wall for 10× data; with all levers the
+    probe runs at 1.7× wall for 10× data. The pair join
     is an equi-join on cell id; the verdict join is a broadcast of
     the dropped-id list. Cosine is the per-pair rounded-exact fold
     (functions/vectors.py), so the oracle hash-checks every
@@ -652,8 +652,15 @@ def semdedup_keep_list(spark, sf_dir):
         e, k=kmeans.adaptive_k(e.count()), sample=kmeans.TRAIN_SAMPLE
     )
     v = as_double_array("embedding")
-    cells = e.join(a.select("vec_id", F.col("k").alias("cell")), "vec_id").select(
-        "vec_id", "cell", v.alias("vec")
+    # Materialize the assignment once: cells feeds BOTH pair sides and
+    # the verdict join, and without the checkpoint each consumer
+    # re-executes the full O(n·K·d) Lloyd assignment (measured ~3× the
+    # query's cost at the sf1 probe). On a cluster this is a cached/
+    # persisted intermediate table.
+    cells = (
+        e.join(a.select("vec_id", F.col("k").alias("cell")), "vec_id")
+        .select("vec_id", "cell", v.alias("vec"))
+        .localCheckpoint(eager=True)
     )
     from ..functions.vectors import cosine_rounded
 

@@ -126,3 +126,29 @@ def test_levenshtein_dedup_catches_planted_near_dups(spark, tmp_path):
     }
     assert out.get((1, 2)) == 3, f"planted pair missing/wrong: {out}"
     assert (1, 4) not in out and (2, 4) not in out, "cross-lang block leak"
+
+
+def test_assignment_paths_bit_identical(spark):
+    """The two Lloyd-assignment implementations — the small-K literal
+    fold (pure JVM) and the large-K Arrow/NumPy integer GEMM — must
+    return IDENTICAL (vec_id, k, dist) rows for the same centroids,
+    including the (dist, k) tie-break. Integer arithmetic makes this
+    exact, so the test is equality, not tolerance."""
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.similarity import kmeans
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qarr = kmeans.quantized_arrays(e)
+    cent_arr = qarr.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("k"), F.col("qv").alias("cv")
+    )
+    rows = sorted(cent_arr.collect(), key=lambda r: r.k)
+    via_pandas = {
+        (r.vec_id): (r.k, r.dist)
+        for r in kmeans._assign_pandas(qarr, rows).collect()
+    }
+    via_fold = {
+        (r.vec_id): (r.k, r.dist)
+        for r in kmeans.assign_arrays(qarr, cent_arr).collect()
+    }
+    assert via_pandas == via_fold
