@@ -13,9 +13,13 @@ from ..functions.exact import dec
 from ..registry import query
 
 
-@query(
-    "funnel_view_click_purchase",
-    oracle="""
+# The ordered view→click→purchase funnel is computed identically over
+# the batch events table and the events STREAM (streaming/queries.py::
+# stream_funnel_stages): the per-user triple of conditional MINs is
+# commutative, so the same two aggregation stages apply to both. The
+# oracle and both Spark stages live HERE so batch and streaming funnel
+# semantics cannot drift apart.
+FUNNEL_ORACLE = """
     WITH ev AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
     firsts AS (
@@ -31,20 +35,25 @@ from ..registry import query
       COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                   AND t_purchase > t_click THEN 1 END) AS stage_purchase
     FROM firsts
-    """,
-)
-def funnel_view_click_purchase(spark, sf_dir):
-    """Ordered funnel: users whose first view precedes their first
-    click precedes their first purchase. One conditional-min
-    aggregation pass — no self-joins."""
-    e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
+    """
+
+
+def funnel_firsts(events):
+    """(user_id, t_view, t_click, t_purchase) — per-user first
+    timestamp of each stage, as three conditional MINs (commutative,
+    hence stream-safe)."""
+    return events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
             "t_purchase"
         ),
     )
+
+
+def funnel_stage_counts(firsts):
+    """One-row stage report from the per-user triple: a user counts
+    toward a stage only if every earlier stage strictly precedes it."""
     return firsts.agg(
         F.count("*").alias("n_users"),
         F.count("t_view").alias("stage_view"),
@@ -60,6 +69,15 @@ def funnel_view_click_purchase(spark, sf_dir):
             )
         ).alias("stage_purchase"),
     )
+
+
+@query("funnel_view_click_purchase", oracle=FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users whose first view precedes their first
+    click precedes their first purchase. One conditional-min
+    aggregation pass — no self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    return funnel_stage_counts(funnel_firsts(e))
 
 
 @query(
@@ -716,14 +734,20 @@ def table_expectations_orders(spark, sf_dir):
     orphans = o.join(
         F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
     ).agg(F.count("*").alias("n"))
-    checks = (
-        scan.select(F.lit("pk_not_null").alias("check_name"), F.col("null_pk").alias("n_violations"))
-        .unionByName(scan.select(F.lit("pk_unique").alias("check_name"), F.col("dup_pk").alias("n_violations")))
-        .unionByName(scan.select(F.lit("status_accepted_values").alias("check_name"), F.col("bad_status").alias("n_violations")))
-        .unionByName(scan.select(F.lit("price_positive").alias("check_name"), F.col("nonpos_price").alias("n_violations")))
-        .unionByName(scan.select(F.lit("date_not_future").alias("check_name"), F.col("future_date").alias("n_violations")))
-        .unionByName(orphans.select(F.lit("custkey_fk_customer").alias("check_name"), F.col("n").alias("n_violations")))
-    )
+    labeled = [
+        ("pk_not_null", scan, "null_pk"),
+        ("pk_unique", scan, "dup_pk"),
+        ("status_accepted_values", scan, "bad_status"),
+        ("price_positive", scan, "nonpos_price"),
+        ("date_not_future", scan, "future_date"),
+        ("custkey_fk_customer", orphans, "n"),
+    ]
+    checks = None
+    for name, src, col in labeled:
+        row = src.select(
+            F.lit(name).alias("check_name"), F.col(col).alias("n_violations")
+        )
+        checks = row if checks is None else checks.unionByName(row)
     return checks.select(
         "check_name",
         "n_violations",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable_hash import sql_hash32_unsalted
 from ..registry import query
 
 
@@ -144,8 +145,8 @@ UNIVERSE_MOD = 10  # keep 1-in-10 of the key universe
     FROM se e JOIN su c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """.format(
-        h="CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)",
-        he="CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)",
+        h=sql_hash32_unsalted("c_custkey"),
+        he=sql_hash32_unsalted("user_id"),
     ),
 )
 def universe_sample_join(spark, sf_dir):

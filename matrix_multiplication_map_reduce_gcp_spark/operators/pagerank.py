@@ -235,10 +235,10 @@ _SQL_LPA_STEP = """
     oracle=f"""
     WITH {_SQL_STRONG_EDGES.format(strong_min=STRONG_TIE_MIN)},
     l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0),
-    {','.join(_SQL_LPA_STEP.format(it=i, prev=i - 1) for i in range(1, 3 + 1))}
+    {','.join(_SQL_LPA_STEP.format(it=i, prev=i - 1) for i in range(1, LPA_ROUNDS + 1))}
     SELECT node AS suppkey, label AS community,
            COUNT(*) OVER (PARTITION BY label) AS community_size
-    FROM l{3}
+    FROM l{LPA_ROUNDS}
     """,
 )
 def label_propagation_communities(spark, sf_dir):

@@ -164,9 +164,10 @@ def _assign_pandas(qarr: DataFrame, rows) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
-            Q = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
-            qq = (Q * Q).sum(axis=1)
-            D = qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+            # Qm, not Q: the module-level Q is the 1e-6 quantization grid.
+            Qm = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
+            qq = (Qm * Qm).sum(axis=1)
+            D = qq[:, None] - 2 * (Qm @ C.T) + cc[None, :]
             idx = D.argmin(axis=1)
             yield _pd.DataFrame(
                 {

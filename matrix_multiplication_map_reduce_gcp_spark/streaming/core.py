@@ -7,11 +7,32 @@ or native micros), so streaming and batch results are comparable.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SINK_IDS = itertools.count()
+
+
+@contextlib.contextmanager
+def small_shuffle(spark: SparkSession, n: int = 8):
+    """Run the enclosed streaming query with a small shuffle-partition
+    count, restoring the session value afterwards.
+
+    Stateful streaming pays a fixed per-partition state-store cost
+    every micro-batch (and AQE is disabled in streaming, so the
+    session's shuffle.partitions applies verbatim) — so streams over
+    the test fixtures run with a partition count sized for them.
+    Results are exact aggregates, unaffected by partitioning. Shared
+    by every stream driver (memory sink + foreachBatch sinks) so the
+    save/set/restore discipline lives in one place."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -42,16 +63,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     """Drive a streaming query to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
-
-    Stateful streaming pays a fixed per-partition state-store cost
-    every micro-batch (and AQE is disabled in streaming, so the
-    session's shuffle.partitions applies verbatim) — run the stream
-    with a small partition count sized for the test fixtures, then
-    restore. Results are exact aggregates, unaffected by partitioning."""
+    Runs under :func:`small_shuffle` (see its docstring)."""
     name = f"stream_sink_{next(_SINK_IDS)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with small_shuffle(spark):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -60,6 +74,4 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) ->
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

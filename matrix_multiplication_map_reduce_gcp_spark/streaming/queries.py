@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
+from ..operators.analytics import FUNNEL_ORACLE, funnel_firsts, funnel_stage_counts
 from ..registry import query
 from .core import events_stream, run_to_table
 
@@ -428,9 +429,20 @@ def run_cdc_upsert(ev, spark):
     """Drive the foreachBatch ping-pong upsert over stream ``ev`` to
     completion (availableNow) and return the final keyed state as a
     batch DataFrame. Split out of the registry entry so the batch-split
-    invariance test can feed the same sink 1-file and N-file streams."""
+    invariance test can feed the same sink 1-file and N-file streams.
+
+    The ping-pong snapshots live in a temp dir for the duration of the
+    run only: each batch deletes the snapshot it superseded (the write
+    of state_{n} is the action that consumed state_{n-1}), and the
+    final state is localCheckpoint-ed off the parquet before the whole
+    dir is removed — repeated bench/test runs leave nothing in /tmp.
+    In production this sink writes a warehouse table; swap-on-publish
+    there means the table's previous version, not a temp file."""
     import os
+    import shutil
     import tempfile
+
+    from .core import small_shuffle
 
     root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
     state: dict[str, str | None] = {"path": None}
@@ -440,8 +452,9 @@ def run_cdc_upsert(ev, spark):
             F.count("*").alias("n_events"),
             F.max(F.struct("ts", "event_id", "value")).alias("last"),
         )
-        if state["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(state["path"])
+        old = state["path"]
+        if old is not None:
+            prev = batch_df.sparkSession.read.parquet(old)
             b = (
                 prev.unionByName(b)
                 .groupBy("user_id")
@@ -453,49 +466,50 @@ def run_cdc_upsert(ev, spark):
         new_path = os.path.join(root, f"state_{batch_id}")
         b.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            ev.writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .start()
+        with small_shuffle(spark):
+            q = (
+                ev.writeStream.foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        if state["path"] is None:
+            # Empty source → zero micro-batches → empty state table.
+            from pyspark.sql import types as T
+
+            src = {f.name: f.dataType for f in ev.schema.fields}
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("user_id", src["user_id"]),
+                        T.StructField("n_events", T.LongType()),
+                        T.StructField("last_ts", src["ts"]),
+                        T.StructField("last_event_id", src["event_id"]),
+                        T.StructField("last_value", src["value"]),
+                    ]
+                ),
+            )
+        return (
+            spark.read.parquet(state["path"])
+            .select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("last_event_id"),
+                F.col("last.value").alias("last_value"),
+            )
+            .localCheckpoint(eager=True)
         )
-        q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    final = spark.read.parquet(state["path"])
-    return final.select(
-        "user_id",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("last.ts").alias("last_ts"),
-        F.col("last.event_id").alias("last_event_id"),
-        F.col("last.value").alias("last_value"),
-    )
+        shutil.rmtree(root, ignore_errors=True)
 
 
-@query(
-    "stream_funnel_stages",
-    oracle="""
-    WITH ev AS (
-      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-    firsts AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      FROM ev GROUP BY user_id)
-    SELECT
-      COUNT(*) AS n_users,
-      COUNT(t_view) AS stage_view,
-      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END)
-        AS stage_click,
-      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                  AND t_purchase > t_click THEN 1 END) AS stage_purchase
-    FROM firsts
-    """,
-)
+@query("stream_funnel_stages", oracle=FUNNEL_ORACLE)
 def stream_funnel_stages(spark, sf_dir):
     """The ordered view→click→purchase funnel computed ON A STREAM —
     possible without any event-ordering state because the per-user
@@ -506,32 +520,12 @@ def stream_funnel_stages(spark, sf_dir):
     triple, evaluated on the completed sink. State is 3 timestamps
     per user — bounded by |users|, independent of stream length; the
     same trick is why funnel metrics can run continuously where
-    MATCH_RECOGNIZE-style sequence state cannot."""
+    MATCH_RECOGNIZE-style sequence state cannot.
+
+    Funnel semantics (both aggregation stages AND the oracle) are
+    shared verbatim with the batch funnel_view_click_purchase —
+    operators/analytics.py::funnel_firsts / funnel_stage_counts —
+    so batch and streaming funnels cannot diverge."""
     ev = events_stream(spark, sf_dir)
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("t_purchase"),
-    )
-    out = run_to_table(firsts, spark, "complete")
-    return out.agg(
-        F.count("*").alias("n_users"),
-        F.count("t_view").alias("stage_view"),
-        F.count(
-            F.when(
-                F.col("t_view").isNotNull()
-                & (F.col("t_click") > F.col("t_view")),
-                1,
-            )
-        ).alias("stage_click"),
-        F.count(
-            F.when(
-                F.col("t_view").isNotNull()
-                & (F.col("t_click") > F.col("t_view"))
-                & (F.col("t_purchase") > F.col("t_click")),
-                1,
-            )
-        ).alias("stage_purchase"),
-    )
+    out = run_to_table(funnel_firsts(ev), spark, "complete")
+    return funnel_stage_counts(out)

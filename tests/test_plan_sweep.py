@@ -45,7 +45,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # 16-row centroid table
     "ann_ivfpq_topk",  # 16-row centroid table (coarse stage)
     # kmeans_assignments / kmeans_centroids: removed r4 — centroids
-    # now ride the plan as literals (kmeans.py::_cent_literal), so
+    # now ride the plan as literals (kmeans.py::_cent_literal_rows), so
     # assignment has no join node at all.
     "ann_sq8_topk",  # broadcast 1-row quantizer scalar + query set
     "embedding_sq8_codes",  # broadcast 1-row quantizer scalar
