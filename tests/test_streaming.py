@@ -331,3 +331,38 @@ def test_cdc_upsert_invariant_under_batch_splits(spark, two_batch_dir):
     )
     rows_batch = sorted((r.asDict() for r in batch.collect()), key=key)
     assert rows_split == rows_batch
+
+
+def test_cdc_upsert_empty_source(spark, two_batch_dir, tmp_path):
+    """Zero micro-batches (empty source dir) must yield an empty TYPED
+    state table — availableNow never calls foreachBatch, so the sink
+    has no parquet snapshot to read back."""
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import run_cdc_upsert
+
+    _, ev_batch = two_batch_dir
+    empty = str(tmp_path / "empty_src")
+    os.makedirs(empty)
+    out = run_cdc_upsert(
+        spark.readStream.schema(ev_batch.schema).parquet(empty), spark
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "user_id", "n_events", "last_ts", "last_event_id", "last_value"
+    ]
+    assert dict(out.dtypes)["n_events"] == "bigint"
+
+
+def test_cdc_upsert_cleans_tmp(spark, two_batch_dir):
+    """The ping-pong snapshots are transient: no spark_graft_cdc_* dirs
+    may survive a completed run (r4 review: repeated bench/test runs
+    were accumulating unbounded /tmp state)."""
+    import glob
+
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import run_cdc_upsert
+
+    flat, ev_batch = two_batch_dir
+    out = run_cdc_upsert(
+        spark.readStream.schema(ev_batch.schema).parquet(flat), spark
+    )
+    assert out.count() > 0  # result survives the cleanup (localCheckpoint)
+    assert glob.glob("/tmp/spark_graft_cdc_*") == []
