@@ -60,6 +60,26 @@ def matrix_sparse(spark: SparkSession, sf_dir: str, rows: int = 200, cols: int =
     return CooMatrix(df, rows, cols)
 
 
+def matrix_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    row_key: str,
+    col_key: str,
+    rows: int,
+    cols: int,
+    cap: int,
+) -> CooMatrix:
+    """M[i,j] = COUNT(*) mod ``cap``, folded on (row_key % rows,
+    col_key % cols). The ``cap`` bounds every entry below ``cap`` so
+    chained products (matmul pipelines) stay exactly representable at
+    ANY scale factor — counts grow with SF, ``count % cap`` doesn't."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(row_key, col_key)
+    df = li.groupBy(
+        (F.col(row_key) % rows).alias("i"), (F.col(col_key) % cols).alias("j")
+    ).agg((F.count("*") % cap).cast("double").alias("v"))
+    return CooMatrix(df, rows, cols)
+
+
 # ---- SQL mirrors (DuckDB oracle CTEs) -----------------------------------
 
 SQL_MATRIX_A = """
@@ -91,3 +111,12 @@ def sql_matrix_b(rows: int = 60, cols: int = 30) -> str:
 
 def sql_matrix_sparse(rows: int = 200, cols: int = 300) -> str:
     return SQL_MATRIX_SPARSE.format(rows=rows, cols=cols)
+
+
+def sql_matrix_fold(row_key: str, col_key: str, rows: int, cols: int, cap: int) -> str:
+    """DuckDB mirror of :func:`matrix_fold`."""
+    return (
+        f"SELECT {row_key} % {rows} AS i, {col_key} % {cols} AS j, "
+        f"CAST(COUNT(*) % {cap} AS DOUBLE) AS v "
+        f"FROM lineitem GROUP BY 1, 2"
+    )

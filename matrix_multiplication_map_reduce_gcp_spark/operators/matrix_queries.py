@@ -20,9 +20,11 @@ from ..matrix.coo import _DEC, CooMatrix
 from ..matrix.fixtures import (
     matrix_a,
     matrix_b,
+    matrix_fold,
     matrix_sparse,
     sql_matrix_a,
     sql_matrix_b,
+    sql_matrix_fold,
     sql_matrix_sparse,
 )
 from ..registry import query
@@ -220,6 +222,54 @@ def matrix_trace(spark, sf_dir):
 )
 def matrix_frobenius(spark, sf_dir):
     return matrix_a(spark, sf_dir).frobenius_sq()
+
+
+# Q'(48x16) @ K(40x16)^T @ V(40x8): entry caps keep every chained
+# product exact at any SF (matrix_fold docstring). The shared-inner
+# dims are the fold moduli, so both engines derive identical operands.
+_CHAIN_Q = ("l_orderkey", "l_partkey", 48, 16, 97)
+_CHAIN_K = ("l_suppkey", "l_partkey", 40, 16, 97)
+_CHAIN_V = ("l_suppkey", "l_orderkey", 40, 8, 97)
+
+
+@query(
+    "matmul_chain_assoc",
+    oracle=f"""
+    WITH qm AS ({sql_matrix_fold(*_CHAIN_Q)}),
+    km AS ({sql_matrix_fold(*_CHAIN_K)}),
+    vm AS ({sql_matrix_fold(*_CHAIN_V)}),
+    ktv AS (
+      SELECT km.j AS i, vm.j AS j,
+             CAST(SUM(CAST(km.v AS DECIMAL(18,4)) * CAST(vm.v AS DECIMAL(18,4)))
+                  AS DOUBLE) AS v
+      FROM km JOIN vm ON km.i = vm.i
+      GROUP BY 1, 2)
+    SELECT qm.i AS i, b.j AS j,
+           CAST(SUM(CAST(qm.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4)))
+                AS DOUBLE) AS v
+    FROM qm JOIN ktv b ON qm.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul_chain_assoc(spark, sf_dir):
+    """Matrix-chain evaluation order as a PLANNING decision:
+    O = Q' @ Kᵀ @ V computed as Q' @ (Kᵀ @ V) — the small-inner-first
+    ordering. Left-to-right would materialize the n_q×n_k score matrix
+    (quadratic in the row counts — at corpus scale, the attention-
+    matrix blow-up); associating right-first materializes only the
+    d×d_v inner product (CONSTANT 16×8 here, independent of n_q/n_k),
+    which then broadcasts into the final join — the same associativity
+    trick linear-attention kernels use to drop O(n²) to O(n·d·d_v),
+    and the linalg twin of join reordering. Exact integer-valued
+    entries make the two orderings bit-identical, so the oracle is
+    simply the chained product. Chain-order choice is the caller's
+    here; CooMatrix.multiply's broadcast threshold turns the tiny
+    intermediate into a map-side join automatically."""
+    q = matrix_fold(spark, sf_dir, *_CHAIN_Q)
+    k = matrix_fold(spark, sf_dir, *_CHAIN_K)
+    v = matrix_fold(spark, sf_dir, *_CHAIN_V)
+    ktv = k.transpose().multiply(v)
+    return q.multiply(ktv).df
 
 
 @query(
