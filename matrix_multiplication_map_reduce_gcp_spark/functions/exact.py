@@ -53,9 +53,24 @@ def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS {DEC})"
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE conversion for the DuckDB
+    oracle side, routed through a string round-trip (``STRING`` — the
+    alias both engines parse; Spark SQL rejects bare ``VARCHAR``).
+
+    DuckDB's direct ``CAST(decimal AS DOUBLE)`` converts the int128
+    significand to double and then multiplies by 10^-scale — TWO
+    IEEE roundings, which lands one ulp off the true value whenever
+    the scaled significand exceeds 2^53 (first seen at the sf1 probe:
+    pricing_summary's scale-6 charge sum, 2.8e16 scaled units).
+    ``CAST(string AS DOUBLE)`` is a single correctly-rounded strtod,
+    matching Spark's BigDecimal.doubleValue exactly at any magnitude."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {DEC})) AS DOUBLE)"
+    return sql_dec2dbl(f"SUM(CAST({expr} AS {DEC}))")
 
 
 def sql_davg(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS {DEC})) AS DOUBLE) / COUNT({expr}))"
+    return f"({sql_dec2dbl(f'SUM(CAST({expr} AS {DEC}))')} / COUNT({expr}))"

@@ -90,7 +90,7 @@ FROM lineitem GROUP BY 1, 2
 
 SQL_MATRIX_B = """
 SELECT l_partkey % {rows} AS i, l_suppkey % {cols} AS j,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS v
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS STRING) AS DOUBLE) AS v
 FROM lineitem GROUP BY 1, 2
 """
 

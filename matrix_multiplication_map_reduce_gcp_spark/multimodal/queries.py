@@ -68,7 +68,7 @@ def multimodal_image_meta(spark, sf_dir):
              ascii(substr(text, CAST(r.i + 1 AS INT), 1)) AS b
       FROM documents, UNNEST(range(0, octet_length(encode(text)))) AS r(i))
     SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
-           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_amplitude,
+           CAST(CAST(SUM(b) AS STRING) AS DOUBLE) / COUNT(*) AS mean_amplitude,
            MAX(b) AS peak_amplitude
     FROM bytes
     GROUP BY doc_id, window_idx
@@ -186,7 +186,7 @@ VAD_THRESHOLD = 94.5  # mean-amplitude floor for an "active" window (median-ish)
       FROM documents, UNNEST(range(0, octet_length(encode(text)))) AS r(i)),
     win AS (
       SELECT doc_id, window_idx,
-             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_amplitude,
+             CAST(CAST(SUM(b) AS STRING) AS DOUBLE) / COUNT(*) AS mean_amplitude,
              MAX(b) AS peak
       FROM bytes GROUP BY 1, 2),
     active AS (

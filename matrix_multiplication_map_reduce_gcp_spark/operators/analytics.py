@@ -153,7 +153,7 @@ def referential_integrity_audit(spark, sf_dir):
     SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
            EXTRACT(MONTH FROM o_orderdate) AS mo,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
            GROUPING(EXTRACT(YEAR FROM o_orderdate))
              + GROUPING(EXTRACT(MONTH FROM o_orderdate)) * 2 AS gid
     FROM orders
@@ -623,7 +623,7 @@ def event_path_trigrams_topk(spark, sf_dir):
       FROM ev)
     SELECT COALESCE(last_touch, 'direct') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS attributed_value
     FROM carried
     WHERE event_type = 'purchase'
     GROUP BY 1

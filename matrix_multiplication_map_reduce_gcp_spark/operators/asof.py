@@ -107,7 +107,7 @@ def asof_last_order_before_event(spark, sf_dir):
     WITH tiers(tier, lo, hi) AS (VALUES
       ('small', 0.0, 15.0), ('medium', 15.0, 35.0), ('large', 35.0, 100.0))
     SELECT t.tier AS tier, COUNT(*) AS n,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem l JOIN tiers t
       ON l.l_quantity > t.lo AND l.l_quantity <= t.hi
     GROUP BY t.tier

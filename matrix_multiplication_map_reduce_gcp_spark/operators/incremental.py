@@ -24,7 +24,7 @@ from ..registry import query
     "incremental_agg_maintenance",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -103,7 +103,7 @@ IVM_CUTOFF = "1999-01-01"
     oracle="""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
              AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..matrix.fixtures import matrix_a, sql_matrix_a
 from ..registry import query
 
-_DOT = "CAST(SUM(CAST(m.v AS DECIMAL(18,4)) * CAST(x.v AS DECIMAL(18,4))) AS DOUBLE)"
+_DOT = "CAST(CAST(SUM(CAST(m.v AS DECIMAL(18,4)) * CAST(x.v AS DECIMAL(18,4))) AS STRING) AS DOUBLE)"
 
 
 @query(

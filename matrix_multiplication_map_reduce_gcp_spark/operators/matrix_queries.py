@@ -32,7 +32,7 @@ from ..sources.matrixgen import sql_gen_value
 
 # Shared SQL fragment: exact sum of products (mirrors CooMatrix.multiply).
 _SQL_DOT = (
-    "CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4))) AS STRING) AS DOUBLE)"
 )
 
 
@@ -169,7 +169,7 @@ def matrix_scale(spark, sf_dir):
     x AS (SELECT p_partkey % 60 AS j, CAST(COUNT(*) AS DOUBLE) AS v
           FROM part GROUP BY 1)
     SELECT a.i AS i,
-           CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(x.v AS DECIMAL(18,4))) AS DOUBLE) AS v
+           CAST(CAST(SUM(CAST(a.v AS DECIMAL(18,4)) * CAST(x.v AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS v
     FROM a JOIN x ON a.j = x.j
     GROUP BY 1
     """,
@@ -204,7 +204,7 @@ def matrix_gram(spark, sf_dir):
     "matrix_trace",
     oracle=f"""
     WITH a AS ({sql_matrix_a(rows=50, cols=50)})
-    SELECT CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS trace
+    SELECT CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS trace
     FROM a WHERE i = j
     """,
 )
@@ -216,7 +216,7 @@ def matrix_trace(spark, sf_dir):
     "matrix_frobenius",
     oracle=f"""
     WITH a AS ({sql_matrix_a()})
-    SELECT CAST(SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS fro_sq
+    SELECT CAST(CAST(SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS fro_sq
     FROM a
     """,
 )
@@ -240,13 +240,11 @@ _CHAIN_V = ("l_suppkey", "l_orderkey", 40, 8, 97)
     vm AS ({sql_matrix_fold(*_CHAIN_V)}),
     ktv AS (
       SELECT km.j AS i, vm.j AS j,
-             CAST(SUM(CAST(km.v AS DECIMAL(18,4)) * CAST(vm.v AS DECIMAL(18,4)))
-                  AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(km.v AS DECIMAL(18,4)) * CAST(vm.v AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS v
       FROM km JOIN vm ON km.i = vm.i
       GROUP BY 1, 2)
     SELECT qm.i AS i, b.j AS j,
-           CAST(SUM(CAST(qm.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4)))
-                AS DOUBLE) AS v
+           CAST(CAST(SUM(CAST(qm.v AS DECIMAL(18,4)) * CAST(b.v AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS v
     FROM qm JOIN ktv b ON qm.j = b.i
     GROUP BY 1, 2
     """,

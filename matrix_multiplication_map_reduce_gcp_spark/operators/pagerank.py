@@ -40,7 +40,7 @@ _SQL_EDGES = """
 
 _SQL_STEP = (
     "SELECT e.dst AS node,"
-    f" CAST(ROUND({1 - DAMPING} + {DAMPING} * CAST(SUM(e.w * r.rank) AS DOUBLE), 6)"
+    f" CAST(ROUND({1 - DAMPING} + {DAMPING} * CAST(CAST(SUM(e.w * r.rank) AS STRING) AS DOUBLE), 6)"
     " AS DECIMAL(10,6)) AS rank"
     " FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst"
 )

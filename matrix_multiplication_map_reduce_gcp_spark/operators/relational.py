@@ -31,11 +31,11 @@ from ..registry import query
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,7 +67,7 @@ def pricing_summary(spark, sf_dir):
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS revenue,
            o.o_orderdate AS o_orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -104,7 +104,7 @@ def shipping_priority(spark, sf_dir):
     "region_nation_revenue",
     oracle="""
     SELECT r.r_name AS r_name, n.n_name AS n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -139,8 +139,8 @@ def region_nation_revenue(spark, sf_dir):
     "brand_revenue_broadcast",
     oracle="""
     SELECT p.p_brand AS p_brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
@@ -221,10 +221,10 @@ def customers_without_orders_anti(spark, sf_dir):
     "nation_balance_full_outer",
     oracle="""
     WITH cust AS (SELECT c_nationkey AS nk,
-                         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_bal
+                         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS cust_bal
                   FROM customer GROUP BY 1),
          supp AS (SELECT s_nationkey AS nk,
-                         CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_bal
+                         CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS supp_bal
                   FROM supplier GROUP BY 1)
     SELECT COALESCE(cust.nk, supp.nk) AS nationkey, cust_bal, supp_bal
     FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
@@ -276,7 +276,7 @@ def region_segment_cross(spark, sf_dir):
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
            {sql_dsum('l_extendedprice')} AS sum_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price
     FROM lineitem
     """,
 )
@@ -298,7 +298,7 @@ def global_stats(spark, sf_dir):
     oracle="""
     SELECT r.r_name AS r_name, n.n_name AS n_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_bal,
            GROUPING(r.r_name) + GROUPING(n.n_name) * 2 AS gid
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -327,7 +327,7 @@ def rollup_region_nation(spark, sf_dir):
     "cube_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
@@ -401,7 +401,7 @@ def top_orders(spark, sf_dir):
     "brand_having",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price
     FROM part
     GROUP BY p_brand
     HAVING COUNT(*) >= 10
@@ -423,8 +423,8 @@ def brand_having(spark, sf_dir):
     "pivot_flag_by_status",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE) AS qty_F,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE) AS qty_O
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -444,10 +444,10 @@ def pivot_flag_by_status(spark, sf_dir):
 @query(
     "promo_revenue_share",
     oracle="""
-    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                          THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
-                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE)
            * 100.0 AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
@@ -496,7 +496,7 @@ def orders_with_big_lineitem_exists(spark, sf_dir):
     oracle="""
     SELECT COUNT(*) AS n_above
     FROM part
-    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+    WHERE p_retailprice > (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) FROM part)
     """,
 )
 def parts_above_avg_price(spark, sf_dir):
@@ -507,7 +507,7 @@ def parts_above_avg_price(spark, sf_dir):
         """
         SELECT COUNT(*) AS n_above
         FROM part
-        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM part)
+        WHERE p_retailprice > (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*) FROM part)
         """
     )
 

@@ -248,8 +248,8 @@ def variant_shredding_stats(spark, sf_dir):
     SELECT o_orderpriority,
            CAST(COUNT(*) FILTER (WHERE o_custkey % 3 = 0) AS BIGINT)
              AS n_div_by_zero,
-           CAST(SUM(CAST(ROUND(o_totalprice / NULLIF(o_custkey % 3, 0), 6)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_safe_ratio,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice / NULLIF(o_custkey % 3, 0), 6)
+                         AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_safe_ratio,
            CAST(COUNT(o_totalprice / NULLIF(o_custkey % 3, 0)) AS BIGINT)
              AS n_ratio_rows
     FROM orders

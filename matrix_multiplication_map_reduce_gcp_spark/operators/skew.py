@@ -38,7 +38,7 @@ def salted_sum_count(
 @query(
     "skew_salted_status_totals",
     oracle="""
-    SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+    SELECT o_orderstatus, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -59,7 +59,7 @@ def skew_salted_status_totals(spark, sf_dir):
     "skew_salted_hot_key_join",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n_pairs,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS qty
     FROM lineitem l JOIN (SELECT DISTINCT l_returnflag AS rf FROM lineitem) d
       ON l.l_returnflag = d.rf
     GROUP BY l_returnflag

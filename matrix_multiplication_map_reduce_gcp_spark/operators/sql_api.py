@@ -24,7 +24,7 @@ _SHARE_SQL = """
                     JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name)
     SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
-           CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share,
+           CAST(rev_dec AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER () AS STRING) AS DOUBLE) AS share,
            RANK() OVER (ORDER BY rev_dec DESC, n_name) AS rnk
     FROM nation_rev
 """
@@ -231,7 +231,7 @@ def in_subquery_filter(spark, sf_dir):
       SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
       FROM quality)
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+           CAST(CAST(SUM(n_tokens) AS STRING) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM deduped WHERE rn = 1
     GROUP BY lang
     """,
@@ -314,7 +314,7 @@ def sql_recursive_referral_depth(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_quantity >= 25
     GROUP BY l_returnflag, l_linestatus
@@ -333,7 +333,7 @@ def sql_pipe_syntax_revenue(spark, sf_dir):
         FROM lineitem
         |> WHERE l_quantity >= :minqty
         |> AGGREGATE COUNT(*) AS n,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+                     CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
            GROUP BY l_returnflag, l_linestatus
         """,
         args={"minqty": 25},
@@ -344,8 +344,8 @@ def sql_pipe_syntax_revenue(spark, sf_dir):
     "sql_scalar_udf_revenue",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE)
              AS disc_revenue,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -371,7 +371,7 @@ def sql_scalar_udf_revenue(spark, sf_dir):
     return spark.sql(
         """
         SELECT l_returnflag,
-               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+               CAST(CAST(SUM(disc_price(l_extendedprice, l_discount)) AS STRING) AS DOUBLE)
                  AS disc_revenue,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag

@@ -28,11 +28,11 @@ from ..registry import query
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            sx / n AS mean_price,
@@ -128,9 +128,9 @@ def collect_sorted_aggregates(spark, sf_dir):
     SELECT o_orderpriority, q1, q3,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) FILTER (WHERE is_outlier) AS BIGINT) AS n_outliers,
-           CAST(SUM(CASE WHEN is_outlier
+           CAST(CAST(SUM(CASE WHEN is_outlier
                          THEN CAST(o_totalprice AS DECIMAL(12,2))
-                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE)
              AS outlier_value
     FROM flagged
     GROUP BY 1, 2, 3
@@ -186,7 +186,7 @@ def iqr_price_outliers(spark, sf_dir):
       FROM orders o JOIN fences f USING (o_orderpriority))
     SELECT o_orderpriority, p05, p95,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(CAST(cp AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(CAST(SUM(CAST(cp AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / COUNT(*), 6)
              AS winsorized_mean
     FROM clamped GROUP BY 1, 2, 3
     """,
@@ -381,11 +381,11 @@ def weighted_median_price(spark, sf_dir):
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,

@@ -102,7 +102,7 @@ def hourly_count_anomalies(spark, sf_dir):
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(dt) AS BIGINT) AS total_us,
-           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS BIGINT), 6)
+           ROUND(CAST(CAST(SUM(wv) AS STRING) AS DOUBLE) / CAST(SUM(dt) AS BIGINT), 6)
              AS twa_value
     FROM seg GROUP BY 1
     """,

@@ -44,9 +44,9 @@ def top3_orders_per_customer(spark, sf_dir):
     "customer_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_spend,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
            LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
     FROM orders
@@ -97,9 +97,9 @@ def supplier_balance_ranks(spark, sf_dir):
     "order_price_moving_avg",
     oracle="""
     SELECT o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
     FROM orders
@@ -156,9 +156,9 @@ def first_last_order_dates(spark, sf_dir):
                       CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
                FROM orders)
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY day
-                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS spend_30d,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
@@ -200,7 +200,7 @@ def trailing_30d_customer_spend(spark, sf_dir):
     actual AS (
       SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1)
     SELECT g.hour_start AS hour_start,
@@ -372,7 +372,7 @@ def user_sessions(spark, sf_dir):
       FROM events)
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS n_30m,
-           CAST(SUM(v) OVER w AS DOUBLE) AS sum_value_30m
+           CAST(CAST(SUM(v) OVER w AS STRING) AS DOUBLE) AS sum_value_30m
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)

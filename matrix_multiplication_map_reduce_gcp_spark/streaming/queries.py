@@ -24,7 +24,7 @@ from .core import events_stream, run_to_table
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -206,7 +206,7 @@ def stream_dedup_keys(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment, e.event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -237,7 +237,7 @@ def stream_static_enrich(spark, sf_dir):
     "stream_running_user_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -356,7 +356,7 @@ def stream_outer_join_unmatched_clicks(spark, sf_dir):
     "stream_complete_topk_users",
     oracle="""
     SELECT user_id, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY n DESC, user_id

@@ -73,7 +73,7 @@ def _sql_query_values() -> str:
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN n),
     scored AS (
-      SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+      SELECT query_id, doc_id, CAST(CAST(SUM(c) AS STRING) AS DOUBLE) AS bm25
       FROM contrib GROUP BY 1, 2),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

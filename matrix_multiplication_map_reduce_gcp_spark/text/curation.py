@@ -58,7 +58,7 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
     SELECT k.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(r.diff_nano) AS BIGINT) AS logweight_nano,
-           (CAST(SUM(r.diff_nano) AS DOUBLE) / COUNT(*)) / 1e9
+           (CAST(CAST(SUM(r.diff_nano) AS STRING) AS DOUBLE) / COUNT(*)) / 1e9
              AS avg_logratio,
            CASE WHEN SUM(r.diff_nano) >= 0 THEN 'keep' ELSE 'drop' END
              AS verdict

@@ -196,7 +196,7 @@ def token_count_regex(spark, sf_dir):
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(CAST(SUM(n_chars) AS STRING) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY lang, source
@@ -382,7 +382,7 @@ def duplicate_spans(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_spans,
-           CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS STRING) AS DOUBLE)
              / COUNT(*) AS dup_ratio
     FROM marked GROUP BY doc_id
     """,
@@ -476,7 +476,7 @@ def sequence_pack_greedy(spark, sf_dir):
     SELECT lang, prev_cum // {PACK_CAPACITY} AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs_started,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
-           CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY} AS fill_ratio
+           CAST(CAST(SUM(n_tokens) AS STRING) AS DOUBLE) / {PACK_CAPACITY} AS fill_ratio
     FROM packed
     GROUP BY 1, 2
     """,
@@ -626,7 +626,7 @@ VOCAB_SIZE = 1000
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oov,
-           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS STRING) AS DOUBLE)
              / COUNT(*) AS oov_rate
     FROM tok LEFT JOIN vocab v USING (t)
     GROUP BY doc_id
@@ -764,7 +764,7 @@ def train_val_test_manifest(spark, sf_dir):
                   AS BIGINT) AS term_nano
       FROM cells)
     SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_docs,
-           CAST(SUM(term_nano) AS DOUBLE) / 1e9 AS kl_nats
+           CAST(CAST(SUM(term_nano) AS STRING) AS DOUBLE) / 1e9 AS kl_nats
     FROM terms GROUP BY source
     """,
 )
@@ -817,7 +817,7 @@ LM_KEEP_NANO = -4_000_000_000  # keep threshold: avg logprob >= -4.0 nats
       FROM bg)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           (CAST(SUM(term_nano) AS DOUBLE) / COUNT(*)) / 1e9 AS avg_logprob,
+           (CAST(CAST(SUM(term_nano) AS STRING) AS DOUBLE) / COUNT(*)) / 1e9 AS avg_logprob,
            CASE WHEN SUM(term_nano) >= COUNT(*) * CAST({LM_KEEP_NANO} AS BIGINT)
                 THEN 'keep' ELSE 'drop' END AS verdict
     FROM scored GROUP BY doc_id

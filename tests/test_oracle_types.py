@@ -44,3 +44,52 @@ def test_oracle_output_types_portable(name, duck):
         f"DOUBLE/VARCHAR/TIMESTAMP in the oracle SQL (HUGEINT and nested "
         f"types hash-mismatch the driver gate even when values agree)"
     )
+
+
+def test_dec2dbl_correctly_rounded(duck):
+    """The sf1 sweep found DuckDB's direct CAST(decimal AS DOUBLE)
+    double-rounding once the scaled significand exceeds 2^53 (int128 →
+    double, then ×10^-scale — two roundings): pricing_summary's charge
+    sum came back one ulp off Spark's correctly-rounded
+    BigDecimal.doubleValue. sql_dec2dbl routes through VARCHAR (one
+    correctly-rounded strtod); pin that it matches Python's correctly
+    rounded float() on the exact divergent value from the probe."""
+    from matrix_multiplication_map_reduce_gcp_spark.functions.exact import sql_dec2dbl
+
+    val = "27864155010.941590"  # 2.79e16 scaled units at scale 6 > 2^53
+    got = duck.sql(
+        f"SELECT {sql_dec2dbl(f'CAST({val} AS DECIMAL(38,6))')} AS v"
+    ).fetchone()[0]
+    assert got == float(val)
+
+
+def test_oracles_never_direct_cast_decimal_sums_to_double():
+    """Static gate for the whole registry: every CAST(SUM(...) AS
+    DOUBLE) in an oracle must go through the VARCHAR round-trip
+    (sql_dec2dbl) — a direct cast reintroduces the double-rounding
+    divergence at 10x+ scale even though sf0.01/sf0.1 stay green."""
+    import re
+
+    offenders = []
+    for name, qd in registry.load_all().items():
+        if not qd.oracle:
+            continue
+        text = qd.oracle
+        for m in re.finditer(r"CAST\(SUM\(", text):
+            depth, k = 0, m.start() + 4
+            while k < len(text):
+                if text[k] == "(":
+                    depth += 1
+                elif text[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = text[m.start() + 5 : k]
+            if re.search(r"\s+AS\s+DOUBLE\s*$", inner):
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"oracles direct-casting SUM to DOUBLE (use sql_dec2dbl / the "
+        f"CAST(... AS VARCHAR) round-trip): {sorted(set(offenders))}"
+    )
