@@ -481,10 +481,10 @@ def event_pattern_match(spark, sf_dir):
              SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
       FROM orders GROUP BY 1, 2)
     SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr,
-           CAST(rev_dec AS DOUBLE) AS revenue,
-           ROUND((CAST(rev_dec AS DOUBLE)
-                  - CAST(LAG(rev_dec) OVER w AS DOUBLE))
-                 / CAST(LAG(rev_dec) OVER w AS DOUBLE), 6) AS yoy_growth
+           CAST(CAST(rev_dec AS STRING) AS DOUBLE) AS revenue,
+           ROUND((CAST(CAST(rev_dec AS STRING) AS DOUBLE)
+                  - CAST(CAST(LAG(rev_dec) OVER w AS STRING) AS DOUBLE))
+                 / CAST(CAST(LAG(rev_dec) OVER w AS STRING) AS DOUBLE), 6) AS yoy_growth
     FROM yearly
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
     """,
@@ -525,7 +525,7 @@ def orders_yoy_growth(spark, sf_dir):
       FROM orders GROUP BY 1)
     SELECT o_custkey,
            CAST(frequency AS BIGINT) AS frequency,
-           CAST(monetary_dec AS DOUBLE) AS monetary,
+           CAST(CAST(monetary_dec AS STRING) AS DOUBLE) AS monetary,
            NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
            NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
            NTILE(5) OVER (ORDER BY monetary_dec, o_custkey) AS m_score

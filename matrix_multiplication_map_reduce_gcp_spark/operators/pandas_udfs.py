@@ -100,3 +100,70 @@ def pandas_udf_weighted_avg(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         _weighted_avg_udf()("l_extendedprice", "l_quantity").alias("wavg_price")
     )
+
+
+@query(
+    "cogroup_events_before_order",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           o.o_custkey AS o_custkey,
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE e.user_id = o.o_custkey
+                   AND CAST(ts AS TIMESTAMP) < o.o_orderdate)
+                AS BIGINT) AS n_events_before
+    FROM orders o
+    """,
+)
+def cogroup_events_before_order(spark, sf_dir):
+    """Cogrouped applyInPandas (FlatMapCoGroupsInPandas): the escape
+    hatch for per-key TWO-SIDED custom merges joins can't express —
+    both relations shuffle ONCE, co-partitioned on the key, and each
+    (orders-of-user, events-of-user) pair arrives as two Arrow frames
+    for arbitrary per-key logic. Here: for every order, how many of
+    that user's events strictly precede it — one sort of the user's
+    event times + a vectorized searchsorted per key, O(n log n) in the
+    KEY GROUP, never in the table. The oracle is the correlated-count
+    equivalent (DuckDB decorrelates it to the same co-grouped shape).
+
+    At 100 TB this is the footprint of any per-entity sequence logic
+    (sessionized replay, per-user feature backfill): shuffle both
+    sides by entity once, stream Arrow batches per entity — state
+    bounded by the largest single key, not the table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def align(orders_pdf, events_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(orders_pdf) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": [], "o_custkey": [], "n_events_before": []}
+            ).astype(
+                {"o_orderkey": "int64", "o_custkey": "int64",
+                 "n_events_before": "int64"}
+            )
+        ev = np.sort(
+            events_pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        )
+        od = orders_pdf["o_orderdate"].to_numpy(
+            dtype="datetime64[us]"
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": orders_pdf["o_orderkey"].to_numpy(),
+                "o_custkey": orders_pdf["o_custkey"].to_numpy(),
+                "n_events_before": np.searchsorted(ev, od, side="left"),
+            }
+        )
+
+    return (
+        o.groupby("o_custkey")
+        .cogroup(e.groupby("user_id"))
+        .applyInPandas(
+            align,
+            "o_orderkey bigint, o_custkey bigint, n_events_before bigint",
+        )
+    )

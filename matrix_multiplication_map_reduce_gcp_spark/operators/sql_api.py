@@ -23,8 +23,8 @@ _SHARE_SQL = """
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                     JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name)
-    SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
-           CAST(rev_dec AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER () AS STRING) AS DOUBLE) AS share,
+    SELECT n_name, CAST(CAST(rev_dec AS STRING) AS DOUBLE) AS revenue,
+           CAST(CAST(rev_dec AS STRING) AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER () AS STRING) AS DOUBLE) AS share,
            RANK() OVER (ORDER BY rev_dec DESC, n_name) AS rnk
     FROM nation_rev
 """
