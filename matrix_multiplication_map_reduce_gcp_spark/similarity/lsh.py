@@ -25,6 +25,44 @@ from ..functions.vectors import as_double_array
 N_PLANES = 8
 DIM = 64
 
+# Corpus-adaptive plane count for SELF-join consumers (the kNN graph):
+# with planes fixed, self-join candidate volume grows as 9n²/2^planes —
+# the sf1 probe measured knn_graph_lsh at 11.6× wall for 10× data.
+# Scaling 2^planes ∝ n/KNN_TARGET_BUCKET keeps the expected bucket
+# occupancy (and so candidates per vector) constant. Broadcast-query
+# consumers (ann_lsh_*) stay at N_PLANES: their corpus-side cost is
+# already linear.
+KNN_TARGET_BUCKET = 32  # target mean vectors per bucket
+N_PLANES_MAX = 16  # oracle mirror computes this fixed width, then masks
+
+
+def adaptive_planes(
+    n: int,
+    target: int = KNN_TARGET_BUCKET,
+    lo: int = N_PLANES,
+    hi: int = N_PLANES_MAX,
+) -> int:
+    """Smallest p in [lo, hi] with 2^p >= ceil(n / target) — pure
+    integer arithmetic so the SQL mirror (:func:`sql_adaptive_planes`)
+    agrees for every n."""
+    need = (n + target - 1) // target
+    p = (need - 1).bit_length() if need > 1 else 0
+    return max(lo, min(hi, p))
+
+
+def sql_adaptive_planes(
+    table: str = "embeddings",
+    target: int = KNN_TARGET_BUCKET,
+    lo: int = N_PLANES,
+    hi: int = N_PLANES_MAX,
+) -> str:
+    """DuckDB scalar mirroring :func:`adaptive_planes` — an integer
+    CASE ladder (no log2: libm rounding at exact powers of two could
+    disagree across engines)."""
+    need = f"(((SELECT COUNT(*) FROM {table}) + {target - 1}) // {target})"
+    cases = " ".join(f"WHEN {need} <= {1 << p} THEN {p}" for p in range(lo, hi))
+    return f"(CASE {cases} ELSE {hi} END)"
+
 
 def _sign(plane: int, dim: int) -> float:
     """Deterministic ±1 from md5 parity (portable: pure data)."""

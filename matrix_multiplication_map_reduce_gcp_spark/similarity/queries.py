@@ -12,6 +12,7 @@ from ..registry import query
 from .brute_force import cosine_topk
 from .ivf import N_CENTROIDS as IVF_N_CENTROIDS
 from .ivf import sql_assign_cells
+from . import lsh
 from .lsh import sql_probe_buckets
 from .lsh import bucketize, sql_bucket_expr
 from .quantization import sql_code_rows
@@ -697,12 +698,18 @@ KNN_GRAPH_K = 5
 @query(
     "knn_graph_lsh",
     oracle=f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, {sql_bucket_expr('embedding')} AS bucket
+    WITH p AS (SELECT {lsh.sql_adaptive_planes()} AS planes),
+    bucketed AS (
+      SELECT vec_id, embedding,
+             {sql_bucket_expr('embedding', n_planes=lsh.N_PLANES_MAX)}
+               & ((1 << (SELECT planes FROM p)) - 1) AS bucket
       FROM embeddings),
     probes AS (
-      SELECT vec_id, embedding, UNNEST({sql_probe_buckets('bucket')}) AS probe
-      FROM bucketed),
+      SELECT vec_id, embedding,
+             CASE WHEN r.i = 0 THEN bucket
+                  ELSE xor(bucket, 1 << (r.i - 1)) END AS probe
+      FROM bucketed, UNNEST(range(0, {lsh.N_PLANES_MAX + 1})) AS r(i)
+      WHERE r.i = 0 OR r.i - 1 < (SELECT planes FROM p)),
     scored AS (
       SELECT DISTINCT q.vec_id AS src, c.vec_id AS dst,
              {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_sim
@@ -723,16 +730,24 @@ def knn_graph_lsh(spark, sf_dir):
     from exactly this) and for graph clustering over embeddings; at
     corpus scale the only viable construction is candidate generation
     by bucketing, and this one reuses the multi-probe SRP-LSH index:
-    every vector probes its own bucket plus the 8 one-bit-flip
-    neighbors (~9×n candidates spread over 256 buckets, never n²),
-    then an exact rounded cosine ranks the candidates per source.
+    every vector probes its own bucket plus the per-plane one-bit-flip
+    neighbors, then an exact rounded cosine ranks the candidates per
+    source.
+
+    The plane count is CORPUS-ADAPTIVE (lsh.adaptive_planes): the sf1
+    probe measured 11.6× wall at 10× data with planes fixed at 8 —
+    self-join candidate volume grows as (planes+1)n²/2^planes, so
+    2^planes scales ∝ n/KNN_TARGET_BUCKET, holding expected bucket
+    occupancy (and per-vector candidates) constant. Plane p is bucket
+    bit p, so the oracle mirrors adaptivity exactly: it computes the
+    fixed 16-plane signature and masks to the low `planes` bits
+    (identical to computing only `planes` dots, as Spark does).
 
     Shuffle story: one narrow bucketing pass (map-only fold-dots),
     one equi-join on bucket id, one per-src top-k window — identical
-    plan at 10⁹ vectors with more planes (buckets scale as 2^planes,
-    candidate volume as 9n²/2^planes). Per-vector recall is the
-    multi-probe recall pinned for the query-set variant; the graph
-    edges are hash-checked exactly."""
+    plan at 10⁹ vectors; per-vector recall is the multi-probe recall
+    pinned for the query-set variant; graph edges hash-checked
+    exactly."""
     return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -741,17 +756,25 @@ def knn_graph(corpus, k: int = KNN_GRAPH_K):
     the registry entry so quality gates can feed planted clustered
     corpora (tests/test_quality_gates.py pins the recall floor there;
     the fixture's random embeddings have no neighbor structure to
-    recall)."""
-    from .lsh import probe_buckets
+    recall).
 
-    e = bucketize(corpus)
+    Plane count adapts to the corpus (lsh.adaptive_planes); the count
+    to size it is one cheap narrow job — the same count any adaptive
+    partitioner pays. Spark computes only the `planes` dots it uses
+    (bits 0..planes-1 == the oracle's masked 16-plane signature)."""
+    from .lsh import adaptive_planes, bucket_expr, probe_buckets
+
+    planes = adaptive_planes(corpus.count())
+    e = corpus.withColumn(
+        "bucket", bucket_expr(as_double_array("embedding"), n_planes=planes)
+    )
     # Probe/join/dedup on IDS ONLY (the embedding_near_dup_pairs
     # discipline): the 512-byte vectors never ride the 9× probe
     # explode, the bucket join, or the distinct shuffle — they join
     # back exactly once per SURVIVING candidate pair.
     q = e.select(
         F.col("vec_id").alias("src"),
-        F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+        F.explode(probe_buckets(F.col("bucket"), n_planes=planes)).alias("bucket"),
     )
     c = e.select(F.col("vec_id").alias("dst"), "bucket")
     cand = (

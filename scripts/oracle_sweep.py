@@ -50,6 +50,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="regex: sweep only matching query names (re-checking "
+        "specific fixes without paying the full sweep)",
+    )
     args = ap.parse_args()
 
     if os.path.commonpath([os.getcwd(), REPO]) == REPO:
@@ -77,7 +83,13 @@ def main() -> None:
     for t in tables:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
+    import gc
+    import re
+
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if args.only:
+        pat = re.compile(args.only)
+        qs = {n: f for n, f in qs.items() if pat.search(n)}
     results: dict[str, dict] = {}
     fails = 0
     for name in qs:
@@ -110,6 +122,14 @@ def main() -> None:
         if not rec["ok"]:
             fails += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
+        # Release driver-side refs to checkpointed DataFrames so the
+        # ContextCleaner can drop their blockmgr files — an sf1 sweep
+        # otherwise accumulates tens of GB of localCheckpoint blocks
+        # across the graph/iterative queries and starved DuckDB's
+        # triangle-oracle spill of disk (observed r4: 'No space left
+        # on device' mid-sweep).
+        sdf = None
+        gc.collect()
 
     summary = {
         "sf_dir": args.sf,
