@@ -158,3 +158,40 @@ def test_banded_hamming_equals_exact(spark):
     exact = {tuple(r) for r in hamming_pairs(df, max_dist=3).collect()}
     banded = {tuple(r) for r in hamming_pairs_banded(df, max_dist=3).collect()}
     assert banded == exact and len(exact) > 0
+
+
+def test_adaptive_planes_python_sql_parity():
+    """lsh.adaptive_planes and its DuckDB CASE-ladder mirror must agree
+    for every corpus size (the knn_graph oracle depends on it), and the
+    chosen p must be the minimal plane count covering ceil(n/target)
+    buckets within the clamp."""
+    import duckdb
+
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.lsh import (
+        KNN_TARGET_BUCKET,
+        N_PLANES,
+        N_PLANES_MAX,
+        adaptive_planes,
+        sql_adaptive_planes,
+    )
+
+    con = duckdb.connect()
+    sizes = list(range(1, 70)) + [255, 256, 257, 8191, 8192, 8193,
+                                  40_000, 2_000_000, 10**9]
+    for n in sizes:
+        py = adaptive_planes(n)
+        con.sql("DROP VIEW IF EXISTS embeddings")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM range({min(n, 1)})")
+        # evaluate the ladder with COUNT(*) replaced by a literal so we
+        # don't materialize 1e9 rows: the mirror only reads the count
+        sql = sql_adaptive_planes().replace(
+            "(SELECT COUNT(*) FROM embeddings)", str(n)
+        )
+        duck = con.sql(f"SELECT {sql} AS p").fetchone()[0]
+        assert py == duck, (n, py, duck)
+        need = (n + KNN_TARGET_BUCKET - 1) // KNN_TARGET_BUCKET
+        assert N_PLANES <= py <= N_PLANES_MAX
+        if py > N_PLANES:  # above the low clamp: never more than needed
+            assert 2 ** (py - 1) < need
+        if py < N_PLANES_MAX:  # below the high clamp: always enough
+            assert 2 ** py >= need or py == N_PLANES

@@ -148,3 +148,47 @@ def test_mllib_blockmatrix_matches_numpy(mats, spark):
     for r in mllib_block_multiply(A, B, block_size=4).collect():
         got[r["i"], r["j"]] = r["v"]
     np.testing.assert_allclose(got, a @ b, rtol=0)
+
+
+def test_jacobi_sweeps_converge_toward_solution(spark):
+    """Two Jacobi sweeps must move x strictly toward the true solution
+    of the diagonally dominant system (dominance guarantees the
+    iteration contracts): ||x2 - x*||_inf < ||x1 - x*||_inf, with x*
+    computed densely by NumPy from the same operands."""
+    from matrix_multiplication_map_reduce_gcp_spark.operators.iterative import (
+        JAC_CAP,
+        JAC_N,
+        JAC_Q,
+        jacobi_solve_2iter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    import collections
+
+    mcount = collections.Counter(
+        (int(r.l_orderkey) % JAC_N, int(r.l_suppkey) % JAC_N) for r in li
+    )
+    bcount = collections.Counter(int(r.l_orderkey) % JAC_N for r in li)
+    idx = sorted(bcount)
+    pos = {i: p for p, i in enumerate(idx)}
+    n = len(idx)
+    R = np.zeros((n, n))
+    for (i, j), c in mcount.items():
+        if i != j and i in pos and j in pos:
+            R[pos[i], pos[j]] = c % JAC_CAP
+    d = 2 * R.sum(axis=1) + 1
+    b = np.array([bcount[i] % JAC_CAP for i in idx], dtype=float)
+    A = R + np.diag(d)
+    x_star = np.linalg.solve(A, b)
+
+    x1 = np.floor(JAC_Q * b / d) / JAC_Q  # closed-form first sweep
+    got = {int(r.i): r.qx / JAC_Q for r in jacobi_solve_2iter(spark, sf).collect()}
+    x2 = np.array([got[i] for i in idx])
+    err1 = np.abs(x1 - x_star).max()
+    err2 = np.abs(x2 - x_star).max()
+    assert err2 < err1
