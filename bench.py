@@ -62,6 +62,12 @@ HEADLINE = [
     "semdedup_keep_list",
     "knn_graph_lsh",
     "label_propagation_communities",
+    # r4 third wave: the cogrouped-Arrow per-key merge (a new execution
+    # path — FlatMapCoGroupsInPandas), the Jacobi solver's broadcast
+    # sweep loop, and the chain-ordered matmul pipeline.
+    "cogroup_events_before_order",
+    "jacobi_solve_2iter",
+    "matmul_chain_assoc",
 ]
 
 
