@@ -267,3 +267,49 @@ def test_prototypicality_drop_tail_is_farthest(spark):
         for r in members:
             if r.verdict == "drop":
                 assert r.dist >= kept_max, (cell, r)
+
+
+def test_knn_graph_recall_holds_on_adaptive_planes_path(spark):
+    """The corpus-adaptive plane count (lsh.adaptive_planes) kicks in
+    above 8192 vectors — a path no small fixture exercises. On 9216
+    vectors (36 planted clusters x 256, noise 0.03) the plane count
+    must rise above the 8-plane floor AND the graph must still recover
+    neighbor structure: sampled mean recall@5 >= 0.8 vs exact, edges
+    overwhelmingly intra-cluster."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.lsh import adaptive_planes
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.queries import knn_graph
+
+    n_clusters, per = 36, 256
+    n = n_clusters * per
+    assert adaptive_planes(n) > 8  # the test must exercise the adaptive path
+
+    rng = np.random.default_rng(13)
+    V = np.empty((n, 64))
+    for c in range(n_clusters):
+        center = rng.normal(size=64)
+        center /= np.linalg.norm(center)
+        block = center + rng.normal(scale=0.03, size=(per, 64))
+        V[c * per : (c + 1) * per] = block / np.linalg.norm(
+            block, axis=1, keepdims=True
+        )
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = knn_graph(df, 5).collect()
+    got: dict[int, set[int]] = {}
+    for r in edges:
+        got.setdefault(r.src, set()).add(r.dst)
+
+    sample = rng.choice(n, size=150, replace=False)
+    recalls = []
+    for i in sample:
+        sims = V @ V[i]
+        sims[i] = -2
+        exact = set(np.argsort(-np.round(sims, 6), kind="stable")[:5].tolist())
+        recalls.append(len(got.get(int(i), set()) & exact) / 5)
+    assert sum(recalls) / len(recalls) >= 0.8
+    same = sum(1 for r in edges if r.src // per == r.dst // per) / len(edges)
+    assert same >= 0.95
