@@ -56,6 +56,13 @@ def main() -> None:
         help="regex: sweep only matching query names (re-checking "
         "specific fixes without paying the full sweep)",
     )
+    ap.add_argument(
+        "--exclude",
+        default=None,
+        help="regex: skip matching query names (e.g. an oracle whose "
+        "single-node DuckDB plan cannot fit this machine at the probe "
+        "SF — record WHY in SCALING.md when used)",
+    )
     args = ap.parse_args()
 
     if os.path.commonpath([os.getcwd(), REPO]) == REPO:
@@ -90,6 +97,9 @@ def main() -> None:
     if args.only:
         pat = re.compile(args.only)
         qs = {n: f for n, f in qs.items() if pat.search(n)}
+    if args.exclude:
+        pat = re.compile(args.exclude)
+        qs = {n: f for n, f in qs.items() if not pat.search(n)}
     results: dict[str, dict] = {}
     fails = 0
     for name in qs:
