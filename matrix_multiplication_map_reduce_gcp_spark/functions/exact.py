@@ -74,3 +74,20 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"({sql_dec2dbl(f'SUM(CAST({expr} AS {DEC}))')} / COUNT({expr}))"
+
+
+# ---- exact integer floor division (cross-engine) -------------------------
+#
+# `(s - pmod(s, d)) / d` floors for ANY numerator sign because pmod is
+# non-negative; the subtraction makes the numerator exactly divisible,
+# so the double division is exact while |s| < 2^53. One definition for
+# every consumer (kmeans centroid update, PQ codebooks, Jacobi sweeps)
+# so the exactness-critical idiom cannot drift per module.
+
+
+def floordiv(s: Column, d: Column) -> Column:
+    return ((s - F.pmod(s, d)) / d).cast("bigint")
+
+
+def sql_floordiv(s: str, d: str) -> str:
+    return f"CAST((({s}) - ((({s}) % ({d})) + ({d})) % ({d})) / ({d}) AS BIGINT)"

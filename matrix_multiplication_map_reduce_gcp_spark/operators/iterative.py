@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# floordiv: the exact integer floor-division idiom shared with the
+# kmeans/PQ centroid updates (one definition, functions/exact.py).
+from ..functions.exact import floordiv as _floordiv
+from ..functions.exact import sql_floordiv as _sql_floordiv
 from ..matrix.fixtures import matrix_a, sql_matrix_a
 from ..registry import query
 
@@ -47,16 +51,6 @@ JAC_N = 32  # system size (fold modulus)
 JAC_CAP = 1000  # entry bound: counts mod JAC_CAP, so magnitudes are SF-free
 JAC_Q = 1_000_000  # fixed-point grid: x carried as qx = floor(x * JAC_Q)
 
-# Exact integer floor division, identical in both engines for ANY sign
-# of the numerator (pmod is non-negative): the kmeans centroid-update
-# idiom (similarity/kmeans.py::update).
-_SQL_FLOORDIV = "CAST((({s}) - ((({s}) % ({d})) + ({d})) % ({d})) / ({d}) AS BIGINT)"
-
-
-def _floordiv(s, d):
-    return ((s - F.pmod(s, d)) / d).cast("bigint")
-
-
 @query(
     "jacobi_solve_2iter",
     oracle=f"""
@@ -71,13 +65,13 @@ def _floordiv(s, d):
       FROM b LEFT JOIN (SELECT i, SUM(a) AS rs FROM off GROUP BY 1) rs
         ON b.i = rs.i),
     x1 AS (
-      SELECT i AS j, {_SQL_FLOORDIV.format(s=f'{JAC_Q} * b', d='d')} AS qx
+      SELECT i AS j, {_sql_floordiv(f'{JAC_Q} * b', 'd')} AS qx
       FROM dg),
     s2 AS (
       SELECT o.i, SUM(o.a * x.qx) AS s
       FROM off o JOIN x1 x ON o.j = x.j GROUP BY 1)
     SELECT dg.i AS i,
-           {_SQL_FLOORDIV.format(s=f'{JAC_Q} * dg.b - COALESCE(s2.s, 0)', d='dg.d')} AS qx
+           {_sql_floordiv(f'{JAC_Q} * dg.b - COALESCE(s2.s, 0)', 'dg.d')} AS qx
     FROM dg LEFT JOIN s2 ON dg.i = s2.i
     """,
 )

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import floordiv, sql_floordiv
+
 N_DIMS = 64
 K = 8  # clusters; initial centroids = vectors 0..K-1
 Q = 1_000_000  # quantization grid (1e-6 component resolution)
@@ -184,7 +186,7 @@ def _assign_pandas(qarr: DataFrame, rows) -> DataFrame:
 
 def update(q: DataFrame, a: DataFrame) -> DataFrame:
     """(k, dim, c) — new centroids: exact floor(mean) per dimension.
-    ``(s - pmod(s, n)) / n`` is an exact integer floor division in
+    functions.exact.floordiv is an exact integer floor division in
     both engines (the subtraction makes the numerator divisible, so
     the double division is exact)."""
     s = F.sum("qx")
@@ -192,7 +194,7 @@ def update(q: DataFrame, a: DataFrame) -> DataFrame:
     return (
         q.join(a.select("vec_id", "k"), "vec_id")
         .groupBy("k", "dim")
-        .agg(((s - F.pmod(s, n)) / n).cast("bigint").alias("c"))
+        .agg(floordiv(s, n).alias("c"))
     )
 
 
@@ -308,8 +310,7 @@ def sql_lloyd_ctes(
         parts.append(
             f"""c{it} AS (
       SELECT a.k, q.dim,
-             CAST((SUM(q.qx) - ((SUM(q.qx) % COUNT(*)) + COUNT(*)) % COUNT(*))
-                  / COUNT(*) AS BIGINT) AS c
+             {sql_floordiv('SUM(q.qx)', 'COUNT(*)')} AS c
       FROM q JOIN a{it} a ON q.vec_id = a.vec_id
       GROUP BY 1, 2)"""
         )

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import floordiv, sql_floordiv
 from .kmeans import Q, quantized_arrays
 
 N_DIMS = 64
@@ -132,7 +133,7 @@ def train_codebook(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
         cents = (
             q.join(codes.select("vec_id", "sub", "code"), ["vec_id", "sub"])
             .groupBy("sub", F.col("code").alias("k"), "dim")
-            .agg(((s - F.pmod(s, n)) / n).cast("bigint").alias("c"))
+            .agg(floordiv(s, n).alias("c"))
             # The codebook is M·K·SUB_DIMS rows (tiny). Materialize it
             # per round — downstream consumers (codes, dtab, rerank)
             # would otherwise re-execute the whole training lineage
@@ -388,8 +389,7 @@ def sql_pq_ctes(iters: int = PQ_ITERS) -> str:
         FROM sd{it}) WHERE rn = 1),
     sc{it} AS (
       SELECT q.sub, a.k, q.dim,
-             CAST((SUM(q.qx) - ((SUM(q.qx) % COUNT(*)) + COUNT(*)) % COUNT(*))
-                  / COUNT(*) AS BIGINT) AS c
+             {sql_floordiv('SUM(q.qx)', 'COUNT(*)')} AS c
       FROM st q JOIN sa{it} a ON q.vec_id = a.vec_id AND q.sub = a.sub
       GROUP BY 1, 2, 3)"""
         )

@@ -132,13 +132,14 @@ def main() -> None:
         if not rec["ok"]:
             fails += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
-        # Release driver-side refs to checkpointed DataFrames so the
+        # Release driver-side refs to checkpointed DataFrames (so the
         # ContextCleaner can drop their blockmgr files — an sf1 sweep
         # otherwise accumulates tens of GB of localCheckpoint blocks
         # across the graph/iterative queries and starved DuckDB's
-        # triangle-oracle spill of disk (observed r4: 'No space left
-        # on device' mid-sweep).
-        sdf = None
+        # triangle-oracle spill of disk, observed r4: 'No space left
+        # on device' mid-sweep) AND to the collected row lists, which
+        # at sf1 can hold millions of tuples per query.
+        sdf = srows = rel = drows = None  # noqa: F841
         gc.collect()
 
     summary = {

@@ -91,5 +91,58 @@ def test_oracles_never_direct_cast_decimal_sums_to_double():
                 break
     assert not offenders, (
         f"oracles direct-casting SUM to DOUBLE (use sql_dec2dbl / the "
-        f"CAST(... AS VARCHAR) round-trip): {sorted(set(offenders))}"
+        f"CAST(... AS STRING) round-trip): {sorted(set(offenders))}"
+    )
+
+
+def _decimal_sum_aliases(text):
+    """Alias names bound to decimal SUM expressions in an oracle —
+    `SUM(...DECIMAL...) [OVER (...)] AS name`, balanced-paren matched."""
+    import re
+
+    aliases = set()
+    for m in re.finditer(r"SUM\(", text):
+        depth, k = 0, m.end() - 1
+        while k < len(text):
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if "DECIMAL" not in text[m.end() : k]:
+            continue
+        tail = text[k + 1 :]
+        m2 = re.match(r"\s*(?:OVER\s*(?:\w+|\([^)]*\)))?\s*AS\s+(\w+)", tail)
+        if m2:
+            aliases.add(m2.group(1))
+    return aliases
+
+
+def test_oracles_never_direct_cast_decimal_alias_to_double():
+    """The alias form of the same divergence: a CTE binds
+    `SUM(...DECIMAL...) AS rev_dec` and a later select writes
+    `CAST(rev_dec AS DOUBLE)` — semantically the identical direct
+    decimal->double conversion the SUM gate forbids, just renamed
+    (exactly the form hand-fixed in orders_yoy_growth /
+    customer_rfm_segments / sql_cte_window_share this round). LAG/
+    LEAD-wrapped uses count too."""
+    import re
+
+    offenders = []
+    for name, qd in registry.load_all().items():
+        if not qd.oracle:
+            continue
+        for alias in _decimal_sum_aliases(qd.oracle):
+            pat = (
+                rf"CAST\(\s*(?:(?:LAG|LEAD|SUM|MIN|MAX)\(\s*)?(?:\w+\.)?"
+                rf"{alias}\s*(?:\)\s*(?:OVER\s*(?:\w+|\([^)]*\)))?)?"
+                rf"\s*AS\s+DOUBLE\s*\)"
+            )
+            if re.search(pat, qd.oracle):
+                offenders.append((name, alias))
+    assert not offenders, (
+        f"oracles direct-casting a decimal-SUM alias to DOUBLE (route "
+        f"through CAST(... AS STRING) / sql_dec2dbl): {sorted(offenders)}"
     )

@@ -355,14 +355,19 @@ def test_cdc_upsert_empty_source(spark, two_batch_dir, tmp_path):
 def test_cdc_upsert_cleans_tmp(spark, two_batch_dir):
     """The ping-pong snapshots are transient: no spark_graft_cdc_* dirs
     may survive a completed run (r4 review: repeated bench/test runs
-    were accumulating unbounded /tmp state)."""
+    were accumulating unbounded tmp state). Snapshot the tempdir's
+    pre-existing dirs so a concurrent run can't fail this spuriously,
+    and glob where mkdtemp actually writes (honors TMPDIR)."""
     import glob
+    import tempfile
 
     from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import run_cdc_upsert
 
+    pattern = f"{tempfile.gettempdir()}/spark_graft_cdc_*"
+    before = set(glob.glob(pattern))
     flat, ev_batch = two_batch_dir
     out = run_cdc_upsert(
         spark.readStream.schema(ev_batch.schema).parquet(flat), spark
     )
     assert out.count() > 0  # result survives the cleanup (localCheckpoint)
-    assert glob.glob("/tmp/spark_graft_cdc_*") == []
+    assert set(glob.glob(pattern)) - before == set()
