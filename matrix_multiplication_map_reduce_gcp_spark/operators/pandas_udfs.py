@@ -102,6 +102,12 @@ def pandas_udf_weighted_avg(spark, sf_dir):
     )
 
 
+# Cogroup bucket count: the per-call Arrow overhead amortizer (see
+# cogroup_events_before_order docstring). Scales like shuffle
+# partitions: pick so one bucket's frames fit an Arrow batch.
+COGROUP_BUCKETS = 64
+
+
 @query(
     "cogroup_events_before_order",
     oracle="""
@@ -118,50 +124,82 @@ def cogroup_events_before_order(spark, sf_dir):
     """Cogrouped applyInPandas (FlatMapCoGroupsInPandas): the escape
     hatch for per-key TWO-SIDED custom merges joins can't express —
     both relations shuffle ONCE, co-partitioned on the key, and each
-    (orders-of-user, events-of-user) pair arrives as two Arrow frames
-    for arbitrary per-key logic. Here: for every order, how many of
-    that user's events strictly precede it — one sort of the user's
-    event times + a vectorized searchsorted per key, O(n log n) in the
-    KEY GROUP, never in the table. The oracle is the correlated-count
-    equivalent (DuckDB decorrelates it to the same co-grouped shape).
+    key's pair of Arrow frames arrives for arbitrary two-sided logic.
+    Here: for every order, how many of that user's events strictly
+    precede it. The oracle is the correlated-count equivalent (DuckDB
+    decorrelates it to the same co-grouped shape).
+
+    The cogroup KEY is a BUCKET of users (user_id mod COGROUP_BUCKETS),
+    not the raw user — the production discipline for this API: Spark
+    invokes the Python function once per key, so raw-entity keys pay
+    ~1 ms of Arrow/pandas overhead per entity (first cut measured
+    ~12 s at sf0.1 for ~13k users, almost all of it per-call cost).
+    Bucketing amortizes that to COGROUP_BUCKETS calls and the per-user
+    logic vectorizes INSIDE the bucket: one lexsort of the combined
+    (user, ts, kind) rows with orders ordered before events on ties
+    (strict '<' semantics), then a per-user-rebased cumulative event
+    count — O(n log n) per bucket, zero per-user Python cost.
 
     At 100 TB this is the footprint of any per-entity sequence logic
     (sessionized replay, per-user feature backfill): shuffle both
-    sides by entity once, stream Arrow batches per entity — state
-    bounded by the largest single key, not the table."""
+    sides by bucket once; choose COGROUP_BUCKETS so a bucket's two
+    frames fit an Arrow batch comfortably (buckets ∝ data volume,
+    like shuffle partitions — entities never straddle buckets)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ob = o.withColumn("b", F.pmod("o_custkey", F.lit(COGROUP_BUCKETS)))
+    eb = e.withColumn("b", F.pmod("user_id", F.lit(COGROUP_BUCKETS)))
 
     def align(orders_pdf, events_pdf):
         import numpy as np
         import pandas as pd
 
-        if len(orders_pdf) == 0:
+        no = len(orders_pdf)
+        if no == 0:
             return pd.DataFrame(
                 {"o_orderkey": [], "o_custkey": [], "n_events_before": []}
             ).astype(
                 {"o_orderkey": "int64", "o_custkey": "int64",
                  "n_events_before": "int64"}
             )
-        ev = np.sort(
-            events_pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        o_u = orders_pdf["o_custkey"].to_numpy(dtype="int64")
+        o_t = (
+            orders_pdf["o_orderdate"]
+            .to_numpy(dtype="datetime64[us]")
+            .astype("int64")
         )
-        od = orders_pdf["o_orderdate"].to_numpy(
-            dtype="datetime64[us]"
-        ).astype("int64")
+        e_u = events_pdf["user_id"].to_numpy(dtype="int64")
+        e_t = events_pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        u = np.concatenate([o_u, e_u])
+        t = np.concatenate([o_t, e_t])
+        kind = np.concatenate(  # orders sort before events on ts ties:
+            [np.zeros(no, dtype="int64"), np.ones(len(e_u), dtype="int64")]
+        )  # equal-ts events must NOT count (strict '<')
+        row = np.concatenate([np.arange(no), np.full(len(e_u), -1)])
+        perm = np.lexsort((kind, t, u))
+        k = kind[perm]
+        before = np.cumsum(k) - k  # events strictly above this row
+        us = u[perm]
+        start = np.r_[True, us[1:] != us[:-1]]
+        base = np.maximum.accumulate(np.where(start, before, -1))
+        per_user = before - base  # rebased at each user's first row
+        sel = perm[row[perm] >= 0]
+        orow = row[sel]
+        out = np.empty(no, dtype="int64")
+        out[orow] = per_user[row[perm] >= 0]
         return pd.DataFrame(
             {
                 "o_orderkey": orders_pdf["o_orderkey"].to_numpy(),
                 "o_custkey": orders_pdf["o_custkey"].to_numpy(),
-                "n_events_before": np.searchsorted(ev, od, side="left"),
+                "n_events_before": out,
             }
         )
 
     return (
-        o.groupby("o_custkey")
-        .cogroup(e.groupby("user_id"))
+        ob.groupby("b")
+        .cogroup(eb.groupby("b"))
         .applyInPandas(
             align,
             "o_orderkey bigint, o_custkey bigint, n_events_before bigint",
