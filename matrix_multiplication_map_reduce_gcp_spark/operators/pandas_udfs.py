@@ -205,3 +205,56 @@ def cogroup_events_before_order(spark, sf_dir):
             "o_orderkey bigint, o_custkey bigint, n_events_before bigint",
         )
     )
+
+
+@query(
+    "arrow_embedding_qnorms",
+    oracle="""
+    SELECT vec_id,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS qnorm_sq
+    FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+    """,
+)
+def arrow_embedding_qnorms(spark, sf_dir):
+    """mapInArrow — the lowest-overhead Python surface: raw Arrow
+    RecordBatches cross the boundary with NO pandas materialization
+    (one conversion layer below mapInPandas). The list column is
+    consumed zero-copy: NumPy views the flat values buffer and the
+    offsets buffer directly, computes per-vector squared L2 norms on
+    the 1e-6 integer grid (the kmeans quantization contract — exact,
+    so the UNNEST oracle hash-matches bit-for-bit), and one
+    subtract-of-cumsums segments the flat squares back into vectors.
+    No per-row or per-vector Python: two buffer views and four
+    vectorized ops per batch.
+
+    At 100 TB: map-only (zero shuffle), Arrow batch size bounds
+    memory, and the pattern is the template for any fused
+    vector-kernel stage (normalization, dtype narrowing, feature
+    hashing) where even pandas' block manager overhead matters."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def qnorms(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            emb = b.column(b.schema.get_field_index("embedding"))
+            offs = np.asarray(emb.offsets)
+            vals = np.asarray(emb.values, dtype=np.float64)
+            q = np.floor(vals * 1_000_000).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(q * q)])
+            norms = csum[offs[1:]] - csum[offs[:-1]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(norms, type=pa.int64()),
+                ],
+                ["vec_id", "qnorm_sq"],
+            )
+
+    return e.mapInArrow(qnorms, "vec_id bigint, qnorm_sq bigint")
