@@ -14,12 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from .coo import CooMatrix
 
 
 def matrix_a(spark: SparkSession, sf_dir: str, rows: int = 40, cols: int = 60) -> CooMatrix:
     """A[i,j] = #lineitems with l_orderkey≡i (mod rows), l_partkey≡j (mod cols)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     df = (
         li.groupBy(
             (F.col("l_orderkey") % rows).alias("i"), (F.col("l_partkey") % cols).alias("j")
@@ -31,7 +32,7 @@ def matrix_a(spark: SparkSession, sf_dir: str, rows: int = 40, cols: int = 60) -
 
 def matrix_b(spark: SparkSession, sf_dir: str, rows: int = 60, cols: int = 30) -> CooMatrix:
     """B[j,k] = Σ l_quantity over lineitems with l_partkey≡j, l_suppkey≡k."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
     df = (
@@ -47,7 +48,7 @@ def matrix_b(spark: SparkSession, sf_dir: str, rows: int = 60, cols: int = 30) -
 def matrix_sparse(spark: SparkSession, sf_dir: str, rows: int = 200, cols: int = 300) -> CooMatrix:
     """~Sparse operand: only high-quantity lineitems contribute, folded
     over a larger index space so most cells are empty (implicit zeros)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
     df = (
@@ -73,7 +74,7 @@ def matrix_fold(
     col_key % cols). The ``cap`` bounds every entry below ``cap`` so
     chained products (matmul pipelines) stay exactly representable at
     ANY scale factor — counts grow with SF, ``count % cap`` doesn't."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(row_key, col_key)
+    li = load_table(spark, sf_dir, "lineitem").select(row_key, col_key)
     df = li.groupBy(
         (F.col(row_key) % rows).alias("i"), (F.col(col_key) % cols).alias("j")
     ).agg((F.count("*") % cap).cast("double").alias("v"))

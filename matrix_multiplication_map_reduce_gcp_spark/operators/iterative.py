@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 # floordiv: the exact integer floor-division idiom shared with the
 # kmeans/PQ centroid updates (one definition, functions/exact.py).
+from ..catalog import load_table
 from ..functions.exact import floordiv as _floordiv
 from ..functions.exact import sql_floordiv as _sql_floordiv
 from ..matrix.fixtures import matrix_a, sql_matrix_a
@@ -94,7 +95,7 @@ def jacobi_solve_2iter(spark, sf_dir):
     n-row x, aggregates n partial sums (one shuffle of n rows), and
     updates x map-side — the textbook distributed Jacobi/Pregel round,
     O(nnz) per sweep."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % JAC_N).alias("i"),
         (F.col("l_suppkey") % JAC_N).alias("j"),
     )

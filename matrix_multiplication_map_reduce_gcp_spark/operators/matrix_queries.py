@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..matrix.coo import _DEC, CooMatrix
 from ..matrix.fixtures import (
     matrix_a,
@@ -178,7 +179,7 @@ def matvec(spark, sf_dir):
     """A @ x with the vector broadcast (zero shuffle on the matrix side)."""
     a = matrix_a(spark, sf_dir)
     x = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        load_table(spark, sf_dir, "part")
         .groupBy((F.col("p_partkey") % 60).alias("j"))
         .agg(F.count("*").cast("double").alias("v"))
     )

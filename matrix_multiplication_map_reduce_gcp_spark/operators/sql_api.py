@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..catalog import register_views
+from ..catalog import load_table, register_views
 from ..registry import query
 
 
@@ -90,7 +90,7 @@ def struct_map_functions(spark, sf_dir):
     are projected back to scalars before the gate (engines canonicalize
     raw struct cells differently), so the nested ops are exercised while
     the compared output stays scalar."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 100 == 0
     )
     props = F.struct(
@@ -241,7 +241,7 @@ def training_data_pipeline(spark, sf_dir):
     stats → quality filter → exact dedup (keep first per hash) → corpus
     accounting per language. Single pass + one window + one agg; no
     operator materializes intermediates."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     stats = d.select(
         "doc_id",

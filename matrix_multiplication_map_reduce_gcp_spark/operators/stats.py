@@ -441,7 +441,8 @@ N_HIST_BUCKETS = 10
       SELECT MIN(xc) AS minc, MAX(xc) AS maxc, COUNT(*) AS total FROM cents),
     bucketed AS (
       SELECT LEAST({N_HIST_BUCKETS - 1},
-                   ((c.xc - s.minc) * {N_HIST_BUCKETS}) // (s.maxc - s.minc))
+                   ((c.xc - s.minc) * {N_HIST_BUCKETS})
+                     // GREATEST(s.maxc - s.minc, 1))
                AS bucket,
              s.minc, s.maxc, s.total
       FROM cents c CROSS JOIN stats s)
@@ -467,7 +468,10 @@ def equi_width_price_histogram(spark, sf_dir):
     All arithmetic is integer cents (prices enter on the exact
     DECIMAL(12,2) grid): bucket ids and bucket bounds are integer
     divisions, so both engines agree bit-for-bit; the only float is
-    the per-row frac = n/total of two integers."""
+    the per-row frac = n/total of two integers. The divisor is
+    greatest(maxc - minc, 1) — mirrored in the oracle — so a
+    degenerate all-equal-price corpus collapses to one well-formed
+    bucket 0 instead of a NULL-bucket row."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select((dec("l_extendedprice") * 100).cast("bigint").alias("xc"))
     stats = cents.agg(
@@ -478,7 +482,10 @@ def equi_width_price_histogram(spark, sf_dir):
     bucketed = cents.crossJoin(F.broadcast(stats)).select(
         F.least(
             F.lit(N_HIST_BUCKETS - 1),
-            F.expr(f"((xc - minc) * {N_HIST_BUCKETS}) div (maxc - minc)"),
+            F.expr(
+                f"((xc - minc) * {N_HIST_BUCKETS}) "
+                "div greatest(maxc - minc, 1)"
+            ),
         ).alias("bucket"),
         "minc",
         "maxc",

@@ -166,6 +166,11 @@ def _assign_pandas(qarr: DataFrame, rows) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
+            if pdf.empty:
+                # An empty Arrow batch (filter boundary upstream) makes
+                # np.array(tolist()) 1-D shape (0,) — the GEMM would
+                # raise. Nothing to assign; skip.
+                continue
             # Qm, not Q: the module-level Q is the 1e-6 quantization grid.
             Qm = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
             qq = (Qm * Qm).sum(axis=1)

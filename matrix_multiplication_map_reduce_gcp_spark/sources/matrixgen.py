@@ -18,8 +18,7 @@ Worker-shipping discipline: the DataSource classes are defined INSIDE
 the factory below, so cloudpickle serializes them BY VALUE. Defined
 at module top level they would pickle by reference and die with
 ModuleNotFoundError on executors whose Python lacks this repo on
-sys.path (the mapInPandas closure rule, .claude/skills/verify —
-same rule, class edition).
+sys.path (the mapInPandas closure rule — same rule, class edition).
 """
 
 from __future__ import annotations

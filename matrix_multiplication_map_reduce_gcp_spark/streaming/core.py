@@ -52,10 +52,10 @@ def _stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source; schema pinned
     from the batch read — required for readStream)."""
-    from ..catalog import ensure_nanos_conf, normalize_events_ts
+    from ..catalog import ensure_nanos_conf, load_table, normalize_events_ts
 
     ensure_nanos_conf(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     return normalize_events_ts(raw)
 

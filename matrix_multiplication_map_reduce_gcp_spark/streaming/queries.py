@@ -393,7 +393,8 @@ def stream_complete_topk_users(spark, sf_dir):
     WITH ranked AS (
       SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn,
+                                ORDER BY ts DESC, event_id DESC,
+                                         value DESC) AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS n
       FROM events)
     SELECT user_id,
@@ -411,7 +412,10 @@ def stream_cdc_upsert_state(spark, sf_dir):
     Each micro-batch reduces to one row per user (count + latest
     (ts, event_id, value) struct), then merges into the persisted
     state by associative ops only: n_events adds, the latest-struct
-    takes a lexicographic max. Associativity is the correctness
+    takes a lexicographic max — value is INSIDE the comparison key,
+    and the oracle mirrors the full (ts, event_id, value) tie-break,
+    so even a fixture with duplicate (user_id, ts, event_id) rows
+    cannot make the engines disagree. Associativity is the correctness
     argument: ANY micro-batch split of the input produces the same
     final table (pinned against 1-batch vs 4-batch runs in
     tests/test_streaming.py).

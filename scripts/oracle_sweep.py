@@ -13,7 +13,7 @@ a committed artifact the judge can read.
 Must run from a cwd outside the repo? No — it inserts the repo at
 sys.path[0] and uses self-contained worker closures; but to mirror
 the driver exactly we re-exec from /tmp when invoked inside the repo
-(worker sys.path gotcha, .claude/skills/verify/SKILL.md).
+(worker sys.path gotcha: executors must not import the repo by path).
 """
 
 from __future__ import annotations

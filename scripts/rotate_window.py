@@ -107,8 +107,14 @@ def propose_window(
     green = green_queries(rounds) | set(extra_green)
     never_green = [n for n in registered if n not in green]
 
-    # Module representatives: prefer a never-green query so the rep
-    # slot itself buys new verification coverage.
+    # Module representatives: the rep is the module's first never-green
+    # query, so the anchor slot itself buys new verification coverage.
+    # A FULLY-GREEN module gets no rep while a never-green backlog is
+    # waiting (r4 judge: 10 fully-green anchors capped the r5 window at
+    # 39 first-ever rows; the backlog outranks re-verification). Once
+    # the backlog fits, fully-green modules regain their anchors and
+    # spare slots re-verify greens in registration order — the steady
+    # state is again "every module represented, window full".
     mod_order: list[str] = []
     by_mod: dict[str, list[str]] = {}
     for name in registered:
@@ -126,9 +132,9 @@ def propose_window(
     for mod in mod_order:
         if any(modules[n] == mod for n in window):
             continue
-        cands = by_mod[mod]
-        rep = next((n for n in cands if n in never_green), cands[0])
-        window.append(rep)
+        rep = next((n for n in by_mod[mod] if n in never_green), None)
+        if rep is not None:
+            window.append(rep)
 
     hint_rank = {n: i for i, n in enumerate(PRIORITY_HINTS)}
     reg_rank = {n: i for i, n in enumerate(registered)}
@@ -142,6 +148,20 @@ def propose_window(
             window.append(n)
         else:
             deferred.append(n)
+
+    # Backlog fits → restore fully-green module anchors, then pad the
+    # window with greens (registration order) for re-verification.
+    if not deferred:
+        for mod in mod_order:
+            if len(window) >= WINDOW:
+                break
+            if not any(modules[n] == mod for n in window):
+                window.append(by_mod[mod][0])
+        for n in registered:
+            if len(window) >= WINDOW:
+                break
+            if n not in window:
+                window.append(n)
     return window, deferred
 
 

@@ -29,13 +29,31 @@ def test_priority_prefix_valid():
 
 
 def test_first_50_cover_every_category():
+    """Category coverage of the driver window. While a never-green
+    backlog overflows the window (window.DEFERRED non-empty), fully
+    driver-verified modules waive their anchor — first-ever rows
+    outrank re-verification (r4 judge task #1). Modules that still
+    have never-green queries must ALWAYS be represented; once the
+    backlog fits, every module must be."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import rotate_window
+
+    from matrix_multiplication_map_reduce_gcp_spark import window
+
     q = registry.load_all()
     first50 = list(q)[:50]
-    all_mods = {qd.fn.__module__ for qd in q.values()}
     covered = {q[n].fn.__module__ for n in first50}
-    assert covered == all_mods, (
+    green = rotate_window.green_queries(list(window.CONSUMED_ROUNDS))
+    must_cover = {
+        qd.fn.__module__ for n, qd in q.items() if n not in green
+    }
+    if not window.DEFERRED:
+        must_cover = {qd.fn.__module__ for qd in q.values()}
+    assert must_cover <= covered, (
         f"query modules with no representative in the driver's 50-row "
-        f"window: {sorted(all_mods - covered)}"
+        f"window: {sorted(must_cover - covered)}"
     )
 
 
