@@ -178,6 +178,14 @@ def main() -> None:
         timed("matmul_dense_1000_block",
               lambda: run_noop(block_multiply(a, b, block_size=250).df),
               reps=3)
+        # 4000×4000 (6.4e10 multiply-pairs, 20x the reference's largest
+        # published size squared) — the stress point where block-size /
+        # shuffle behavior matters: an 8×8 block grid, 512 GEMM tasks,
+        # and only block rows through every shuffle
+        # (tests/test_plans.py::test_summa_block_plan_shuffles_block_rows_only).
+        a4, b4 = gen_matrix(spark, 4000, seed=5), gen_matrix(spark, 4000, seed=6)
+        timed("matmul_dense_4000_block",
+              lambda: run_noop(block_multiply(a4, b4, block_size=500).df))
 
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the

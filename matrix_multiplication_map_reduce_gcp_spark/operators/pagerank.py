@@ -153,6 +153,15 @@ def triangle_count_suppliers(spark, sf_dir):
     power-law graphs. Emits the top-20 suppliers by triangle
     participation (the clustering-hub ranking)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return _triangle_top20(li)
+
+
+def _triangle_top20(li):
+    """Degree-oriented exact triangle top-20 over the supplier
+    co-occurrence graph derived from the given (l_orderkey, l_suppkey)
+    projection — shared by the full query and the sampled-vertex
+    variant that verifies the kernel at scale factors where the full
+    DuckDB oracle exceeds the verification machine."""
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     und = (
@@ -202,6 +211,68 @@ def triangle_count_suppliers(spark, sf_dir):
         "n_triangles",
         F.row_number().over(w).alias("rank"),
     )
+
+
+TRI_SAMPLE_MOD = 4  # keep 1-in-4 supplier vertices in the sampled kernel
+
+
+@query(
+    "triangle_count_sampled",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_suppkey % {TRI_SAMPLE_MOD} = 0
+        AND b.l_suppkey % {TRI_SAMPLE_MOD} = 0),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM und e
+      JOIN deg du ON du.n = e.u
+      JOIN deg dv ON dv.n = e.v),
+    tri AS (
+      SELECT p1.lo AS a, p1.hi AS b, p2.hi AS c
+      FROM oriented p1
+      JOIN oriented p2 ON p2.lo = p1.hi
+      JOIN oriented p3 ON p3.lo = p1.lo AND p3.hi = p2.hi),
+    participation AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS n FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_triangles DESC, n) AS rn
+      FROM participation)
+    SELECT n AS supplier, n_triangles, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def triangle_count_sampled(spark, sf_dir):
+    """Exact triangle top-20 restricted to the deterministic 1-in-4
+    supplier vertex sample (l_suppkey % 4 == 0) — the SCALE
+    verification path for the triangle kernel. The full
+    triangle_count_suppliers oracle is the one genuinely
+    superlinear DuckDB plan in the registry: at sf1 its 2-path
+    intermediate (~2e9 rows off 4.5M edges, avg degree ~900) needs
+    >85 GB of out-of-core spill, more than the verification box
+    (observed r4/r5). Restricting BOTH engines to the same sampled
+    subgraph shrinks the 2-path volume ~64x while exercising the
+    identical degree-oriented join-agg pipeline on full-scale input
+    data — so the kernel stays oracle-checked at every SF the sweep
+    runs, and the full query is checked at the largest SF the oracle
+    machine can hold (sf0.5 committed; see SCALING.md)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % TRI_SAMPLE_MOD == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return _triangle_top20(li)
 
 
 STRONG_TIE_MIN = 5  # co-orders required for an edge to survive

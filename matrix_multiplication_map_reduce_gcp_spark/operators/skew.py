@@ -130,7 +130,18 @@ def shuffle_skew_report(spark, sf_dir):
     the measured justification for the repo's salting thresholds
     (skew_salted_hot_key_join, skew_salted_status_totals)."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+    return skew_report(li, "l_orderkey")
+
+
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Per-key skew diagnosis for an arbitrary frame + shuffle key:
+    top-10 heaviest keys, key/row totals, and the imbalance factor
+    max·|keys|/total. The generic seam behind shuffle_skew_report —
+    tests/test_plans.py runs it against the fixture's worst natural
+    key (events.user_id) and against a planted 10%-hot-key
+    distribution to pin that the diagnosis (imbalance factor) and the
+    mitigation (AQE skew-join split) actually connect."""
+    per_key = df.groupBy(F.col(key).alias("key")).agg(
         F.count("*").alias("n_rows")
     )
     summary = per_key.agg(

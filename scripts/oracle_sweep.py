@@ -63,6 +63,17 @@ def main() -> None:
         "single-node DuckDB plan cannot fit this machine at the probe "
         "SF — record WHY in SCALING.md when used)",
     )
+    ap.add_argument(
+        "--duck-mem",
+        default="48GB",
+        help="DuckDB memory_limit for the oracle side (default 48GB)",
+    )
+    ap.add_argument(
+        "--duck-tmp",
+        default="/tmp/duckdb_spill",
+        help="DuckDB temp_directory for out-of-core spill — point it "
+        "at the largest volume; removed after the sweep",
+    )
     args = ap.parse_args()
 
     if os.path.commonpath([os.getcwd(), REPO]) == REPO:
@@ -83,6 +94,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Bounded-resource oracle: cap DuckDB's memory and route its
+    # out-of-core spill to an explicit directory we clean up, so one
+    # superlinear oracle (the r4 sf1 triangle incident: >85 GB of
+    # spill, 'No space left on device' mid-sweep) degrades to a
+    # recorded per-query error instead of poisoning the whole sweep
+    # and the machine. preserve_insertion_order=false releases the
+    # ordering constraint our order-insensitive value-hash never
+    # needed, cutting peak memory on the big CTE pipelines.
+    con.sql(f"SET memory_limit='{args.duck_mem}'")
+    con.sql(f"SET temp_directory='{args.duck_tmp}'")
+    con.sql("SET preserve_insertion_order=false")
     tables = (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -141,6 +163,10 @@ def main() -> None:
         # at sf1 can hold millions of tuples per query.
         sdf = srows = rel = drows = None  # noqa: F841
         gc.collect()
+
+    import shutil
+
+    shutil.rmtree(args.duck_tmp, ignore_errors=True)
 
     summary = {
         "sf_dir": args.sf,

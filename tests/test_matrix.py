@@ -192,3 +192,50 @@ def test_jacobi_sweeps_converge_toward_solution(spark):
     err1 = np.abs(x1 - x_star).max()
     err2 = np.abs(x2 - x_star).max()
     assert err2 < err1
+
+
+def test_block_multiply_matrixgen_oracle_midscale(spark):
+    """NumPy oracle for the SUMMA path at a mid-scale non-trivial
+    block grid (400x400, 4x4 blocks of 100) on md5-deterministic
+    matrixgen cells — the seeded-generator correctness evidence behind
+    the bench's matmul_dense_{1000,4000}_block entries (same kernel,
+    same packing, bigger grid)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.coo import CooMatrix
+    from matrix_multiplication_map_reduce_gcp_spark.sources.matrixgen import (
+        VAL_MOD,
+        gen_value,
+    )
+
+    n = 400
+
+    def spark_mat(seed):
+        # Spark-side twin of matrixgen's md5 cell formula
+        # (sql_gen_value is the DuckDB spelling; Spark spells the
+        # hex→int step conv(_, 16, 10)).
+        df = spark.range(n * n).select(
+            (F.col("id") / n).cast("long").alias("i"),
+            (F.col("id") % n).alias("j"),
+            F.expr(
+                f"CAST(conv(substr(md5(CONCAT('m{seed}|', "
+                f"CAST(id / {n} AS BIGINT), '|', id % {n})), 1, 8), "
+                f"16, 10) AS BIGINT) % {VAL_MOD}"
+            ).cast("double").alias("v"),
+        )
+        return CooMatrix(df, n, n)
+
+    def np_mat(seed):
+        return np.array(
+            [[gen_value(seed, i, j) for j in range(n)] for i in range(n)],
+            dtype=np.float64,
+        )
+
+    C = block_multiply(spark_mat(21), spark_mat(22), block_size=100)
+    got = np.zeros((n, n))
+    for r in C.df.collect():
+        got[r[0], r[1]] = r[2]
+    want = np_mat(21) @ np_mat(22)
+    assert np.array_equal(got, want)

@@ -212,3 +212,154 @@ def test_join_view_ivm_all_equi_joins(spark):
     plan = executed_plan(Q["join_view_ivm"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_skew_report_measures_fixture_worst_key(spark):
+    """The diagnosis leg of the skew machinery: skew_report against
+    the fixture's worst natural key (events.user_id) must return a
+    well-formed report, and a PLANTED 10%-hot-key distribution must
+    move the imbalance factor by orders of magnitude — the measured
+    signal that tells an operator to reach for salting/AQE."""
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.operators.skew import skew_report
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    natural = skew_report(ev, "user_id").collect()
+    assert len(natural) == 10
+    nat_factor = natural[0]["imbalance_factor"]
+    assert nat_factor >= 1.0  # 1.0 == perfectly uniform, by definition
+
+    # Plant a 10%-hot key: every 10th row maps to user_id 0.
+    planted = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    rep = skew_report(planted, "user_id").collect()
+    hot = rep[0]
+    assert hot["key"] == 0 and hot["rank"] == 1
+    # ~10% of all rows on one key out of |keys| keys → factor ≈
+    # 0.1 * n_keys; require at least 10x the natural imbalance.
+    assert hot["imbalance_factor"] > 10 * nat_factor, (
+        hot["imbalance_factor"],
+        nat_factor,
+    )
+
+
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """The mitigation leg: with a planted 10%-hot-key distribution on
+    both sides of a sort-merge join at sf0.1, AQE's OptimizeSkewedJoin
+    must actually split the straggler partition — the final adaptive
+    plan carries the skew marker. This is the audited-default story:
+    a hot key that slips past manual salting still cannot produce a
+    straggler task on a cluster with these session settings."""
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    # repartition(16): AQE splits a skewed reduce partition into
+    # consecutive MAPPER ranges, so with the fixture's single input
+    # split (17 MB parquet = 1 map task) there is nothing to split and
+    # OptimizeSkewedJoin reports 0 skewed partitions even when the
+    # byte test passes (debug-verified: max 754 KB > 2x median 92 KB).
+    # A 100 TB table always has thousands of mappers; 16 reproduces
+    # that shape at fixture scale.
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").repartition(16)
+    # ~10% of rows (10k of 100k) on user_id 0; pad a payload column so
+    # the hot shuffle partition dwarfs the median in BYTES (what AQE
+    # measures), not just rows.
+    # The payload must be (a) REFERENCED downstream, or column pruning
+    # deletes it before the shuffle, and (b) incompressible, or lz4
+    # shrinks the hot partition back under the byte threshold AQE
+    # reads from the map-output stats. md5(event_id) is both.
+    skewed = ev.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        F.concat(
+            F.md5(F.col("event_id").cast("string")),
+            F.md5((F.col("event_id") + 1).cast("string")),
+        ).alias("pad"),
+    )
+    # Right side stays uniform (~67 rows/user): one skewed side is
+    # enough for OptimizeSkewedJoin to split-and-replicate, and it
+    # keeps the hot key's join fan-out bounded.
+    right = ev.select("user_id", "value").withColumnRenamed("user_id", "uid")
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    try:
+        # Scale AQE's skew thresholds down to fixture size (defaults
+        # are tuned for 256 MB partitions); factor stays at a real
+        # 2x-over-median bar so the test exercises the true trigger.
+        # 64 shuffle partitions ≈ 1.4k rows median vs 11k on the hot
+        # partition — the contrast AQE's per-partition stats must see.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "64")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32k",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k"
+        )
+        # Downstream of the join: a GLOBAL aggregate only. A groupBy on
+        # the join key would require hashpartitioning(uid) above the
+        # join, and OptimizeSkewedJoin (correctly) refuses to split a
+        # partition the parent stage depends on.
+        joined = skewed.join(right, "uid").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("tv"),
+            F.sum(F.length("pad")).alias("pb"),
+        )
+        joined.collect()  # AQE finalizes the plan only on execution
+        final = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert "skew=true" in final or "skewed" in final, final[:2000]
+
+
+def test_summa_block_plan_shuffles_block_rows_only(spark):
+    """The SUMMA path's 100 TB contract: every Exchange moves PACKED
+    block rows, never entry rows. Pins (a) exactly three hash
+    exchanges — pack-A, pack-B, and the (bi, bk) regroup — (b) a
+    partial_collect_list BELOW each pack exchange (map-side packing:
+    the entry rows are combined into per-block partials before any
+    shuffle), and (c) the GEMM as MapInPandas with the block sum as
+    FlatMapGroupsInPandas. This is the audit behind the
+    matmul_dense_4000_block bench entry."""
+    import re
+
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+    from bench import gen_matrix
+
+    out = block_multiply(
+        gen_matrix(spark, 100, seed=1),
+        gen_matrix(spark, 100, seed=2),
+        block_size=25,
+    ).df
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 3, hash_exchanges
+    for keys in hash_exchanges:
+        assert "_groupingexpression" in keys or "bi#" in keys, keys
+    assert plan.count("partial_collect_list") == 2  # one per pack side
+    assert "MapInPandas gemm" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # Entry columns (i/j/k) must never appear as shuffle keys.
+    for keys in hash_exchanges:
+        assert not re.search(r"\b[ijk]#\d+L", keys), keys
