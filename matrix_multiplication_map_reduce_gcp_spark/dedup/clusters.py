@@ -32,12 +32,24 @@ def connected_components(
 ) -> DataFrame:
     """pairs: (doc_a, doc_b); nodes: (doc_id). Returns
     (doc_id, cluster_id) with cluster_id = min doc_id in the component."""
+    # Materialize the edge set ONCE. Without this every round's
+    # neighbor-min join re-executes the full upstream pair pipeline
+    # (shingling + MinHash + banding — more expensive than the whole
+    # CC loop on its output), multiplying its cost by the round count.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    # Iterate ONLY the active subgraph (nodes with at least one edge).
+    # Singletons can never change label, yet they dominate the corpus
+    # (a near-dup graph at 100 TB touches a small fraction of docs) —
+    # looping over all of `nodes` per round makes every round O(corpus)
+    # instead of O(pairs). Edges are symmetric, so src alone covers
+    # every endpoint. Singletons rejoin as identity labels at the end.
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = active.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -94,7 +106,16 @@ def connected_components(
             "iterations; raise max_iter (components deeper than this "
             "exist in the pair graph)"
         )
-    return labels
+    # Singletons (no edges) are their own cluster: identity label via
+    # a left join — broadcast-shaped at real scale because the active
+    # label table is O(pairs), tiny next to the corpus.
+    return nodes.select("doc_id").join(
+        labels.select(F.col("doc_id").alias("a_doc"), "cluster_id"),
+        F.col("doc_id") == F.col("a_doc"),
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def sql_components_ctes(pairs_sql: str) -> str:
