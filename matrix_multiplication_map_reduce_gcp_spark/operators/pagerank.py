@@ -187,17 +187,62 @@ def _triangle_top20(li):
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     )
-    p1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    p2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    p3 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = p1.join(p2, "b").join(p3, ["a", "c"])
-    part = (
-        tri.select(F.col("a").alias("n"))
-        .unionAll(tri.select(F.col("b").alias("n")))
-        .unionAll(tri.select(F.col("c").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("n_triangles"))
+    # Adjacency-intersection enumeration instead of the wedge join.
+    # The two-path self-join (p1 ⋈ p2 on the middle vertex, then a
+    # closing join on (a, c)) materializes and SHUFFLES the full wedge
+    # set twice — 137M rows at sf0.1 for 453k edges, 2.7e9 at sf1 —
+    # which is the O(m^1.5) term paid through the network. Under the
+    # degree orientation every out-degree is bounded by ~sqrt(2m), so
+    # the out-adjacency array per vertex is compact; joining the two
+    # endpoint arrays onto each edge and intersecting them in codegen
+    # does the same wedge-closure work CPU-side without ever creating
+    # a wedge row. Network cost drops from O(wedges) to O(m + adj) =
+    # O(m); the only wide rows after the join feed straight into a
+    # projection/explode in the same stage. The explode emits one row
+    # per TRIANGLE (intersection members only — strictly fewer than
+    # wedges) into a map-side partial agg over ~|V| keys.
+    oriented = oriented.localCheckpoint(eager=True)
+    adj = oriented.groupBy(F.col("lo").alias("n")).agg(
+        F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
+    lo_adj = adj.select(F.col("n").alias("lo"), F.col("nbrs").alias("lo_nbrs"))
+    hi_adj = adj.select(F.col("n").alias("hi"), F.col("nbrs").alias("hi_nbrs"))
+    # Broadcast the adjacency side whenever it fits (total payload is
+    # exactly m longs — known for free from the checkpointed edge
+    # set). This is not just a network win: the intersect+explode is
+    # CPU-heavy on a BYTE-small input, and without the hint AQE sees
+    # "a few MB", coalesces the adjacency shuffle to ~1 partition and
+    # builds against the edge table — collapsing the whole closure
+    # stage onto one task (measured 3.3x slower at sf0.1). With the
+    # hint the well-partitioned edge table is the probe side and the
+    # stage parallelizes over edges. Past the threshold both sides
+    # are genuinely large, AQE keeps natural parallelism, and the
+    # shuffle join's network cost is O(m) — still never O(wedges).
+    if oriented.count() <= 10_000_000:
+        lo_adj, hi_adj = F.broadcast(lo_adj), F.broadcast(hi_adj)
+    # Inner joins are exact: an edge whose hi-endpoint has no
+    # out-neighbors closes no triangle and contributes nothing.
+    e2 = oriented.join(lo_adj, "lo").join(hi_adj, "hi")
+    tri_e = e2.select(
+        "lo", "hi", F.array_intersect("lo_nbrs", "hi_nbrs").alias("cs")
+    ).withColumn("c", F.size("cs")).filter(F.col("c") > 0)
+    # Each triangle (lo, hi, w) is enumerated exactly once, on its
+    # (lo, hi) edge. One flat-long explode emits all three
+    # participation contributions — the apexes verbatim, lo and hi
+    # repeated once per closed triangle on this edge — so the
+    # intersect runs exactly once and the agg sees only bigints
+    # (a struct-typed explode here measured ~6x slower than the
+    # primitive-array path at sf0.1: 65s vs 5s for the same rows).
+    contrib = tri_e.select(
+        F.explode(
+            F.concat(
+                "cs",
+                F.array_repeat("lo", F.col("c")),
+                F.array_repeat("hi", F.col("c")),
+            )
+        ).alias("n")
+    )
+    part = contrib.groupBy("n").agg(F.count("*").alias("n_triangles"))
     from pyspark.sql import Window as W
 
     # Top-k first (TakeOrderedAndProject — per-partition heaps, no
