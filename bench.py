@@ -70,6 +70,31 @@ HEADLINE = [
     "matmul_chain_assoc",
 ]
 
+# The 10 heaviest registry queries (by a full-registry sf0.1 timing
+# sweep, r5) that had never been measured at the sf1 scale point, plus
+# the four families VERDICT r4 called out as unmeasured (all four are
+# sub-second at sf0.1 — included to close the question with numbers).
+# Run via SPARK_GRAFT_BENCH_GROUP=heavy at sf0.1 AND sf1; every query
+# gets median-of-3. Recorded as BENCH_SF1_r{N}.json with per-query
+# scale ratios.
+HEAVY_SCALE = [
+    "triangle_count_suppliers",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "containment_dup_pairs",
+    "levenshtein_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "ann_ivf_cells",
+    "simhash_near_dup_pairs",
+    "supplier_two_hop_reach",
+    # VERDICT r4 named families
+    "join_view_ivm",
+    "merge_upsert_orders",
+    "event_path_trigrams_topk",
+    "weekly_retention_cohorts",
+]
+
 
 def gen_matrix(spark, n: int, seed: int) -> CooMatrix:
     """Dense n×n uniform ints 0..99 (the reference's generator shape,
@@ -98,8 +123,12 @@ def main() -> None:
     # caught by the suite instead of costing the round its BENCH
     # artifact (the round-2 failure mode).
     smoke = bool(os.environ.get("SPARK_GRAFT_BENCH_SMOKE"))
-    headline = HEADLINE[:3] if smoke else HEADLINE
-    ladder = (4,) if smoke else (4, 10, 50, 100, 200)
+    # group=heavy: the scale-audit group (HEAVY_SCALE, median-of-3,
+    # no dense ladder/plot) — same harness, different query list, so
+    # fault isolation and the one-JSON-line contract are shared.
+    heavy = os.environ.get("SPARK_GRAFT_BENCH_GROUP") == "heavy"
+    headline = HEAVY_SCALE if heavy else (HEADLINE[:3] if smoke else HEADLINE)
+    ladder = () if heavy else ((4,) if smoke else (4, 10, 50, 100, 200))
     spark = get_spark(app_name="spark_graft_bench")
     queries = registry.load_all()
 
@@ -158,7 +187,7 @@ def main() -> None:
 
     for name in headline:
         timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)),
-              reps=3 if name in REPEAT3 else 1)
+              reps=3 if (heavy or name in REPEAT3) else 1)
 
     # Reference-comparable dense matmul ladder — the exact sizes the
     # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
@@ -173,7 +202,7 @@ def main() -> None:
     # block path (1e9 multiply-pairs — the entry-level join-agg plan
     # would materialize all of them; the block plan shuffles 4x4x4
     # block pairs and runs BLAS inside applyInPandas).
-    if not smoke:
+    if not smoke and not heavy:
         a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
         timed("matmul_dense_1000_block",
               lambda: run_noop(block_multiply(a, b, block_size=250).df),
@@ -190,20 +219,22 @@ def main() -> None:
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the
     # one-JSON-line stdout contract.
-    try:
-        from scripts.plot_bench import write_from_timings
+    if not heavy:
+        try:
+            from scripts.plot_bench import write_from_timings
 
-        write_from_timings(
-            timings,
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "benchmark_comparison.svg"),
-        )
-    except Exception as exc:  # pragma: no cover
-        print(f"plot generation failed: {exc}", file=sys.stderr)
+            write_from_timings(
+                timings,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmark_comparison.svg"),
+            )
+        except Exception as exc:  # pragma: no cover
+            print(f"plot generation failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     record = {
-        "metric": "headline_queries_total_wall",
+        "metric": "heavy_scale_queries_total_wall" if heavy
+        else "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -60,7 +60,8 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 @query("simhash_fingerprints", oracle=sql_simhash())
 def simhash_fingerprints(spark, sf_dir):
-    """32-bit SimHash per document (integer-exact, portable hash)."""
+    """60-bit SimHash per document (integer-exact, portable hash;
+    width sized for 15-bit pigeonhole bands — see dedup/simhash.py)."""
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
@@ -262,6 +263,16 @@ def levenshtein_near_dup_pairs(spark, sf_dir):
         (F.col("n_chars") / LEN_BUCKET).cast("bigint").alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("head"),
     )
+    # Explicit co-partitioning on the block key, at a FIXED partition
+    # count: the join INPUT is byte-small (80-char heads), so AQE's
+    # byte-based coalescing would fold the shuffle to ~1 partition —
+    # but the join OUTPUT is quadratic per block and the levenshtein
+    # runs on the joined pairs, so the explosion would land on one
+    # task (measured at 10x scale: minutes on 1 task vs seconds wide).
+    # A user-specified repartition count is exempt from coalescing,
+    # and both sides sharing it means the join reuses the exchange.
+    n_part = spark.sparkContext.defaultParallelism * 4
+    d = d.repartition(n_part, "lang", "len_bucket")
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

@@ -1,13 +1,22 @@
-"""SimHash document fingerprints (32-bit).
+"""SimHash document fingerprints (60-bit).
 
-Per token: a portable 32-bit hash; per bit position: +1 if set else
+Per token: a portable 60-bit hash; per bit position: +1 if set else
 -1, summed over the doc's tokens; the fingerprint sets each bit whose
 weighted sum is positive. Near-dups then differ in few bits (Hamming).
 
-Scale shape: explode tokens → one groupBy(doc_id) with 32 SUM
+Scale shape: explode tokens → one groupBy(doc_id) with 60 SUM
 aggregates (partial-aggregatable — map-side combine collapses each
 partition to one row per doc before the shuffle). Everything is
 integer arithmetic: exactly reproducible anywhere.
+
+Width matters for the PAIRING step, not the fingerprint quality:
+pigeonhole banding over max_dist+1 = 4 bands gives band keys of
+width/4 bits, and candidate volume scales as n² / 2^band_bits. At
+32 bits (8-bit bands) that is n²/256 — still quadratic in practice
+(measured 20x wall at a 10x corpus). 60 bits (15-bit bands, the
+widest sign-safe bigint multiple of 4) cuts candidates 128x and is
+the same design point as the 64-bit fingerprints in Manku et
+al., "Detecting Near-Duplicates for Web Crawling", WWW'07.
 """
 
 from __future__ import annotations
@@ -15,16 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable_hash import hash32, sql_hash32
+from ..functions.portable_hash import hash60, sql_hash60
 from ..text.analysis import sql_token_rows
 
-N_BITS = 32
+N_BITS = 60
 
 
 def simhash(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
-    """(doc_id, simhash) — 32-bit fingerprint as a bigint."""
+    """(doc_id, simhash) — 60-bit fingerprint as a bigint."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = tok.select("doc_id", hash32(F.col("tok")).alias("hv"))
+    h = tok.select("doc_id", hash60(F.col("tok")).alias("hv"))
     bit_sums = [
         F.sum(
             F.when(F.col("hv").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
@@ -130,7 +139,7 @@ def sql_simhash(n_bits: int = N_BITS) -> str:
     )
     return f"""
     WITH tok AS ({sql_token_rows()}),
-    h AS (SELECT doc_id, {sql_hash32('tok')} AS hv FROM tok),
+    h AS (SELECT doc_id, {sql_hash60('tok')} AS hv FROM tok),
     sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
     SELECT doc_id, {fingerprint} AS simhash FROM sums
     """

@@ -90,3 +90,20 @@ def sql_digest(expr: str) -> str:
 
 def sql_digest_slice32(h: str, seed: str) -> str:
     return f"CAST(CONCAT('0x', substr({h}, 1 + 8 * ({seed}), 8)) AS BIGINT)"
+
+
+def hash60(col: Column, seed: int = 0) -> Column:
+    """Portable unsigned-60-bit integer hash: the first 15 hex chars
+    of the salted md5 (60 bits exactly — sign-safe in a bigint). One
+    digest yields the whole value; used where 32 bits of key space is
+    too narrow (SimHash bands: candidate volume scales with n²/2^band_bits,
+    so band width is recall-neutral but collision-critical)."""
+    salted = F.concat(F.lit(f"s{seed}|"), col.cast("string"))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_hash60(expr: str, seed: int = 0) -> str:
+    """DuckDB SQL mirror of :func:`hash60`."""
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CONCAT('s{seed}|', CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )

@@ -201,7 +201,15 @@ def _triangle_top20(li):
     # projection/explode in the same stage. The explode emits one row
     # per TRIANGLE (intersection members only — strictly fewer than
     # wedges) into a map-side partial agg over ~|V| keys.
-    oriented = oriented.localCheckpoint(eager=True)
+    # Repartition to full parallelism BEFORE checkpointing: the edge
+    # set is byte-small (16B/row) but the closure stage downstream is
+    # CPU-bound, so AQE's byte-based coalescing of the upstream
+    # distinct (advisory 64MB) would leave the checkpoint — and with
+    # it the whole intersect+explode stage — on a handful of
+    # partitions. One trivial shuffle here buys n-way CPU for the
+    # expensive stage.
+    n_part = li.sparkSession.sparkContext.defaultParallelism
+    oriented = oriented.repartition(n_part).localCheckpoint(eager=True)
     adj = oriented.groupBy(F.col("lo").alias("n")).agg(
         F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
@@ -218,7 +226,12 @@ def _triangle_top20(li):
     # stage parallelizes over edges. Past the threshold both sides
     # are genuinely large, AQE keeps natural parallelism, and the
     # shuffle join's network cost is O(m) — still never O(wedges).
-    if oriented.count() <= 10_000_000:
+    # Gate covers the whole regime where adjacency fits an executor
+    # (50M edges ~ 400MB): that is exactly the regime where AQE's
+    # byte-based sizing would otherwise under-parallelize a CPU-heavy
+    # stage. Past it, data volumes are large enough that the shuffle
+    # join keeps natural parallelism on its own.
+    if oriented.count() <= 50_000_000:
         lo_adj, hi_adj = F.broadcast(lo_adj), F.broadcast(hi_adj)
     # Inner joins are exact: an edge whose hi-endpoint has no
     # out-neighbors closes no triangle and contributes nothing.
@@ -476,8 +489,18 @@ def supplier_two_hop_reach(spark, sf_dir):
         .filter(F.col("w") >= STRONG_TIE_MIN)
         .select("u", "v")
     )
-    x = e0.select(F.col("u"), F.col("v").alias("m"))
-    y = e0.select(F.col("u").alias("m"), F.col("v"))
+    # Checkpoint the sparsified edge set (both hop sides reuse it
+    # without re-running the lineitem self-join) and co-partition the
+    # hop join on the middle vertex at a FIXED count: the edge list is
+    # byte-small, so AQE's byte-based coalescing would fold the join
+    # inputs to ~1 partition while the join OUTPUT (sum deg² pairs) is
+    # where all the work is — the same CPU-heavy/byte-small pitfall as
+    # the triangle closure, fixed the same way (user partition counts
+    # are exempt from coalescing; both sides share the exchange).
+    n_part = spark.sparkContext.defaultParallelism * 4
+    e0 = e0.localCheckpoint(eager=True)
+    x = e0.select(F.col("u"), F.col("v").alias("m")).repartition(n_part, "m")
+    y = e0.select(F.col("u").alias("m"), F.col("v")).repartition(n_part, "m")
     two = (
         x.join(y, "m")
         .filter(F.col("v") != F.col("u"))

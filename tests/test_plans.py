@@ -363,3 +363,25 @@ def test_summa_block_plan_shuffles_block_rows_only(spark):
     # Entry columns (i/j/k) must never appear as shuffle keys.
     for keys in hash_exchanges:
         assert not re.search(r"\b[ijk]#\d+L", keys), keys
+
+
+def test_triangle_closure_is_adjacency_intersect(spark):
+    """The triangle kernel's 100 TB contract: wedges are closed by
+    array_intersect over per-edge endpoint adjacency arrays, never by
+    materializing the wedge set through a self-join (O(wedges) rows
+    shuffled twice). Pins (a) the intersect in the plan, (b) the flat
+    explode feeding a partial agg (map-side combine before the only
+    wide shuffle), and (c) no Sort anywhere in the closure stage — a
+    SortMergeJoin on the wedge columns is the regression shape."""
+    df = Q["triangle_count_suppliers"].fn(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "array_intersect" in final
+    assert "explode" in final and "array_repeat" in final
+    assert "partial_count" in final
+    # Adjacency joins resolved to broadcast at this size: the edge
+    # table stays the probe side, keeping the CPU-heavy closure stage
+    # at full parallelism (the AQE byte-coalescing pitfall).
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
