@@ -19,6 +19,11 @@ from .jaccard import (
     sql_jaccard_pairs,
 )
 from .minhash import (
+    _A,
+    _B,
+    MERSENNE_P,
+    _base_hash_col,
+    _sql_base_hash,
     candidate_pairs,
     lsh_bands,
     minhash_signatures,
@@ -485,3 +490,105 @@ def containment_dup_pairs(spark, sf_dir):
     embedded in another — the quote/boilerplate case symmetric Jaccard
     underweights. See jaccard.py::containment_pairs for the plan."""
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---- corpus-level (source-vs-source) MinHash similarity -------------------
+
+N_SRC_HASHES = 8
+
+
+def _sql_source_minhash_similarity(k: int = N_SRC_HASHES) -> str:
+    from ..text.analysis import sql_shingle_rows
+
+    mins = ", ".join(
+        f"MIN(({_A[s]} * bh + {_B[s]}) % {MERSENNE_P}) AS h{s}" for s in range(k)
+    )
+    members = " UNION ALL ".join(
+        f"SELECT source, {s} AS i, h{s} AS h FROM sig" for s in range(k)
+    )
+    return f"""
+    WITH sh AS ({sql_shingle_rows(3, distinct=False, keep_cols=("source",))}),
+    hashed AS (SELECT source, {_sql_base_hash()} AS bh FROM sh),
+    sig AS (SELECT source, {mins} FROM hashed GROUP BY source),
+    mem AS ({members})
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE)
+             / {k} AS est_jaccard
+    FROM mem a JOIN mem b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@query("source_minhash_similarity", oracle=_sql_source_minhash_similarity())
+def source_minhash_similarity(spark, sf_dir):
+    """Corpus-governance view: estimated Jaccard similarity between
+    every pair of SOURCES (not documents) from per-source MinHash
+    signatures — the "how much does this crawl snapshot overlap that
+    one" question that decides whether a new dump is worth ingesting.
+
+    The whole-corpus sketch falls out of the same affine MinHash
+    family as doc-level LSH (minhash.py), grouped by source instead
+    of doc_id. Three scale properties make this THE way to compare
+    corpora at 100 TB:
+
+    - no distinct needed: MIN over duplicate shingles equals MIN over
+      the shingle set, so the explode feeds a partial-aggregatable
+      groupBy (map-side combine reduces each partition to one row per
+      source before the shuffle — the shuffle carries |sources| rows
+      per partition, not shingles);
+    - the pair stage is sketch-bounded: signatures explode to
+      (source, member, hash) rows and self-join on the member index,
+      so cost is |sources|^2 * k regardless of corpus bytes;
+    - bit-exact cross-engine: md5-based base hash + integer affine
+      family, so the estimate (n_agree/k, a dyadic rational) is
+      identical in Spark and DuckDB — no tolerance band.
+
+    est_jaccard is an 8-member estimate (stderr ~ 1/sqrt(8)); the
+    production knob is N_SRC_HASHES, which scales the sketch linearly
+    and the pair stage quadratically-in-k-but-tiny."""
+    from ..text.analysis import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, n=3, distinct=False, keep_cols=("source",)).select(
+        "source", F.col("shingle")
+    )
+    hashed = sh.withColumn("bh", _base_hash_col())
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min((F.lit(_A[s]) * F.col("bh") + F.lit(_B[s])) % MERSENNE_P).alias(
+                f"h{s}"
+            )
+            for s in range(N_SRC_HASHES)
+        ]
+    )
+    mem = sig.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("i"), F.col(f"h{s}").alias("h")
+                    )
+                    for s in range(N_SRC_HASHES)
+                ]
+            )
+        ).alias("m"),
+    ).select("source", F.col("m.i").alias("i"), F.col("m.h").alias("h"))
+    a = mem.select(
+        F.col("source").alias("source_a"), "i", F.col("h").alias("ha")
+    )
+    b = mem.select(
+        F.col("source").alias("source_b"), "i", F.col("h").alias("hb")
+    )
+    agree = F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+    return (
+        a.join(b, "i")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            agree.cast("bigint").alias("n_agree"),
+            (agree.cast("double") / N_SRC_HASHES).alias("est_jaccard"),
+        )
+    )

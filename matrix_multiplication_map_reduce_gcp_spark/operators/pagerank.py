@@ -513,3 +513,114 @@ def supplier_two_hop_reach(spark, sf_dir):
         .orderBy(F.desc("n_reach"), "suppkey")
         .limit(20)
     )
+
+
+# ---- k-core decomposition (fixed peeling rounds) --------------------------
+
+KCORE_TOP_M = 20  # strongest ties kept per node before peeling
+KCORE_K = 12  # minimum degree to survive a peel
+KCORE_ROUNDS = 3  # oracle-able prefix of peel-to-fixpoint
+
+_SQL_MUTUAL_TOPM = f"""
+    w AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             COUNT(DISTINCT a.l_orderkey) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT u, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+      FROM w),
+    topm AS (SELECT u, v FROM ranked WHERE rn <= {KCORE_TOP_M}),
+    e0 AS (
+      SELECT a.u, a.v
+      FROM topm a JOIN topm b ON a.u = b.v AND a.v = b.u)
+"""
+
+_SQL_PEEL = f"""
+    d{{it}} AS (SELECT u, COUNT(*) AS d FROM e{{prev}} GROUP BY u),
+    keep{{it}} AS (SELECT u FROM d{{it}} WHERE d >= {KCORE_K}),
+    e{{it}} AS (
+      SELECT e.u, e.v FROM e{{prev}} e
+      JOIN keep{{it}} x ON e.u = x.u
+      JOIN keep{{it}} y ON e.v = y.u)"""
+
+
+@query(
+    "k_core_suppliers",
+    oracle=f"""
+    WITH {_SQL_MUTUAL_TOPM},
+    {','.join(_SQL_PEEL.format(it=i, prev=i - 1) for i in range(1, KCORE_ROUNDS + 1))}
+    SELECT u AS suppkey, COUNT(*) AS degree
+    FROM e{KCORE_ROUNDS} GROUP BY u
+    """,
+)
+def k_core_suppliers(spark, sf_dir):
+    """Dense-subgraph extraction: {KCORE_ROUNDS} k-core peeling rounds
+    (k={KCORE_K}) on the MUTUAL-TOP-{KCORE_TOP_M} co-supply graph —
+    the spam/bot-farm and community-nucleus detector (a k-core is
+    what survives when every node must keep >=k strong partners).
+
+    Two scale decisions:
+
+    - The sparsifier is RELATIVE, not absolute: each node keeps its
+      {KCORE_TOP_M} strongest ties (by co-order count, neighbor-id
+      tie-break), and an edge survives only if BOTH endpoints keep it
+      (mutual-kNN). Absolute weight thresholds break as the corpus
+      grows (the raw co-occurrence graph densifies toward complete —
+      see supplier_two_hop_reach); mutual-top-m bounds edges to
+      n*m at ANY corpus size, and the window that ranks ties is one
+      shuffle keyed by node.
+    - Peeling runs a FIXED {KCORE_ROUNDS} rounds, not to fixpoint, so
+      the DuckDB oracle mirrors it as nested CTEs. Each round is one
+      degree aggregate plus two semi-joins of the (checkpointed,
+      shrinking) edge list against the survivor set — the survivor
+      set is node-bounded and broadcasts. localCheckpoint per round
+      keeps lineage flat, exactly like connected components.
+
+    At sf0.001 the 10-node mutual graph has uniform degree 9 < k, so
+    the core is legitimately empty; the driver gate (sf0.01) peels
+    100 -> 88 -> 84 -> 80 nodes and sf0.1 peels 1000 -> 724 -> 540
+    -> 310 — both engines agree round by round."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    # post-distinct COUNT(*) == oracle COUNT(DISTINCT orderkey), same
+    # trick as label_propagation_communities.
+    weighted = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("u").orderBy(F.desc("w"), "v"))
+    topm = (
+        weighted.withColumn("rn", rn)
+        .filter(F.col("rn") <= KCORE_TOP_M)
+        .select("u", "v")
+    )
+    rev = topm.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    edges = topm.join(rev, ["u", "v"], "left_semi").localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("u").alias("suppkey")).agg(
+        F.count("*").alias("degree")
+    )

@@ -179,3 +179,67 @@ def quality_percentile_calibration(spark, sf_dir):
         pct.alias("source_pctile"),
         F.when(pct >= 0.5, "keep").otherwise("drop").alias("verdict"),
     )
+
+
+# ---- deterministic epoch shuffle + shard manifest -------------------------
+
+N_SHARDS = 8
+EPOCH_SALT = "ep1|"  # bump per epoch: a new salt is a fresh permutation
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CONCAT('{EPOCH_SALT}', CAST(doc_id AS VARCHAR))) AS key
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, n_chars, key,
+             CAST(CONCAT('0x', substr(key, 1, 8)) AS BIGINT) % {N_SHARDS}
+               AS shard,
+             CAST(CONCAT('0x', substr(key, 9, 8)) AS BIGINT) AS member_h
+      FROM keyed)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+           MIN(key) AS first_key,
+           MAX(key) AS last_key,
+           CAST(SUM(member_h) AS BIGINT) AS key_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def epoch_shuffle_shards(spark, sf_dir):
+    """Training-epoch shuffle as a MANIFEST, not a sort: every doc
+    gets a salted-hash key (new salt per epoch = fresh deterministic
+    permutation), its shard is a slice of that key, and the query
+    emits the per-shard audit row (doc count, char mass, key range,
+    membership checksum) that a dataloader validates before reading.
+
+    The scale point is what this DOESN'T do: no global sort and no
+    RNG. Hash-bucketing into shards is a map-only decision, the
+    manifest is one partial-aggregatable groupBy({N_SHARDS} keys),
+    and the within-shard order is implied (each shard's writer sorts
+    its own slice by key — a per-shard local sort, never a global
+    one). The checksum is a SUM of a second key slice: associative,
+    order-independent, and stable under any partitioning, so two
+    independent runs of the same epoch can assert identical shard
+    membership without comparing doc lists. Spark's conv(hex,16,10)
+    and DuckDB's CAST('0x'||hex AS BIGINT) parse the same slices to
+    the same integers (the portable_hash contract)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    keyed = d.withColumn("key", key).select(
+        "n_chars",
+        "key",
+        (F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint") % N_SHARDS)
+        .alias("shard"),
+        F.conv(F.substring("key", 9, 8), 16, 10).cast("bigint").alias("member_h"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_mass"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+        F.sum("member_h").alias("key_checksum"),
+    )

@@ -63,6 +63,8 @@ PRIORITY_HINTS = (
     "bloom_join_prune", "multimodal_image_dup_groups",
     "weekly_retention_cohorts", "quality_filter_verdict", "duplicate_spans",
     "doc_chunking", "pii_scrub_accounting", "zorder_morton_keys",
+    # Round-5 new capability, same-round-verify rule:
+    "k_core_suppliers", "source_minhash_similarity", "epoch_shuffle_shards",
 )
 
 
