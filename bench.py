@@ -93,6 +93,12 @@ HEAVY_SCALE = [
     "merge_upsert_orders",
     "event_path_trigrams_topk",
     "weekly_retention_cohorts",
+    # r5 new operators: scale-audited the round they ship (k-core's
+    # pair stage shares LPA's self-join shape; the other two are
+    # map-side-combining aggregations that should ratio ~linearly).
+    "k_core_suppliers",
+    "source_minhash_similarity",
+    "epoch_shuffle_shards",
 ]
 
 

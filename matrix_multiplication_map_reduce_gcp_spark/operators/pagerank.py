@@ -521,27 +521,34 @@ KCORE_TOP_M = 20  # strongest ties kept per node before peeling
 KCORE_K = 12  # minimum degree to survive a peel
 KCORE_ROUNDS = 3  # oracle-able prefix of peel-to-fixpoint
 
+# AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+# REFERENCE, and the peel chain references each e{i} three times
+# (degree agg + two keep-join sides), so an inlined tree re-evaluates
+# e0 — a 9M-row window over the pair self-join at sf1 — 3^rounds
+# times. Observed: >49 GB of spill and a wedged sweep at sf1;
+# materialized, the oracle runs in seconds. (Spark never parses this
+# SQL; localCheckpoint plays the same role in the engine loop.)
 _SQL_MUTUAL_TOPM = f"""
-    w AS (
+    w AS MATERIALIZED (
       SELECT a.l_suppkey AS u, b.l_suppkey AS v,
              COUNT(DISTINCT a.l_orderkey) AS w
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
       GROUP BY 1, 2),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT u, v,
              ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
       FROM w),
-    topm AS (SELECT u, v FROM ranked WHERE rn <= {KCORE_TOP_M}),
-    e0 AS (
+    topm AS MATERIALIZED (SELECT u, v FROM ranked WHERE rn <= {KCORE_TOP_M}),
+    e0 AS MATERIALIZED (
       SELECT a.u, a.v
       FROM topm a JOIN topm b ON a.u = b.v AND a.v = b.u)
 """
 
 _SQL_PEEL = f"""
-    d{{it}} AS (SELECT u, COUNT(*) AS d FROM e{{prev}} GROUP BY u),
-    keep{{it}} AS (SELECT u FROM d{{it}} WHERE d >= {KCORE_K}),
-    e{{it}} AS (
+    d{{it}} AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e{{prev}} GROUP BY u),
+    keep{{it}} AS MATERIALIZED (SELECT u FROM d{{it}} WHERE d >= {KCORE_K}),
+    e{{it}} AS MATERIALIZED (
       SELECT e.u, e.v FROM e{{prev}} e
       JOIN keep{{it}} x ON e.u = x.u
       JOIN keep{{it}} y ON e.v = y.u)"""
