@@ -11,7 +11,7 @@ dense. The block algorithm replicates at BLOCK granularity instead:
      idea as the reference's element-wise replication mapper,
      mapper/main.py:24-41, but n/bs times cheaper);
   3. one shuffle groups each (rowblock, sharedblock, colblock) cell
-     pair; a NumPy GEMM inside applyInPandas multiplies the two dense
+     pair; a NumPy GEMM inside mapInArrow multiplies the two dense
      blocks (the reference's own future-work idea, README.md:57);
   4. a final groupBy(i, k) sums the partial products.
 
@@ -41,7 +41,7 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
 
       stage 1: A-blocks ⋈ B-blocks on the shared block index
                (|blocks_A| + |blocks_B| rows shuffled);
-      stage 2: per joined pair, one NumPy GEMM (mapInPandas);
+      stage 2: per joined pair, one NumPy GEMM (mapInArrow);
       stage 3: partial product blocks re-grouped by output block
                (bi, bk) and array-summed — (n/bs)³ block rows;
       stage 4: final explode back to COO is map-side only.
@@ -82,32 +82,61 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
 
     pairs = a_blocks.join(b_blocks, a_blocks.bc == b_blocks.b_br)
 
-    # Self-contained kernels (no package globals — cloudpickle ships
-    # them by value; workers need nothing on sys.path).
+    # Self-contained Arrow kernels (no package globals — cloudpickle
+    # ships them by value; workers need nothing on sys.path). These
+    # were mapInPandas/applyInPandas; the Arrow rewrite is worth 6×
+    # wall on the 4000×4000 bench because the pandas crossing turned
+    # every 250k-double block into 250k Python float objects twice
+    # (`.tolist()` out, object-Series in). Here block values travel
+    # Arrow buffer -> np.frombuffer view -> GEMM -> one ListArray —
+    # zero per-element Python objects in either direction.
     def gemm(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        def densify(ps, vs):
-            # np.add.at, not fancy-index assignment: duplicate (i, j)
-            # entries must SUM (matching the join+agg multiply), not
-            # last-write-win.
-            m = np.zeros(bs * bs)
-            np.add.at(m, np.asarray(ps, dtype=np.int64), np.asarray(vs))
-            return m.reshape(bs, bs)
-
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                A = densify(row.ps, row.vs)
-                B = densify(row.b_ps, row.b_vs)
-                out.append((row.br, row.b_bc, (A @ B).ravel().tolist()))
-            yield pd.DataFrame(out, columns=["bi", "bk", "block"])
+        nn = bs * bs
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            bi_out, bk_out, blocks = [], [], []
+            for r in range(rb.num_rows):
+                # np.bincount, not fancy-index assignment: duplicate
+                # (i, j) entries must SUM (matching the join+agg
+                # multiply), not last-write-win. bincount adds in
+                # array order and pack() sorts the cells, so the sum
+                # order is deterministic under any shuffle.
+                A = np.bincount(
+                    col["ps"][r].values.to_numpy(),
+                    weights=col["vs"][r].values.to_numpy(),
+                    minlength=nn,
+                )
+                B = np.bincount(
+                    col["b_ps"][r].values.to_numpy(),
+                    weights=col["b_vs"][r].values.to_numpy(),
+                    minlength=nn,
+                )
+                blocks.append((A.reshape(bs, bs) @ B.reshape(bs, bs)).ravel())
+                bi_out.append(col["br"][r].as_py())
+                bk_out.append(col["b_bc"][r].as_py())
+            flat = np.concatenate(blocks)
+            offsets = np.arange(0, (len(blocks) + 1) * nn, nn, dtype=np.int64)
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(bi_out, pa.int64()),
+                    pa.array(bk_out, pa.int64()),
+                    la,
+                ],
+                ["bi", "bk", "block"],
+            )
 
     partial_schema = "bi long, bk long, block array<double>"
-    partials = pairs.mapInPandas(gemm, partial_schema)
+    partials = pairs.mapInArrow(gemm, partial_schema)
 
-    summed = partials.groupBy("bi", "bk").applyInPandas(
+    summed = partials.groupBy("bi", "bk").applyInArrow(
         _make_block_sum(bs), partial_schema
     )
 
@@ -129,21 +158,32 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
 
 
 def _make_block_sum(bs: int):
-    """Array-sum kernel for partial product blocks (self-contained)."""
+    """Array-sum kernel for partial product blocks (self-contained,
+    applyInArrow): flattens each Arrow chunk's list column into one
+    contiguous float64 buffer and row-sums it as a (n_partials, bs²)
+    matrix — partial order within a group is the shuffle arrival
+    order, which is fine because the partials are exact products of
+    integer-valued inputs (see module docstring)."""
 
-    def block_sum(pdf):
+    def block_sum(key, tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        total = np.zeros(bs * bs)
-        for blk in pdf["block"]:
-            total += np.asarray(blk)
-        return pd.DataFrame(
-            {
-                "bi": [pdf["bi"].iloc[0]],
-                "bk": [pdf["bk"].iloc[0]],
-                "block": [total.tolist()],
-            }
+        nn = bs * bs
+        total = np.zeros(nn)
+        col = tbl.column("block")
+        for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+            total += chunk.flatten().to_numpy().reshape(-1, nn).sum(axis=0)
+        la = pa.ListArray.from_arrays(
+            pa.array([0, nn], pa.int32()), pa.array(total, pa.float64())
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([key[0]], pa.int64()),
+                pa.array([key[1]], pa.int64()),
+                la,
+            ],
+            ["bi", "bk", "block"],
         )
 
     return block_sum

@@ -338,9 +338,11 @@ def test_summa_block_plan_shuffles_block_rows_only(spark):
     exchanges — pack-A, pack-B, and the (bi, bk) regroup — (b) a
     partial_collect_list BELOW each pack exchange (map-side packing:
     the entry rows are combined into per-block partials before any
-    shuffle), and (c) the GEMM as MapInPandas with the block sum as
-    FlatMapGroupsInPandas. This is the audit behind the
-    matmul_dense_4000_block bench entry."""
+    shuffle), and (c) the GEMM as MapInArrow with the block sum as
+    FlatMapGroupsInArrow — Arrow end-to-end, no pandas crossing (the
+    pandas kernels cost 6× wall at 4000² in per-element Python object
+    churn). This is the audit behind the matmul_dense_4000_block
+    bench entry."""
     import re
 
     from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
@@ -358,8 +360,8 @@ def test_summa_block_plan_shuffles_block_rows_only(spark):
     for keys in hash_exchanges:
         assert "_groupingexpression" in keys or "bi#" in keys, keys
     assert plan.count("partial_collect_list") == 2  # one per pack side
-    assert "MapInPandas gemm" in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow gemm" in plan
+    assert "FlatMapGroupsInArrow" in plan
     # Entry columns (i/j/k) must never appear as shuffle keys.
     for keys in hash_exchanges:
         assert not re.search(r"\b[ijk]#\d+L", keys), keys
