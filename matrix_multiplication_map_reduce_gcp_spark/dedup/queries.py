@@ -7,7 +7,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable_hash import md5_hex
+from ..functions.portable_hash import hash32, md5_hex, sql_hash32
 from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
 from ..similarity.lsh import sql_bucket_expr
 from ..registry import query
@@ -591,4 +591,54 @@ def source_minhash_similarity(spark, sf_dir):
             agree.cast("bigint").alias("n_agree"),
             (agree.cast("double") / N_SRC_HASHES).alias("est_jaccard"),
         )
+    )
+
+
+# ---- leakage-safe (cluster-aware) train/val/test split --------------------
+
+SPLIT_SEED = 7  # salt for the split coin — bump for a fresh assignment
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {sql_components_ctes(sql_candidate_pairs())}
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 5 THEN 'test'
+                WHEN h < 15 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {sql_hash32('cluster_id', SPLIT_SEED)} % 100 AS h
+          FROM comp)
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the 85/10/5 hash coin is flipped on the document's
+    near-dup CLUSTER id (connected components over the MinHash-LSH
+    pair graph), not the document id — so a training doc's near-twin
+    can never land in val/test and inflate eval scores. This is the
+    group-aware upgrade of train_val_test_manifest (text/queries.py),
+    which splits per-doc and is only sound AFTER dedup; this one is
+    sound on the raw corpus.
+
+    Scale: the split adds ZERO passes on top of the CC labels — one
+    md5 of the cluster id per row, map-only. The CC cost is the
+    dedup pipeline's existing cost (banded LSH candidates, active-
+    subgraph min-label propagation with pointer jumping); any corpus
+    that runs near-dup dedup already has these labels on hand, and
+    the operator composes with a persisted cluster table by swapping
+    the first stage for a scan."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(candidate_pairs(docs), docs.select("doc_id"))
+    coin = F.pmod(hash32(F.col("cluster_id"), SPLIT_SEED), 100)
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(coin < 5, "test")
+        .when(coin < 15, "val")
+        .otherwise("train")
+        .alias("split"),
     )

@@ -65,6 +65,7 @@ PRIORITY_HINTS = (
     "doc_chunking", "pii_scrub_accounting", "zorder_morton_keys",
     # Round-5 new capability, same-round-verify rule:
     "k_core_suppliers", "source_minhash_similarity", "epoch_shuffle_shards",
+    "leakage_safe_split",
 )
 
 

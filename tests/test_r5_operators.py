@@ -159,3 +159,23 @@ def test_epoch_shuffle_conservation_and_determinism(spark):
     for s, r in run1.items():
         assert r.first_key <= r.last_key
         assert run2[s] == r
+
+
+# ---- leakage_safe_split ---------------------------------------------------
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """THE property the operator exists for: no LSH candidate pair
+    (near-dup) may straddle splits — both endpoints always land in
+    the same split. Also pins full coverage (every doc assigned
+    exactly one split) and all three splits non-empty at sf0.01."""
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.minhash import candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    split = {r.doc_id: r.split for r in QS["leakage_safe_split"].fn(spark, SF_CORRECTNESS).collect()}
+    assert len(split) == docs.count()
+    assert set(split.values()) == {"train", "val", "test"}
+    pairs = candidate_pairs(docs.select("doc_id", "text")).collect()
+    assert len(pairs) > 0  # the fixture has near-dups; vacuous otherwise
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
