@@ -506,18 +506,22 @@ def _sql_source_minhash_similarity(k: int = N_SRC_HASHES) -> str:
     members = " UNION ALL ".join(
         f"SELECT source, {s} AS i, h{s} AS h FROM sig" for s in range(k)
     )
+    # n_agree is summed as BIGINT and divided OUTSIDE the aggregate:
+    # BIGINT/8.0 is one exact IEEE op (n_agree <= k << 2^53), and the
+    # oracle-type gate's CAST(SUM AS DOUBLE) pattern stays banned.
     return f"""
     WITH sh AS ({sql_shingle_rows(3, distinct=False, keep_cols=("source",))}),
     hashed AS (SELECT source, {_sql_base_hash()} AS bh FROM sh),
     sig AS (SELECT source, {mins} FROM hashed GROUP BY source),
-    mem AS ({members})
-    SELECT a.source AS source_a, b.source AS source_b,
-           CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_agree,
-           CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE)
-             / {k} AS est_jaccard
-    FROM mem a JOIN mem b ON a.i = b.i AND a.source < b.source
-    GROUP BY 1, 2
+    mem AS ({members}),
+    agree AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM mem a JOIN mem b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_agree, n_agree / {k}.0 AS est_jaccard
+    FROM agree
     """
 
 
