@@ -226,7 +226,15 @@ def epoch_shuffle_shards(spark, sf_dir):
     independent runs of the same epoch can assert identical shard
     membership without comparing doc lists. Spark's conv(hex,16,10)
     and DuckDB's CAST('0x'||hex AS BIGINT) parse the same slices to
-    the same integers (the portable_hash contract)."""
+    the same integers (the portable_hash contract).
+
+    Write-side gotcha (pinned in tests/test_r5_operators.py): when
+    materializing the epoch with write.partitionBy("shard"), sort
+    within partitions by (shard, key), not key alone — the partitioned
+    write requires rows clustered by the partition column and inserts
+    its own UNSTABLE sort on `shard` if the incoming order doesn't
+    already satisfy it, silently scrambling the per-shard key order
+    the manifest's first/last keys describe."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
     keyed = d.withColumn("key", key).select(

@@ -179,3 +179,69 @@ def test_leakage_safe_split_no_pair_straddles(spark):
     assert len(pairs) > 0  # the fixture has near-dups; vacuous otherwise
     for p in pairs:
         assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_epoch_shuffle_manifest_validates_written_layout(spark, tmp_path):
+    """The manifest's write-side contract, end to end: materialize the
+    epoch as parquet partitioned by shard with each shard LOCALLY
+    sorted by key (no global sort anywhere), then re-derive every
+    manifest column from the written files — counts, char mass, key
+    range, and the order-independent checksum must all match, and each
+    shard's rows must come back key-sorted (what a resumable
+    dataloader assumes when it seeks)."""
+    from pyspark.sql import functions as F
+    from matrix_multiplication_map_reduce_gcp_spark.text.curation import EPOCH_SALT
+
+    manifest = {
+        r.shard: r for r in QS["epoch_shuffle_shards"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    laid = (
+        d.withColumn("key", key)
+        .withColumn(
+            "shard",
+            F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint") % N_SHARDS,
+        )
+        .withColumn(
+            "member_h", F.conv(F.substring("key", 9, 8), 16, 10).cast("bigint")
+        )
+        .repartition("shard")
+        # (shard, key), not key alone: the partitioned write itself
+        # requires rows clustered by the partition column and will
+        # insert its own (unstable) sort on `shard` if the incoming
+        # order doesn't already satisfy it — which would scramble the
+        # key order this test pins.
+        .sortWithinPartitions("shard", "key")
+    )
+    out = f"{tmp_path}/epoch1"
+    laid.write.partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    derived = {
+        r.shard: r
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+            F.sum("member_h").alias("key_checksum"),
+        )
+        .collect()
+    }
+    assert set(derived) == set(manifest)
+    for s, m in manifest.items():
+        g = derived[s]
+        assert (g.n_docs, g.char_mass, g.first_key, g.last_key, g.key_checksum) == (
+            m.n_docs, m.char_mass, m.first_key, m.last_key, m.key_checksum
+        ), s
+    # per-shard files are key-sorted (local sort survived the write)
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
+    for part_dir in _glob.glob(f"{out}/shard=*"):
+        for f in _glob.glob(f"{part_dir}/*.parquet"):
+            keys = _pq.read_table(f, columns=["key"]).column("key").to_pylist()
+            assert keys == sorted(keys), f
