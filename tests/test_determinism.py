@@ -41,6 +41,14 @@ FLOAT_HEAVY = [
     "knn_graph_lsh",
     "embedding_prototypicality",
     "ann_recall_report",
+    # r5 additions: the epoch manifest's order-independent checksum
+    # (its whole claim is partitioning-stability), the source-sketch
+    # n/k estimate, and the k-core peel loop (window rank + iterated
+    # semi-joins must not depend on the physical layout).
+    "epoch_shuffle_shards",
+    "source_minhash_similarity",
+    "k_core_suppliers",
+    "leakage_safe_split",
 ]
 
 
