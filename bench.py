@@ -140,8 +140,8 @@ def main() -> None:
 
     # Warm the JVM/codegen paths on the smallest SF so headline numbers
     # measure the queries, not session startup. Three distinct paths:
-    # join/agg codegen (matmul), Arrow + applyInPandas (the SUMMA block
-    # kernel — the r3 matmul_dense_1000_block +55% delta appeared with
+    # join/agg codegen (matmul), mapInArrow/applyInArrow (the SUMMA
+    # block kernel — the r3 matmul_dense_1000_block +55% delta appeared with
     # only the join/agg warm-up), and the wide in-codegen fold
     # expressions the SQ8/PQ ANN queries compile on first hit.
     from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply

@@ -45,15 +45,26 @@ def _sql_base_hash(expr: str = "shingle") -> str:
     return f"({sql_hash32_unsalted(expr)} % {MERSENNE_P})"
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — per-member minimum over the doc's
-    distinct shingles."""
-    sh = shingle_rows(docs, n=shingle_n).withColumn("bh", _base_hash_col())
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    shingle_n: int = 3,
+    group_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(group_col, h0..h{k-1}) — per-member minimum over the group's
+    shingles. group_col="doc_id" is per-document LSH; coarser keys
+    (e.g. "source") sketch whole sub-corpora with the SAME family —
+    and may pass distinct=False, since MIN over duplicate shingles
+    equals MIN over the set (skipping the distinct saves a shuffle)."""
+    keep = () if group_col == "doc_id" else (group_col,)
+    sh = shingle_rows(docs, n=shingle_n, distinct=distinct, keep_cols=keep)
+    sh = sh.withColumn("bh", _base_hash_col())
     aggs = [
         F.min((F.lit(_A[s]) * F.col("bh") + F.lit(_B[s])) % MERSENNE_P).alias(f"h{s}")
         for s in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy(group_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
@@ -97,16 +108,22 @@ def candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_
 
 # ---- DuckDB SQL mirrors ---------------------------------------------------
 
-def sql_minhash_signatures(n_hashes: int = N_HASHES, shingle_n: int = 3) -> str:
+def sql_minhash_signatures(
+    n_hashes: int = N_HASHES,
+    shingle_n: int = 3,
+    group_col: str = "doc_id",
+    distinct: bool = True,
+) -> str:
+    keep = () if group_col == "doc_id" else (group_col,)
     mins = ", ".join(
         f"MIN(({_A[s]} * bh + {_B[s]}) % {MERSENNE_P}) AS h{s}"
         for s in range(n_hashes)
     )
     return f"""
-    SELECT doc_id, {mins}
-    FROM (SELECT doc_id, {_sql_base_hash()} AS bh
-          FROM ({sql_shingle_rows(shingle_n)}))
-    GROUP BY doc_id
+    SELECT {group_col}, {mins}
+    FROM (SELECT {group_col}, {_sql_base_hash()} AS bh
+          FROM ({sql_shingle_rows(shingle_n, distinct, keep)}))
+    GROUP BY {group_col}
     """
 
 

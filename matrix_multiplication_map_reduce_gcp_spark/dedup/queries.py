@@ -19,11 +19,6 @@ from .jaccard import (
     sql_jaccard_pairs,
 )
 from .minhash import (
-    _A,
-    _B,
-    MERSENNE_P,
-    _base_hash_col,
-    _sql_base_hash,
     candidate_pairs,
     lsh_bands,
     minhash_signatures,
@@ -498,11 +493,6 @@ N_SRC_HASHES = 8
 
 
 def _sql_source_minhash_similarity(k: int = N_SRC_HASHES) -> str:
-    from ..text.analysis import sql_shingle_rows
-
-    mins = ", ".join(
-        f"MIN(({_A[s]} * bh + {_B[s]}) % {MERSENNE_P}) AS h{s}" for s in range(k)
-    )
     members = " UNION ALL ".join(
         f"SELECT source, {s} AS i, h{s} AS h FROM sig" for s in range(k)
     )
@@ -510,9 +500,8 @@ def _sql_source_minhash_similarity(k: int = N_SRC_HASHES) -> str:
     # BIGINT/8.0 is one exact IEEE op (n_agree <= k << 2^53), and the
     # oracle-type gate's CAST(SUM AS DOUBLE) pattern stays banned.
     return f"""
-    WITH sh AS ({sql_shingle_rows(3, distinct=False, keep_cols=("source",))}),
-    hashed AS (SELECT source, {_sql_base_hash()} AS bh FROM sh),
-    sig AS (SELECT source, {mins} FROM hashed GROUP BY source),
+    WITH sig AS (
+      {sql_minhash_signatures(k, group_col="source", distinct=False)}),
     mem AS ({members}),
     agree AS (
       SELECT a.source AS source_a, b.source AS source_b,
@@ -552,20 +541,9 @@ def source_minhash_similarity(spark, sf_dir):
     est_jaccard is an 8-member estimate (stderr ~ 1/sqrt(8)); the
     production knob is N_SRC_HASHES, which scales the sketch linearly
     and the pair stage quadratically-in-k-but-tiny."""
-    from ..text.analysis import shingle_rows
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, n=3, distinct=False, keep_cols=("source",)).select(
-        "source", F.col("shingle")
-    )
-    hashed = sh.withColumn("bh", _base_hash_col())
-    sig = hashed.groupBy("source").agg(
-        *[
-            F.min((F.lit(_A[s]) * F.col("bh") + F.lit(_B[s])) % MERSENNE_P).alias(
-                f"h{s}"
-            )
-            for s in range(N_SRC_HASHES)
-        ]
+    sig = minhash_signatures(
+        docs, N_SRC_HASHES, group_col="source", distinct=False
     )
     mem = sig.select(
         "source",

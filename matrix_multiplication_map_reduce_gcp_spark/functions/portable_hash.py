@@ -107,3 +107,17 @@ def sql_hash60(expr: str, seed: int = 0) -> str:
     return (
         f"CAST(CONCAT('0x', substr(md5(CONCAT('s{seed}|', CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
     )
+
+
+def hex_slice(col: Column, start: int, length: int) -> Column:
+    """Integer value of ``length`` hex chars of a hex-string column,
+    1-based ``start``; length <= 15 stays sign-safe in a bigint. The
+    generic slice-parse idiom behind shard ids / membership checksums
+    — consumers must not re-inline the conv() so the two engines'
+    parses cannot drift apart per module (same contract as hash32)."""
+    return F.conv(F.substring(col, start, length), 16, 10).cast("bigint")
+
+
+def sql_hex_slice(expr: str, start: int, length: int) -> str:
+    """DuckDB SQL mirror of :func:`hex_slice`."""
+    return f"CAST(CONCAT('0x', substr({expr}, {start}, {length})) AS BIGINT)"

@@ -95,43 +95,57 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
         import pyarrow as pa
 
         nn = bs * bs
+        # Emit output in bounded chunks, never one batch-sized array:
+        # ListArray offsets are int32, so a single yielded batch must
+        # keep rows*bs² < 2^31 (a full default 10k-row Arrow batch at
+        # bs=500 is 2.5e9 elements — over the cliff), and chunking
+        # also bounds the np.concatenate double-buffering to ~256 MB.
+        rows_per_chunk = max(1, (1 << 25) // nn)
         for rb in batches:
-            if not rb.num_rows:
-                continue
-            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
-            bi_out, bk_out, blocks = [], [], []
-            for r in range(rb.num_rows):
-                # np.bincount, not fancy-index assignment: duplicate
-                # (i, j) entries must SUM (matching the join+agg
-                # multiply), not last-write-win. bincount adds in
-                # array order and pack() sorts the cells, so the sum
-                # order is deterministic under any shuffle.
-                A = np.bincount(
-                    col["ps"][r].values.to_numpy(),
-                    weights=col["vs"][r].values.to_numpy(),
-                    minlength=nn,
+            for start in range(0, rb.num_rows, rows_per_chunk):
+                chunk = rb.slice(start, rows_per_chunk)
+                col = {
+                    nm: chunk.column(i)
+                    for i, nm in enumerate(chunk.schema.names)
+                }
+                bi_out, bk_out, blocks = [], [], []
+                for r in range(chunk.num_rows):
+                    # np.bincount, not fancy-index assignment:
+                    # duplicate (i, j) entries must SUM (matching the
+                    # join+agg multiply), not last-write-win. bincount
+                    # adds in array order and pack() sorts the cells,
+                    # so the sum order is deterministic under any
+                    # shuffle.
+                    A = np.bincount(
+                        col["ps"][r].values.to_numpy(),
+                        weights=col["vs"][r].values.to_numpy(),
+                        minlength=nn,
+                    )
+                    B = np.bincount(
+                        col["b_ps"][r].values.to_numpy(),
+                        weights=col["b_vs"][r].values.to_numpy(),
+                        minlength=nn,
+                    )
+                    blocks.append(
+                        (A.reshape(bs, bs) @ B.reshape(bs, bs)).ravel()
+                    )
+                    bi_out.append(col["br"][r].as_py())
+                    bk_out.append(col["b_bc"][r].as_py())
+                flat = np.concatenate(blocks)
+                offsets = np.arange(
+                    0, (len(blocks) + 1) * nn, nn, dtype=np.int64
                 )
-                B = np.bincount(
-                    col["b_ps"][r].values.to_numpy(),
-                    weights=col["b_vs"][r].values.to_numpy(),
-                    minlength=nn,
+                la = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.float64())
                 )
-                blocks.append((A.reshape(bs, bs) @ B.reshape(bs, bs)).ravel())
-                bi_out.append(col["br"][r].as_py())
-                bk_out.append(col["b_bc"][r].as_py())
-            flat = np.concatenate(blocks)
-            offsets = np.arange(0, (len(blocks) + 1) * nn, nn, dtype=np.int64)
-            la = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(flat, pa.float64())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(bi_out, pa.int64()),
-                    pa.array(bk_out, pa.int64()),
-                    la,
-                ],
-                ["bi", "bk", "block"],
-            )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(bi_out, pa.int64()),
+                        pa.array(bk_out, pa.int64()),
+                        la,
+                    ],
+                    ["bi", "bk", "block"],
+                )
 
     partial_schema = "bi long, bk long, block array<double>"
     partials = pairs.mapInArrow(gemm, partial_schema)

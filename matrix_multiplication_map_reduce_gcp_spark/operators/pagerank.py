@@ -333,6 +333,31 @@ def triangle_count_sampled(spark, sf_dir):
     return _triangle_top20(li)
 
 
+def co_supply_weighted(spark, sf_dir):
+    """(u, v, w) co-supply edges: suppliers sharing an order, w = the
+    number of shared orders. THE single definition of the pre-distinct
+    trick every graph query builds on: distinct (order, supplier)
+    BEFORE the self-join collapses multi-line suppliers map-side, so
+    the join emits each co-order pair once and a plain COUNT replaces
+    COUNT(DISTINCT) — same edge set (oracles keep the countDistinct
+    form), ~2.7x faster measured at sf0.1 (no expand, no per-group
+    distinct state)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+
 STRONG_TIE_MIN = 5  # co-orders required for an edge to survive
 
 
@@ -387,23 +412,8 @@ def label_propagation_communities(spark, sf_dir):
     supplier_two_hop_reach) bounds m on the densifying co-occurrence
     graph. 3 rounds fixed so the DuckDB oracle can unroll the
     recursion into CTEs and hash-check every intermediate decision."""
-    # Pre-distinct (order, supplier) BEFORE the self-join: multi-line
-    # suppliers collapse map-side, so the join emits each co-order
-    # pair once and a plain COUNT replaces COUNT(DISTINCT) — same
-    # edge set (oracle keeps the countDistinct form), ~2.7× faster
-    # measured at sf0.1 (no expand, no per-group distinct state).
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     e0 = (
-        a.join(b, "k")
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        co_supply_weighted(spark, sf_dir)
         .filter(F.col("w") >= STRONG_TIE_MIN)
         .select("u", "v")
         .localCheckpoint(eager=True)
@@ -471,21 +481,8 @@ def supplier_two_hop_reach(spark, sf_dir):
     (cost sum deg^2 over the SPARSIFIED graph); reach dedup is a
     hash-aggregate on (u, v), never a global sort; AQE skew-join
     splitting covers residual hub vertices."""
-    # Same pre-distinct trick as label_propagation_communities: the
-    # (order, supplier) distinct collapses multi-line suppliers before
-    # the self-join, so COUNT(*) == the oracle's COUNT(DISTINCT).
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     e0 = (
-        a.join(b, "k")
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        co_supply_weighted(spark, sf_dir)
         .filter(F.col("w") >= STRONG_TIE_MIN)
         .select("u", "v")
     )
@@ -590,21 +587,7 @@ def k_core_suppliers(spark, sf_dir):
     the core is legitimately empty; the driver gate (sf0.01) peels
     100 -> 88 -> 84 -> 80 nodes and sf0.1 peels 1000 -> 724 -> 540
     -> 310 — both engines agree round by round."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
-    # post-distinct COUNT(*) == oracle COUNT(DISTINCT orderkey), same
-    # trick as label_propagation_communities.
-    weighted = (
-        a.join(b, "k")
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-    )
+    weighted = co_supply_weighted(spark, sf_dir)
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(W.partitionBy("u").orderBy(F.desc("w"), "v"))

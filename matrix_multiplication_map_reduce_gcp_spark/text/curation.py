@@ -19,7 +19,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable_hash import hash32_unsalted, sql_hash32_unsalted
+from ..functions.portable_hash import (
+    hash32_unsalted,
+    hex_slice,
+    sql_hash32_unsalted,
+    sql_hex_slice,
+)
 from ..registry import query
 from .analysis import tokens
 
@@ -187,6 +192,21 @@ N_SHARDS = 8
 EPOCH_SALT = "ep1|"  # bump per epoch: a new salt is a fresh permutation
 
 
+def epoch_key_cols() -> tuple:
+    """(key, shard, member_h) Column expressions for the epoch layout
+    — THE single definition shared by the manifest query and the
+    write-side test, built on portable_hash.hex_slice so the parse
+    idiom can't drift per consumer. member_h is a 16-BIT slice: the
+    checksum is SUM(member_h), and 2^16 max per row keeps the int64
+    sum overflow-free to ~1.4e14 docs per shard (a 32-bit slice would
+    hit ANSI ARITHMETIC_OVERFLOW at ~4e9 docs/shard — inside the
+    operator's advertised scale)."""
+    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    shard = hex_slice(key, 1, 8) % N_SHARDS
+    member_h = hex_slice(key, 9, 4)
+    return key, shard, member_h
+
+
 @query(
     "epoch_shuffle_shards",
     oracle=f"""
@@ -196,9 +216,8 @@ EPOCH_SALT = "ep1|"  # bump per epoch: a new salt is a fresh permutation
       FROM documents),
     sharded AS (
       SELECT doc_id, n_chars, key,
-             CAST(CONCAT('0x', substr(key, 1, 8)) AS BIGINT) % {N_SHARDS}
-               AS shard,
-             CAST(CONCAT('0x', substr(key, 9, 8)) AS BIGINT) AS member_h
+             {sql_hex_slice('key', 1, 8)} % {N_SHARDS} AS shard,
+             {sql_hex_slice('key', 9, 4)} AS member_h
       FROM keyed)
     SELECT shard,
            COUNT(*) AS n_docs,
@@ -221,12 +240,13 @@ def epoch_shuffle_shards(spark, sf_dir):
     manifest is one partial-aggregatable groupBy({N_SHARDS} keys),
     and the within-shard order is implied (each shard's writer sorts
     its own slice by key — a per-shard local sort, never a global
-    one). The checksum is a SUM of a second key slice: associative,
-    order-independent, and stable under any partitioning, so two
-    independent runs of the same epoch can assert identical shard
-    membership without comparing doc lists. Spark's conv(hex,16,10)
-    and DuckDB's CAST('0x'||hex AS BIGINT) parse the same slices to
-    the same integers (the portable_hash contract).
+    one). The checksum is a SUM of a second key slice (16 bits per
+    row — int64-safe to ~1.4e14 docs/shard, see epoch_key_cols):
+    associative, order-independent, and stable under any
+    partitioning, so two independent runs of the same epoch can
+    assert identical shard membership without comparing doc lists.
+    hex_slice / sql_hex_slice (portable_hash) guarantee both engines
+    parse the slices identically.
 
     Write-side gotcha (pinned in tests/test_r5_operators.py): when
     materializing the epoch with write.partitionBy("shard"), sort
@@ -236,13 +256,12 @@ def epoch_shuffle_shards(spark, sf_dir):
     already satisfy it, silently scrambling the per-shard key order
     the manifest's first/last keys describe."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
-    keyed = d.withColumn("key", key).select(
+    key, shard, member_h = epoch_key_cols()
+    keyed = d.select(
         "n_chars",
-        "key",
-        (F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint") % N_SHARDS)
-        .alias("shard"),
-        F.conv(F.substring("key", 9, 8), 16, 10).cast("bigint").alias("member_h"),
+        key.alias("key"),
+        shard.alias("shard"),
+        member_h.alias("member_h"),
     )
     return keyed.groupBy("shard").agg(
         F.count("*").alias("n_docs"),

@@ -190,7 +190,7 @@ def test_epoch_shuffle_manifest_validates_written_layout(spark, tmp_path):
     shard's rows must come back key-sorted (what a resumable
     dataloader assumes when it seeks)."""
     from pyspark.sql import functions as F
-    from matrix_multiplication_map_reduce_gcp_spark.text.curation import EPOCH_SALT
+    from matrix_multiplication_map_reduce_gcp_spark.text.curation import epoch_key_cols
 
     manifest = {
         r.shard: r for r in QS["epoch_shuffle_shards"].fn(spark, SF_CORRECTNESS).collect()
@@ -198,16 +198,11 @@ def test_epoch_shuffle_manifest_validates_written_layout(spark, tmp_path):
     d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
         "doc_id", "n_chars"
     )
-    key = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    key, shard, member_h = epoch_key_cols()
     laid = (
         d.withColumn("key", key)
-        .withColumn(
-            "shard",
-            F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint") % N_SHARDS,
-        )
-        .withColumn(
-            "member_h", F.conv(F.substring("key", 9, 8), 16, 10).cast("bigint")
-        )
+        .withColumn("shard", shard)
+        .withColumn("member_h", member_h)
         .repartition("shard")
         # (shard, key), not key alone: the partitioned write itself
         # requires rows clustered by the partition column and will
