@@ -27,6 +27,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QueryDef:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL over the registered fixture views
+    # Canonical position: (index of the defining module in
+    # _QUERY_MODULES, registration sequence within that module).
+    # Recorded at decoration time so the registry's canonical order is
+    # a pure function of the source, independent of which test or
+    # caller happened to import which query module first (VERDICT r5:
+    # insertion-order iteration made test_registry_window fail under
+    # subset pytest invocations).
+    order: tuple[int, int] = (0, 0)
 
 
 QUERIES: dict[str, QueryDef] = {}
@@ -64,13 +72,22 @@ _QUERY_MODULES = (
 )
 
 
+_MODULE_INDEX = {mod: i for i, mod in enumerate(_QUERY_MODULES)}
+_MODULE_SEQ: dict[str, int] = {}
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QueryDef(fn, oracle)
+        mod = fn.__module__
+        seq = _MODULE_SEQ.get(mod, -1) + 1
+        _MODULE_SEQ[mod] = seq
+        QUERIES[name] = QueryDef(
+            fn, oracle, (_MODULE_INDEX.get(mod, len(_QUERY_MODULES)), seq)
+        )
         return fn
 
     return deco
@@ -89,18 +106,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from matrix_multiplication_map_reduce_gcp_spark.window import PRIORITY_PREFIX
 
 
-def load_all() -> dict[str, QueryDef]:
-    """Import every query module (idempotent) and return the registry,
-    reordered so PRIORITY_PREFIX comes first (driver-window coverage).
+def canonical_queries() -> dict[str, QueryDef]:
+    """Import every query module (idempotent) and return the registry
+    in CANONICAL order — sorted by the (module index, per-module
+    sequence) key recorded at decoration — so the result is identical
+    no matter which modules were imported first by earlier callers.
 
     Imports are STRICT: a broken module must fail loudly here, not
     silently shrink the registry (a swallowed ImportError once meant
     the gate went green while checking fewer queries)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    missing = [n for n in PRIORITY_PREFIX if n not in QUERIES]
+    return dict(sorted(QUERIES.items(), key=lambda kv: kv[1].order))
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Canonical registry reordered so PRIORITY_PREFIX comes first
+    (driver-window coverage)."""
+    canonical = canonical_queries()
+    missing = [n for n in PRIORITY_PREFIX if n not in canonical]
     if missing:
         raise KeyError(f"PRIORITY_PREFIX names not registered: {missing}")
-    ordered = {n: QUERIES[n] for n in PRIORITY_PREFIX}
-    ordered.update((n, qd) for n, qd in QUERIES.items() if n not in ordered)
+    ordered = {n: canonical[n] for n in PRIORITY_PREFIX}
+    ordered.update((n, qd) for n, qd in canonical.items() if n not in ordered)
     return ordered

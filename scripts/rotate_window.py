@@ -197,15 +197,12 @@ DEFERRED = {tup(deferred, "")}
 
 
 def main() -> None:
-    import importlib
-
     from matrix_multiplication_map_reduce_gcp_spark import registry
 
-    # Import query modules directly (not load_all) so rotation works
-    # even when the committed window references a renamed query.
-    for mod in registry._QUERY_MODULES:
-        importlib.import_module(mod)
-    q = dict(registry.QUERIES)
+    # canonical_queries (not load_all) so rotation works even when the
+    # committed window references a renamed query, and so the order is
+    # import-history-independent.
+    q = registry.canonical_queries()
     registered = list(q)
     modules = {n: qd.fn.__module__ for n, qd in q.items()}
     rounds = correctness_rounds()

@@ -22,11 +22,39 @@ from matrix_multiplication_map_reduce_gcp_spark import registry, window  # noqa:
 
 
 def _regenerate():
-    q = registry.load_all()
+    q = registry.canonical_queries()
     modules = {n: qd.fn.__module__ for n, qd in q.items()}
     return rotate_window.propose_window(
         list(q), modules, list(window.CONSUMED_ROUNDS)
     )
+
+
+def test_canonical_order_ignores_import_history():
+    """VERDICT r5 regression: importing query modules in a non-canonical
+    order (as tests/test_r5_operators.py does) must not perturb the
+    registry's canonical order — the window derivation sorts by the
+    (module index, per-module sequence) key stamped at decoration, not
+    by dict insertion order."""
+    import importlib
+
+    # Deliberately import two late modules first, as a subset pytest
+    # invocation might. These imports REGISTER queries out of canonical
+    # insertion order when run before any load_all() in this process;
+    # when run after, they are idempotent no-ops — either way the
+    # canonical listing below must be identical.
+    importlib.import_module("matrix_multiplication_map_reduce_gcp_spark.text.curation")
+    importlib.import_module(
+        "matrix_multiplication_map_reduce_gcp_spark.operators.pagerank"
+    )
+    q = registry.canonical_queries()
+    orders = [qd.order for qd in q.values()]
+    assert orders == sorted(orders)
+    mod_rank = {m: i for i, m in enumerate(registry._QUERY_MODULES)}
+    mods = [mod_rank[qd.fn.__module__] for qd in q.values()]
+    assert mods == sorted(mods), "canonical order must follow _QUERY_MODULES"
+    proposed, deferred = _regenerate()
+    assert tuple(proposed) == window.PRIORITY_PREFIX
+    assert tuple(deferred) == window.DEFERRED
 
 
 def test_window_matches_evidence():
@@ -50,7 +78,7 @@ def test_backlog_drains_within_horizon():
     (WINDOW - n_modules) bound undercounts. The horizon is what bounds
     how long a freshly registered query can wait; it only grows when
     a round registers more new queries than a window can absorb."""
-    q = registry.load_all()
+    q = registry.canonical_queries()
     modules = {n: qd.fn.__module__ for n, qd in q.items()}
     green: tuple[str, ...] = ()
     for rotation in range(1, DRAIN_HORIZON + 1):
@@ -81,5 +109,5 @@ def test_rotation_maximizes_new_coverage():
     green = rotate_window.green_queries(list(window.CONSUMED_ROUNDS))
     never_green_in = [n for n in window.PRIORITY_PREFIX if n not in green]
     assert len(never_green_in) + len(window.DEFERRED) == len(
-        [n for n in registry.load_all() if n not in green]
+        [n for n in registry.canonical_queries() if n not in green]
     )
