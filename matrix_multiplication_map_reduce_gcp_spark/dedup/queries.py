@@ -145,10 +145,10 @@ def stratified_sample_balanced(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH bkt AS (
+# Shared CTE text: banded-candidate generation + exact-cosine scoring
+# (the full embedding near-dup pipeline, reused verbatim by the capped
+# variant's oracle so the two can never drift).
+_EMB_SCORED_CTES = f"""bkt AS (
       SELECT vec_id, label, embedding,
              {sql_bucket_expr('embedding')} AS bucket
       FROM embeddings),
@@ -160,12 +160,20 @@ def stratified_sample_balanced(spark, sf_dir):
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
         ON a.label = b.label AND a.band_idx = b.band_idx
-       AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
-    SELECT c.vec_a, c.vec_b,
-           {sql_cosine_rounded('ea.embedding', 'eb.embedding')} AS cos_sim
-    FROM cand c JOIN embeddings ea ON c.vec_a = ea.vec_id
-                JOIN embeddings eb ON c.vec_b = eb.vec_id
-    WHERE {sql_cosine_rounded('ea.embedding', 'eb.embedding')} >= 0.35
+       AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             {sql_cosine_rounded('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM cand c JOIN embeddings ea ON c.vec_a = ea.vec_id
+                  JOIN embeddings eb ON c.vec_b = eb.vec_id
+      WHERE {sql_cosine_rounded('ea.embedding', 'eb.embedding')} >= 0.35)"""
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_EMB_SCORED_CTES}
+    SELECT vec_a, vec_b, cos_sim FROM scored
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -226,24 +234,105 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+PAIR_TOP_K = 4  # per-doc neighbor budget for the capped pair variants
+
+
+def _top_k_per_endpoint(scored, id_a: str, id_b: str, val: str, best_first):
+    """Bound an emit-all-pairs result at PAIR_TOP_K neighbors per doc:
+    a pair survives iff it ranks within EITHER endpoint's top-k by
+    ``val`` (OR-semantics keeps recall high — a hub doc can exhaust
+    its own budget yet still be reported by its neighbors). One
+    explode to both orientations, one window per endpoint over its
+    candidate list (already bounded by the blocking upstream), then
+    canonicalize + distinct. Output is ≤ k·n rows regardless of how
+    duplicate-heavy the corpus is — the knob that turns the planted-
+    duplicate quadratic (VERDICT r5: 55x wall at 10x data) back into
+    a linear emit, at a measured recall cost on clusters larger than
+    k+1 (tests/test_quality_gates.py pins the floor)."""
+    pair = F.explode(
+        F.array(
+            F.struct(F.col(id_a).alias("d"), F.col(id_b).alias("o")),
+            F.struct(F.col(id_b).alias("d"), F.col(id_a).alias("o")),
+        )
+    ).alias("p")
+    oriented = scored.select(pair, val).select("p.d", "p.o", val)
+    w = W.partitionBy("d").orderBy(best_first(val), "o")
+    return (
+        oriented.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PAIR_TOP_K)
+        .select(
+            F.least("d", "o").alias(id_a),
+            F.greatest("d", "o").alias(id_b),
+            val,
+        )
+        .distinct()
+    )
+
+
+def _sql_top_k_per_endpoint(id_a: str, id_b: str, val: str, direction: str) -> str:
+    """DuckDB mirror of ``_top_k_per_endpoint`` over a CTE named
+    ``scored`` — UNION ALL to both orientations, ROW_NUMBER per
+    endpoint, canonicalize + DISTINCT."""
+    return f"""oriented AS (
+      SELECT {id_a} AS d, {id_b} AS o, {val} FROM scored
+      UNION ALL
+      SELECT {id_b} AS d, {id_a} AS o, {val} FROM scored),
+    ranked AS (
+      SELECT d, o, {val},
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY {val} {direction}, o) AS rn
+      FROM oriented)
+    SELECT DISTINCT LEAST(d, o) AS {id_a}, GREATEST(d, o) AS {id_b}, {val}
+    FROM ranked WHERE rn <= {PAIR_TOP_K}"""
+
+
+@query(
+    "embedding_near_dup_pairs_capped",
+    oracle=f"""
+    WITH {_EMB_SCORED_CTES},
+    {_sql_top_k_per_endpoint('vec_a', 'vec_b', 'cos_sim', 'DESC')}
+    """,
+)
+def embedding_near_dup_pairs_capped(spark, sf_dir):
+    """embedding_near_dup_pairs bounded at {PAIR_TOP_K} neighbors per
+    vector (kept if in either endpoint's top-k by cosine). The full
+    variant's output is quadratic in planted-duplicate cluster size;
+    this one's is ≤ k·n — the shape to run first on a corpus whose
+    duplication profile is unknown. Recall tradeoff: within a
+    duplicate cluster of size g, each doc keeps its k best, so pair
+    recall ≈ min(1, k/(g-1)) per cluster while CLUSTER recall (≥1
+    surviving pair per true cluster, what connected-components dedup
+    actually needs) stays 1.0."""
+    return _top_k_per_endpoint(
+        embedding_near_dup_pairs(spark, sf_dir), "vec_a", "vec_b",
+        "cos_sim", F.desc,
+    )
+
+
 LEV_PREFIX = 80  # edit distance computed on this prefix (cost cap)
 LEV_MAX = 40
 LEN_BUCKET = 16
 
 
+# Shared CTE text for the levenshtein family (full + capped oracles).
+_LEV_SCORED_CTES = f"""d AS (
+      SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+             substr(text, 1, {LEV_PREFIX}) AS head
+      FROM documents),
+    scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= {LEV_MAX})"""
+
+
 @query(
     "levenshtein_near_dup_pairs",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
-             substr(text, 1, {LEV_PREFIX}) AS head
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-     AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
+    WITH {_LEV_SCORED_CTES}
+    SELECT doc_a, doc_b, edit_distance FROM scored
     """,
 )
 def levenshtein_near_dup_pairs(spark, sf_dir):
@@ -291,6 +380,25 @@ def levenshtein_near_dup_pairs(spark, sf_dir):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(dist <= LEV_MAX)
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
+    )
+
+
+@query(
+    "levenshtein_near_dup_pairs_capped",
+    oracle=f"""
+    WITH {_LEV_SCORED_CTES},
+    {_sql_top_k_per_endpoint('doc_a', 'doc_b', 'edit_distance', 'ASC')}
+    """,
+)
+def levenshtein_near_dup_pairs_capped(spark, sf_dir):
+    """levenshtein_near_dup_pairs bounded at {PAIR_TOP_K} neighbors per
+    doc (kept if in either endpoint's top-k by LOWEST edit distance) —
+    same knob as the embedding variant: output ≤ k·n on any corpus,
+    cluster recall preserved (every doc still reports its closest
+    neighbors, so no true cluster loses all its pairs)."""
+    return _top_k_per_endpoint(
+        levenshtein_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b",
+        "edit_distance", F.asc,
     )
 
 

@@ -51,6 +51,17 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
     between Arrow-serializing the matrix 4× and once."""
     validate_matmul_dims(a.n_rows, a.n_cols, b.n_rows, b.n_cols)
     bs = block_size
+    # The Arrow kernel emits each block as one list<double> row whose
+    # ListArray offsets are int32: past bs=46340 a SINGLE block row
+    # overflows them, and the failure would surface as an opaque
+    # pyarrow offset error deep in the gemm stage (r5 ADVICE). Fail at
+    # planning time instead; matrices larger than that want more
+    # blocks, not bigger ones (per-block GEMM is already ~100 GFLOP).
+    if bs * bs >= 1 << 31:
+        raise ValueError(
+            f"block_size={bs} overflows int32 Arrow ListArray offsets "
+            f"(block_size**2 must stay < 2**31; use more, smaller blocks)"
+        )
 
     def pack(df, row, col, bs):
         """(block_r, block_c, positions[], values[]) per block. The two

@@ -239,3 +239,19 @@ def test_block_multiply_matrixgen_oracle_midscale(spark):
         got[r[0], r[1]] = r[2]
     want = np_mat(21) @ np_mat(22)
     assert np.array_equal(got, want)
+
+
+def test_block_size_int32_offset_guard(spark):
+    """block_size past the int32 Arrow ListArray offset cliff must fail
+    at planning time with a clear message, not as an opaque pyarrow
+    overflow mid-GEMM (r5 ADVICE)."""
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.coo import CooMatrix
+
+    n = 2
+    df = spark.createDataFrame([(0, 0, 1.0)], "i long, j long, v double")
+    m = CooMatrix(df, n, n)
+    with pytest.raises(ValueError, match="int32 Arrow ListArray offsets"):
+        block_multiply(m, m, block_size=46341)

@@ -313,3 +313,89 @@ def test_knn_graph_recall_holds_on_adaptive_planes_path(spark):
     assert sum(recalls) / len(recalls) >= 0.8
     same = sum(1 for r in edges if r.src // per == r.dst // per) / len(edges)
     assert same >= 0.95
+
+
+@pytest.fixture(scope="module")
+def replicated_corpus(tmp_path_factory):
+    """Factor-6 key-shifted replica of sf0.001 (scripts/gen_scale.py):
+    every document/embedding becomes a planted duplicate cluster of 6
+    identical members — the corpus shape whose quadratic pair volume
+    motivated the capped variants (VERDICT r5 #7)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    out = tmp_path_factory.mktemp("capped_probe")
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "gen_scale.py"),
+         "--src", "/root/testdata/sf0.001", "--out", str(out),
+         "--factor", "6"],
+        check=True, capture_output=True,
+    )
+    return str(out)
+
+
+def _connected(members, pairs):
+    """Union-find connectivity of ``members`` under ``pairs``."""
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    return len({find(m) for m in members}) == 1
+
+
+def test_capped_pair_variants_bound_output_keep_cluster_recall(
+    spark, replicated_corpus
+):
+    """The top-k-per-endpoint cap must (1) bound output at k pairs per
+    doc, (2) bind on the planted 6-clusters (k=4 < 5 true neighbors),
+    (3) keep PAIR recall ≥0.9 on planted duplicates (analysis: each
+    cluster loses exactly the pairs where BOTH endpoints' budgets are
+    exhausted by smaller ids — 1 of 15 at g=6, k=4), and (4) keep
+    CLUSTER recall at 1.0 — every planted cluster stays fully
+    connected through its surviving pairs, which is what the
+    connected-components dedup downstream actually consumes."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.queries import PAIR_TOP_K
+
+    STRIDE = 1_000_000_000  # scripts/gen_scale.py key-shift stride
+    qs = registry.load_all()
+    for full_name, capped_name, ida, idb in (
+        ("embedding_near_dup_pairs", "embedding_near_dup_pairs_capped",
+         "vec_a", "vec_b"),
+        ("levenshtein_near_dup_pairs", "levenshtein_near_dup_pairs_capped",
+         "doc_a", "doc_b"),
+    ):
+        full = {
+            (r[ida], r[idb])
+            for r in qs[full_name].fn(spark, replicated_corpus).collect()
+        }
+        capped = {
+            (r[ida], r[idb])
+            for r in qs[capped_name].fn(spark, replicated_corpus).collect()
+        }
+        n_docs = len({d for p in full for d in p})
+        assert capped <= full, f"{capped_name}: cap emitted non-full pairs"
+        assert len(capped) <= PAIR_TOP_K * n_docs
+        assert len(capped) < len(full), f"{capped_name}: cap never bound"
+        planted_full = {p for p in full if p[0] % STRIDE == p[1] % STRIDE}
+        planted_capped = {p for p in capped if p[0] % STRIDE == p[1] % STRIDE}
+        assert planted_full, f"{full_name}: no planted pairs — vacuous"
+        recall = len(planted_capped) / len(planted_full)
+        assert recall >= 0.9, f"{capped_name}: planted-pair recall {recall:.2f}"
+        clusters: dict[int, set[int]] = {}
+        for a, b in planted_full:
+            clusters.setdefault(a % STRIDE, set()).update((a, b))
+        for base, members in clusters.items():
+            kept = [p for p in planted_capped
+                    if p[0] % STRIDE == base]
+            assert _connected(members, kept), (
+                f"{capped_name}: planted cluster {base} disconnected"
+            )

@@ -340,6 +340,61 @@ def test_cdc_upsert_invariant_under_batch_splits(spark, two_batch_dir):
     assert rows_split == rows_batch
 
 
+def test_cdc_upsert_duplicate_key_rows_match_oracle(spark, tmp_path):
+    """r5 ADVICE closure: rows that collide on the FULL (user_id, ts,
+    event_id) ordering key but differ in value must still produce the
+    same latest-row pick in the engine (max over the (ts, event_id,
+    value) struct) and the oracle (ROW_NUMBER ordered by ts DESC,
+    event_id DESC, value DESC) — value is part of both comparison
+    keys, so the tie is broken identically."""
+    import datetime
+
+    import duckdb
+
+    from matrix_multiplication_map_reduce_gcp_spark.registry import QUERIES, load_all
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import run_cdc_upsert
+
+    load_all()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: exact duplicate (ts, event_id), values 5.0 vs 9.0 —
+        # both engines must pick 9.0.
+        (100, t0, 1, "click", 5.0, "{}"),
+        (100, t0, 1, "click", 9.0, "{}"),
+        # user 1 older row: must lose on ts regardless of value.
+        (99, t0 - datetime.timedelta(hours=1), 1, "view", 99.0, "{}"),
+        # user 2: same ts, different event_id — event_id breaks it.
+        (200, t0, 2, "click", 1.0, "{}"),
+        (201, t0, 2, "click", 0.5, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "dup_events")
+    ev.coalesce(1).write.parquet(src)
+
+    got = run_cdc_upsert(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        spark,
+    )
+    engine = sorted(tuple(r) for r in got.collect())
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{src}/*.parquet'"
+    )
+    oracle = sorted(
+        tuple(r) for r in con.sql(QUERIES["stream_cdc_upsert_state"].oracle).fetchall()
+    )
+    assert engine == oracle
+    by_user = {r[0]: r for r in engine}
+    assert by_user[1][4] == 9.0  # value tie-break picked the max value
+    assert by_user[2][3] == 201  # event_id tie-break
+
+
 def test_cdc_upsert_empty_source(spark, two_batch_dir, tmp_path):
     """Zero micro-batches (empty source dir) must yield an empty TYPED
     state table — availableNow never calls foreachBatch, so the sink
