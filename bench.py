@@ -215,6 +215,9 @@ def main() -> None:
         # medians decide drift vs noise (VERDICT r5 #6).
         "knn_graph_lsh",
         "pricing_summary",
+        # r6: session noise (±0.5 s) exceeds any real delta at sf0.1
+        # after the lane-packing change — record medians.
+        "simhash_fingerprints",
     }
 
     for name in headline:

@@ -195,3 +195,28 @@ def test_adaptive_planes_python_sql_parity():
             assert 2 ** (py - 1) < need
         if py < N_PLANES_MAX:  # below the high clamp: always enough
             assert 2 ** py >= need or py == N_PLANES
+
+
+def test_simhash_token_cap_guard(spark):
+    """Packed-lane simhash must REFUSE documents past the 32767-token
+    overflow bound (assert_true filter) rather than fingerprint them
+    wrong — and accept one exactly at the cap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import TOKEN_CAP, simhash
+
+    # Either layer may fire first: the assert_true contract message, or
+    # (when every token sets a top-lane bit, as here with one repeated
+    # token) ANSI's long-overflow on the lane-3 SUM itself — both are
+    # LOUD failures; the pinned property is "never silently wrong".
+    over = spark.createDataFrame(
+        [(1, "w " * (TOKEN_CAP + 1))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceeds|ARITHMETIC_OVERFLOW"):
+        simhash(over).collect()
+    at_cap = spark.createDataFrame(
+        [(1, " ".join("w" for _ in range(TOKEN_CAP)))],
+        "doc_id long, text string",
+    )
+    assert simhash(at_cap).count() == 1
