@@ -145,17 +145,19 @@ def stratified_sample_balanced(spark, sf_dir):
     )
 
 
-# Shared CTE text: banded-candidate generation + exact-cosine scoring
-# (the full embedding near-dup pipeline, reused verbatim by the capped
-# variant's oracle so the two can never drift).
-_EMB_SCORED_CTES = f"""bkt AS (
+# Shared CTE text: SRP band generation (ids only), reused by the full
+# query's oracle and the capped variant's so the banding can't drift.
+_EMB_BAND_CTES = f"""bkt AS (
       SELECT vec_id, label, embedding,
              {sql_bucket_expr('embedding')} AS bucket
       FROM embeddings),
     bands AS (
-      SELECT vec_id, label, embedding, r.i AS band_idx,
+      SELECT vec_id, label, bucket, r.i AS band_idx,
              (bucket >> (2 * CAST(r.i AS INTEGER))) & 3 AS band_val
-      FROM bkt, UNNEST(range(0, 4)) AS r(i)),
+      FROM bkt, UNNEST(range(0, 4)) AS r(i))"""
+
+# Full pipeline: banded candidates + exact-cosine scoring.
+_EMB_SCORED_CTES = f"""{_EMB_BAND_CTES},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
@@ -191,38 +193,60 @@ def embedding_near_dup_pairs(spark, sf_dir):
     cos=0.9 is <2%, and →0 as cos→1 — near-exact where near-dups
     live, pinned by test_dedup_similarity.py. The oracle mirrors the
     banding bit-for-bit, so the gate checks the whole pipeline."""
+    e, pairs = _emb_band_pair_stream(spark, sf_dir)
+    return _emb_verify_cosine(e, pairs.distinct())
+
+
+def _emb_bands(spark, sf_dir):
+    """(embeddings table, banded id stream): one row per (vector,
+    band) with the vector's FULL bucket kept alongside — ids only.
+    The 512-byte embedding arrays never enter the band explode, the
+    candidate generation, or any shuffle downstream of it; vectors
+    join back once per SURVIVING candidate pair. At 10^9 vectors this
+    is the difference between shuffling ids and shuffling the corpus
+    x bands twice."""
     from ..similarity.lsh import bucket_expr
 
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
     bkt = e.select("vec_id", "label", bucket_expr(v).alias("bucket"))
-    # Band/join/dedup on IDS ONLY — the 512-byte embedding arrays never
-    # enter the band explode, the candidate self-join, or the distinct
-    # shuffle; vectors join back once per SURVIVING candidate pair.
-    # At 10^9 vectors this is the difference between shuffling ids and
-    # shuffling the corpus x bands twice.
     bands = bkt.select(
         "vec_id",
         "label",
+        "bucket",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
                 "i -> struct(i AS band_idx, shiftright(bucket, 2 * i) & 3 AS band_val))"
             )
         ).alias("bd"),
-    ).select("vec_id", "label", "bd.band_idx", "bd.band_val")
+    ).select("vec_id", "label", "bucket", "bd.band_idx", "bd.band_val")
+    return e, bands
+
+
+def _emb_band_pair_stream(spark, sf_dir):
+    """(embeddings table, raw banded candidate stream): one (vec_a,
+    vec_b) row per shared (label, band) — the full equi-join, exact
+    within the banding but quadratic in duplicate-cluster size."""
+    e, bands = _emb_bands(spark, sf_dir)
     a = bands.select(
         F.col("vec_id").alias("vec_a"), "label", "band_idx", "band_val"
     )
     b = bands.select(
         F.col("vec_id").alias("vec_b"), "label", "band_idx", "band_val"
     )
-    cand = (
+    pairs = (
         a.join(b, ["label", "band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
+    return e, pairs
+
+
+def _emb_verify_cosine(e, cand):
+    """Join both endpoints' vectors onto the candidate id pairs and
+    keep those at or above the 0.35 exact-rounded-cosine floor."""
+    v = as_double_array("embedding")
     va = e.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
     cos = cosine_rounded(F.col("va"), F.col("vb"))
@@ -235,31 +259,32 @@ def embedding_near_dup_pairs(spark, sf_dir):
 
 
 PAIR_TOP_K = 4  # per-doc neighbor budget for the capped pair variants
+EMB_CAND_CAP = 8  # coarse per-vector candidate budget (by shared bands)
+EMB_SN_WINDOW = 8  # sorted-neighborhood width inside each band bucket
 
 
-def _top_k_per_endpoint(scored, id_a: str, id_b: str, val: str, best_first):
-    """Bound an emit-all-pairs result at PAIR_TOP_K neighbors per doc:
-    a pair survives iff it ranks within EITHER endpoint's top-k by
+def _top_k_per_endpoint(pairs, id_a: str, id_b: str, val: str, best_first,
+                        k: int = PAIR_TOP_K):
+    """Keep a pair iff it ranks within EITHER endpoint's top-``k`` by
     ``val`` (OR-semantics keeps recall high — a hub doc can exhaust
     its own budget yet still be reported by its neighbors). One
     explode to both orientations, one window per endpoint over its
-    candidate list (already bounded by the blocking upstream), then
-    canonicalize + distinct. Output is ≤ k·n rows regardless of how
-    duplicate-heavy the corpus is — the knob that turns the planted-
-    duplicate quadratic (VERDICT r5: 55x wall at 10x data) back into
-    a linear emit, at a measured recall cost on clusters larger than
-    k+1 (tests/test_quality_gates.py pins the floor)."""
+    candidate list, canonicalize + distinct. Output is ≤ k·n rows
+    regardless of how duplicate-heavy the corpus is. Used twice by the
+    capped variants: as a coarse CANDIDATE cap on id-only rows (cheap
+    — the window never sees vectors or text), then as the final
+    neighbor budget after exact verification."""
     pair = F.explode(
         F.array(
             F.struct(F.col(id_a).alias("d"), F.col(id_b).alias("o")),
             F.struct(F.col(id_b).alias("d"), F.col(id_a).alias("o")),
         )
     ).alias("p")
-    oriented = scored.select(pair, val).select("p.d", "p.o", val)
+    oriented = pairs.select(pair, val).select("p.d", "p.o", val)
     w = W.partitionBy("d").orderBy(best_first(val), "o")
     return (
         oriented.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PAIR_TOP_K)
+        .filter(F.col("rn") <= k)
         .select(
             F.least("d", "o").alias(id_a),
             F.greatest("d", "o").alias(id_b),
@@ -269,44 +294,110 @@ def _top_k_per_endpoint(scored, id_a: str, id_b: str, val: str, best_first):
     )
 
 
-def _sql_top_k_per_endpoint(id_a: str, id_b: str, val: str, direction: str) -> str:
-    """DuckDB mirror of ``_top_k_per_endpoint`` over a CTE named
-    ``scored`` — UNION ALL to both orientations, ROW_NUMBER per
-    endpoint, canonicalize + DISTINCT."""
-    return f"""oriented AS (
-      SELECT {id_a} AS d, {id_b} AS o, {val} FROM scored
+def _sql_top_k_per_endpoint(
+    id_a: str, id_b: str, val: str, direction: str,
+    k: int = PAIR_TOP_K, src: str = "scored", prefix: str = "",
+    out: str | None = None,
+) -> str:
+    """DuckDB CTE-body mirror of ``_top_k_per_endpoint`` over the CTE
+    named ``src`` — UNION ALL to both orientations, ROW_NUMBER per
+    endpoint, canonicalize + DISTINCT. With ``out=None`` it ends with
+    a bare SELECT closing the ``WITH`` chain; with ``out`` set, the
+    final select becomes one more flat CTE named ``out`` so the chain
+    can continue (CTEs cannot nest — pass ``prefix`` to disambiguate
+    the intermediates when used twice in one query)."""
+    final = (
+        f"SELECT DISTINCT LEAST(d, o) AS {id_a}, GREATEST(d, o) AS {id_b}, "
+        f"{val}\n    FROM {prefix}ranked WHERE rn <= {k}"
+    )
+    closing = final if out is None else f"{out} AS (\n    {final})"
+    sep = ",\n    " if out is not None else "\n    "
+    return f"""{prefix}oriented AS (
+      SELECT {id_a} AS d, {id_b} AS o, {val} FROM {src}
       UNION ALL
-      SELECT {id_b} AS d, {id_a} AS o, {val} FROM scored),
-    ranked AS (
+      SELECT {id_b} AS d, {id_a} AS o, {val} FROM {src}),
+    {prefix}ranked AS (
       SELECT d, o, {val},
              ROW_NUMBER() OVER (PARTITION BY d
                                 ORDER BY {val} {direction}, o) AS rn
-      FROM oriented)
-    SELECT DISTINCT LEAST(d, o) AS {id_a}, GREATEST(d, o) AS {id_b}, {val}
-    FROM ranked WHERE rn <= {PAIR_TOP_K}"""
+      FROM {prefix}oriented){sep}{closing}"""
 
 
 @query(
     "embedding_near_dup_pairs_capped",
     oracle=f"""
-    WITH {_EMB_SCORED_CTES},
+    WITH {_EMB_BAND_CTES},
+    nb AS (
+      SELECT vec_id, label, band_idx, band_val,
+             ROW_NUMBER() OVER (PARTITION BY label, band_idx, band_val
+                                ORDER BY bucket, vec_id) AS rn
+      FROM bands),
+    sn AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+             GREATEST(a.vec_id, b.vec_id) AS vec_b
+      FROM nb a JOIN nb b
+        ON a.label = b.label AND a.band_idx = b.band_idx
+       AND a.band_val = b.band_val
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + {EMB_SN_WINDOW}),
+    cand AS (
+      SELECT vec_a, vec_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sn GROUP BY 1, 2),
+    {_sql_top_k_per_endpoint('vec_a', 'vec_b', 'n_shared', 'DESC',
+                             k=EMB_CAND_CAP, src='cand', prefix='c_',
+                             out='coarse')},
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             {sql_cosine_rounded('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM coarse c JOIN embeddings ea ON c.vec_a = ea.vec_id
+                    JOIN embeddings eb ON c.vec_b = eb.vec_id
+      WHERE {sql_cosine_rounded('ea.embedding', 'eb.embedding')} >= 0.35),
     {_sql_top_k_per_endpoint('vec_a', 'vec_b', 'cos_sim', 'DESC')}
     """,
 )
 def embedding_near_dup_pairs_capped(spark, sf_dir):
-    """embedding_near_dup_pairs bounded at {PAIR_TOP_K} neighbors per
-    vector (kept if in either endpoint's top-k by cosine). The full
-    variant's output is quadratic in planted-duplicate cluster size;
-    this one's is ≤ k·n — the shape to run first on a corpus whose
-    duplication profile is unknown. Recall tradeoff: within a
-    duplicate cluster of size g, each doc keeps its k best, so pair
-    recall ≈ min(1, k/(g-1)) per cluster while CLUSTER recall (≥1
-    surviving pair per true cluster, what connected-components dedup
-    actually needs) stays 1.0."""
-    return _top_k_per_endpoint(
-        embedding_near_dup_pairs(spark, sf_dir), "vec_a", "vec_b",
-        "cos_sim", F.desc,
+    """embedding_near_dup_pairs with bounded WORK, not just bounded
+    emit. The full variant's band self-join is quadratic in duplicate-
+    cluster size (a cluster of g identical vectors shares every band
+    bucket, so each bucket contributes g²/2 candidate rows — profiled
+    at 13.7M candidate pairs on the 10x fixture). Here candidates come
+    from a sorted neighborhood INSIDE each band bucket: members sort
+    by (full 8-bit bucket, vec_id) and pair only with their next
+    {EMB_SN_WINDOW} sort neighbors, so the raw stream is ≤
+    4·{EMB_SN_WINDOW}·n rows no matter how duplicate-heavy the corpus
+    is. Ordering by the FULL bucket keeps recall where it matters:
+    exact/near-exact duplicates share all 8 bucket bits, sort
+    contiguously inside every band bucket, and chain through the
+    window. Candidates are then capped per vector at {EMB_CAND_CAP}
+    by shared-band count (strongest coarse signal first) before the
+    exact-cosine verify — an interpreted 64-dim fold per pair, the
+    dominant per-candidate cost — and finally budgeted at
+    {PAIR_TOP_K} neighbors per vector by cosine. Recall tradeoff:
+    within a duplicate cluster of size g, pair recall ≈ min(1,
+    k/(g-1)) while CLUSTER recall (≥1 surviving pair per true
+    cluster, what connected-components dedup actually needs) stays
+    1.0 via window chaining (tests/test_quality_gates.py pins it)."""
+    e, bands = _emb_bands(spark, sf_dir)
+    w = W.partitionBy("label", "band_idx", "band_val").orderBy(
+        "bucket", "vec_id"
     )
+    led = bands
+    for off in range(1, EMB_SN_WINDOW + 1):
+        led = led.withColumn(f"nbr{off}", F.lead("vec_id", off).over(w))
+    nbrs = F.array(*[F.col(f"nbr{off}") for off in range(1, EMB_SN_WINDOW + 1)])
+    sn = (
+        led.select("vec_id", F.explode(nbrs).alias("nbr"))
+        .filter(F.col("nbr").isNotNull())
+        .select(
+            F.least("vec_id", "nbr").alias("vec_a"),
+            F.greatest("vec_id", "nbr").alias("vec_b"),
+        )
+    )
+    cand = sn.groupBy("vec_a", "vec_b").agg(F.count("*").alias("n_shared"))
+    coarse = _top_k_per_endpoint(
+        cand, "vec_a", "vec_b", "n_shared", F.desc, k=EMB_CAND_CAP
+    ).drop("n_shared")
+    scored = _emb_verify_cosine(e, coarse)
+    return _top_k_per_endpoint(scored, "vec_a", "vec_b", "cos_sim", F.desc)
 
 
 LEV_PREFIX = 80  # edit distance computed on this prefix (cost cap)
@@ -383,22 +474,81 @@ def levenshtein_near_dup_pairs(spark, sf_dir):
     )
 
 
+LEV_SN_WINDOW = 8  # sorted-neighborhood width for the capped variant
+
+
 @query(
     "levenshtein_near_dup_pairs_capped",
     oracle=f"""
-    WITH {_LEV_SCORED_CTES},
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+             substr(text, 1, {LEV_PREFIX}) AS head
+      FROM documents),
+    nb AS (
+      SELECT doc_id, lang, len_bucket, head,
+             ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                                ORDER BY head, doc_id) AS rn
+      FROM d),
+    scored AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b,
+             CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+      FROM nb a JOIN nb b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + {LEV_SN_WINDOW}
+      WHERE levenshtein(a.head, b.head) <= {LEV_MAX}),
     {_sql_top_k_per_endpoint('doc_a', 'doc_b', 'edit_distance', 'ASC')}
     """,
 )
 def levenshtein_near_dup_pairs_capped(spark, sf_dir):
-    """levenshtein_near_dup_pairs bounded at {PAIR_TOP_K} neighbors per
-    doc (kept if in either endpoint's top-k by LOWEST edit distance) —
-    same knob as the embedding variant: output ≤ k·n on any corpus,
-    cluster recall preserved (every doc still reports its closest
-    neighbors, so no true cluster loses all its pairs)."""
+    """levenshtein_near_dup_pairs with bounded WORK and bounded emit.
+    The full variant's cost is the quadratic per-block levenshtein —
+    every pair in a (lang, len_bucket) block is compared, so planted
+    duplicate clusters multiply wall by cluster_size² (measured 68x at
+    10x data). Here candidates come from a sorted neighborhood INSIDE
+    each block: docs sort by ({LEV_PREFIX}-char prefix, doc_id) and
+    pair only with their next {LEV_SN_WINDOW} sort neighbors —
+    identical/near-identical prefixes sort adjacent, so true near-dups
+    stay candidates while comparisons drop from m² to m·{LEV_SN_WINDOW}
+    per block. Exact edit distance verifies candidates; the final
+    {PAIR_TOP_K}-per-endpoint budget (lowest distance first) bounds
+    the emit. CLUSTER recall on planted duplicates stays 1.0 — members
+    share a prefix, sort contiguously, and chain through the window
+    (tests/test_quality_gates.py pins recall + connectivity)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEN_BUCKET).cast("bigint").alias("len_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("head"),
+    )
+    w = W.partitionBy("lang", "len_bucket").orderBy("head", "doc_id")
+    led = d
+    for off in range(1, LEV_SN_WINDOW + 1):
+        led = led.withColumn(
+            f"nbr{off}", F.lead("doc_id", off).over(w)
+        ).withColumn(f"nbr_head{off}", F.lead("head", off).over(w))
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"nbr{off}").alias("nbr"),
+                F.col(f"nbr_head{off}").alias("nbr_head"),
+            )
+            for off in range(1, LEV_SN_WINDOW + 1)
+        ]
+    )
+    dist = F.levenshtein("head", F.col("p.nbr_head"))
+    scored = (
+        led.select("doc_id", "head", F.explode(nbrs).alias("p"))
+        .filter(F.col("p.nbr").isNotNull())
+        .filter(dist <= LEV_MAX)
+        .select(
+            F.least("doc_id", "p.nbr").alias("doc_a"),
+            F.greatest("doc_id", "p.nbr").alias("doc_b"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+    )
     return _top_k_per_endpoint(
-        levenshtein_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b",
-        "edit_distance", F.asc,
+        scored, "doc_a", "doc_b", "edit_distance", F.asc
     )
 
 
