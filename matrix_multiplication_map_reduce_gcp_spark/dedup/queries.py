@@ -245,11 +245,16 @@ def _emb_band_pair_stream(spark, sf_dir):
 
 def _emb_verify_cosine(e, cand):
     """Join both endpoints' vectors onto the candidate id pairs and
-    keep those at or above the 0.35 exact-rounded-cosine floor."""
+    keep those at or above the 0.35 exact-rounded-cosine floor. The
+    cosine runs in the Arrow/NumPy kernel (bit-identical to the fold —
+    tests/test_vectors_arrow.py): the verify is the dominant per-
+    candidate cost, profiled at ~0.3 ms/pair in interpreted folds."""
+    from ..functions.vectors import cosine_rounded_arrow
+
     v = as_double_array("embedding")
     va = e.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
-    cos = cosine_rounded(F.col("va"), F.col("vb"))
+    cos = cosine_rounded_arrow(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

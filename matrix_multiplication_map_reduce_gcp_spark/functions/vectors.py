@@ -3,8 +3,10 @@
 Dot products use zip_with + a sequential left-fold aggregate: the
 summation order is the array order in BOTH Spark and DuckDB
 (list_dot_product), so results are bit-identical across engines —
-no nondeterministic double reduction. All JVM-side; the Pandas-UDF
-path is only for the batched brute-force kernel in similarity/.
+no nondeterministic double reduction. :func:`cosine_arrow` is the
+Arrow/NumPy kernel for hot verify paths — the same operation sequence
+vectorized per batch, bit-identical to the fold (and so to the
+oracle); everything else stays JVM-side.
 """
 
 from __future__ import annotations
@@ -40,6 +42,53 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     stability (fold order matches, but rounding removes any residual
     libm/ulp exposure in sqrt-divide chains)."""
     return F.round(cosine(a, b), digits)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched NumPy cosine, bit-identical to :func:`cosine`.
+
+    The fold path evaluates ~3·dim interpreted lambda calls per pair
+    (zip_with + aggregate are not codegen'd as one fused loop); at
+    sf1 the embedding near-dup verify measured ~0.3 ms/pair in folds.
+    This kernel reproduces the EXACT same IEEE-754 operation sequence
+    vectorized across the batch: elementwise products, then a
+    sequential accumulation in array-index order (``((0+p0)+p1)+…`` —
+    dim vectorized adds per batch), correctly-rounded sqrt and divide.
+    Same ops, same order, same rounding ⇒ bit-identical doubles
+    (pinned by tests/test_vectors_arrow.py against the fold on random
+    and fixture vectors). Rounding stays OUT of this kernel: callers
+    apply JVM-side F.round (:func:`cosine_rounded_arrow`) so the
+    half-up semantics shared with the DuckDB oracle are untouched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+
+        def seqsum(P):
+            acc = np.zeros(len(P), dtype=np.float64)
+            for i in range(P.shape[1]):
+                acc = acc + P[:, i]
+            return acc
+
+        d = seqsum(A * B)
+        na = np.sqrt(seqsum(A * A))
+        nb = np.sqrt(seqsum(B * B))
+        return pd.Series(d / (na * nb))
+
+    return _cos(a, b)
+
+
+def cosine_rounded_arrow(a: Column, b: Column, digits: int = 6) -> Column:
+    """Drop-in replacement for :func:`cosine_rounded` on hot paths:
+    Arrow kernel for the fold, JVM F.round for the grid."""
+    return F.round(cosine_arrow(a, b), digits)
 
 
 # ---- DuckDB SQL mirrors ---------------------------------------------------

@@ -663,7 +663,7 @@ def semdedup_keep_list(spark, sf_dir):
         .select("vec_id", "cell", v.alias("vec"))
         .localCheckpoint(eager=True)
     )
-    from ..functions.vectors import cosine_rounded
+    from ..functions.vectors import cosine_rounded_arrow
 
     lhs = cells.select(
         F.col("cell"), F.col("vec_id").alias("id_a"), F.col("vec").alias("va")
@@ -675,7 +675,7 @@ def semdedup_keep_list(spark, sf_dir):
         lhs.join(rhs, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine_rounded(F.col("va"), F.col("vb")) >= F.lit(SEMDEDUP_TAU)
+            cosine_rounded_arrow(F.col("va"), F.col("vb")) >= F.lit(SEMDEDUP_TAU)
         )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -783,7 +783,7 @@ def knn_graph(corpus, k: int = KNN_GRAPH_K):
         .select("src", "dst")
         .distinct()
     )
-    from ..functions.vectors import cosine_rounded
+    from ..functions.vectors import cosine_rounded_arrow
 
     va = e.select(F.col("vec_id").alias("src"), as_double_array("embedding").alias("qv"))
     vb = e.select(F.col("vec_id").alias("dst"), as_double_array("embedding").alias("cv"))
@@ -793,7 +793,7 @@ def knn_graph(corpus, k: int = KNN_GRAPH_K):
         .select(
             "src",
             "dst",
-            cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            cosine_rounded_arrow(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window as W

@@ -1,0 +1,102 @@
+"""Bit-equality pin for the Arrow cosine kernel.
+
+cosine_arrow replaces the interpreted zip_with/aggregate fold on hot
+verify paths (embedding near-dup, SemDeDup, kNN graph). The whole
+design rests on one claim: the NumPy kernel executes the SAME IEEE-754
+operation sequence as the fold — elementwise products, sequential
+index-order accumulation from a 0.0 seed, correctly-rounded sqrt and
+divide — so its doubles are bit-identical, not merely close. These
+tests pin that claim on adversarial random vectors (mixed magnitudes,
+negatives, denormal-ish small values) and on the real fixture, with
+exact == comparison on the raw (unrounded) doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from matrix_multiplication_map_reduce_gcp_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    cosine_arrow,
+    cosine_rounded,
+    cosine_rounded_arrow,
+)
+
+
+def _pairs_df(spark, n=500, dim=64, seed=7):
+    rng = np.random.default_rng(seed)
+    # Mixed magnitudes: exercise rounding at many exponents, not just
+    # the fixture's unit-ish scale.
+    scale = 10.0 ** rng.integers(-6, 7, size=(n, 1))
+    a = (rng.standard_normal((n, dim)) * scale).tolist()
+    b = (rng.standard_normal((n, dim)) * scale).tolist()
+    return spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(n)], "id long, a array<double>, b array<double>"
+    )
+
+
+def test_cosine_arrow_bit_identical_random(spark):
+    df = _pairs_df(spark)
+    rows = (
+        df.select(
+            "id",
+            cosine(F.col("a"), F.col("b")).alias("fold"),
+            cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        )
+        .collect()
+    )
+    assert len(rows) == 500
+    for r in rows:
+        # Exact bit equality — struct-pack compare to catch ±0.0/NaN.
+        assert math.isnan(r.fold) == math.isnan(r.arrow)
+        if not math.isnan(r.fold):
+            assert r.fold == r.arrow and math.copysign(1, r.fold) == math.copysign(1, r.arrow), (
+                r.id, r.fold.hex(), r.arrow.hex())
+
+
+def test_cosine_rounded_arrow_bit_identical_fixture(spark):
+    """On the real embeddings fixture: every same-label pair within a
+    64-row sample, rounded values compared exactly (the rounded grid is
+    what every oracle compares against)."""
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 64)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    rows = pairs.select(
+        cosine_rounded(F.col("va"), F.col("vb")).alias("fold"),
+        cosine_rounded_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert rows and all(r.fold == r.arrow for r in rows)
+
+
+def test_cosine_arrow_empty_batch(spark):
+    """A filter that empties a partition upstream must not crash the
+    kernel (the kmeans empty-Arrow-batch regression, same class)."""
+    df = _pairs_df(spark, n=8).filter(F.col("id") < 0)
+    out = df.select(cosine_arrow(F.col("a"), F.col("b")).alias("c")).collect()
+    assert out == []
+
+
+@pytest.mark.parametrize("dim", [1, 2, 63, 64, 128])
+def test_cosine_arrow_dims(spark, dim):
+    rng = np.random.default_rng(dim)
+    a = rng.standard_normal((40, dim)).tolist()
+    b = rng.standard_normal((40, dim)).tolist()
+    df = spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(40)],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = df.select(
+        cosine(F.col("a"), F.col("b")).alias("fold"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert all(r.fold == r.arrow for r in rows)
