@@ -105,6 +105,13 @@ HEAVY_SCALE = [
     # ≤ k·n rows, so the sf1 ratio should drop back to ~linear.
     "embedding_near_dup_pairs_capped",
     "levenshtein_near_dup_pairs_capped",
+    # r6: the two biggest Arrow-cosine-kernel beneficiaries — sf1
+    # tracking so the swap's effect stays measured per round — and the
+    # new map-only chunking op (should ratio ~linearly at scan
+    # bandwidth).
+    "knn_graph_lsh",
+    "semdedup_keep_list",
+    "rag_chunk_manifest",
 ]
 
 

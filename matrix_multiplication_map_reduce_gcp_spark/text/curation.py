@@ -270,3 +270,145 @@ def epoch_shuffle_shards(spark, sf_dir):
         F.max("key").alias("last_key"),
         F.sum("member_h").alias("key_checksum"),
     )
+
+
+# RAG / retrieval-index chunking geometry: fixed character windows
+# with overlap, the standard retrieval-unit shape. Stride < chunk ⇒
+# every boundary sentence appears in two chunks.
+RAG_CHUNK = 256
+RAG_STRIDE = 192
+
+# Integer-only chunk count: index of the LAST chunk for a doc of
+# n characters — 0 for n <= chunk, else ceil((n - chunk) / stride)
+# via the add-(stride-1) trick. Pure bigint arithmetic so Spark and
+# DuckDB agree at every boundary (no double ceil).
+_LAST_CHUNK_SPARK = (
+    f"(GREATEST(n_chars - {RAG_CHUNK}, 0) + {RAG_STRIDE - 1}) DIV {RAG_STRIDE}"
+)
+_LAST_CHUNK_DUCK = (
+    f"(GREATEST(n_chars - {RAG_CHUNK}, 0) + {RAG_STRIDE - 1}) // {RAG_STRIDE}"
+)
+
+_CHUNK_CTES = f"""chunks AS (
+      SELECT d.doc_id, d.source, r.i AS chunk_idx,
+             r.i * {RAG_STRIDE} + 1 AS chunk_start,
+             length(substr(d.text, CAST(r.i * {RAG_STRIDE} + 1 AS BIGINT),
+                           {RAG_CHUNK})) AS chunk_len,
+             md5(substr(d.text, CAST(r.i * {RAG_STRIDE} + 1 AS BIGINT),
+                        {RAG_CHUNK})) AS chunk_md5
+      FROM documents d,
+           UNNEST(range(0, {_LAST_CHUNK_DUCK} + 1)) AS r(i))"""
+
+
+def _chunks(spark, sf_dir):
+    """(doc_id, source, chunk_idx, chunk_start, chunk_len, chunk_md5)
+    — one row per overlapping chunk window. Map-only: sequence +
+    explode + substring; the fan-out is ~n_chars/stride rows per
+    doc and nothing shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(
+                F.expr(f"sequence(0, {_LAST_CHUNK_SPARK})")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            (F.col("chunk_idx") * RAG_STRIDE + 1).alias("chunk_start"),
+            F.expr(
+                f"substring(text, CAST(chunk_idx * {RAG_STRIDE} + 1 AS INT), "
+                f"{RAG_CHUNK})"
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            "chunk_start",
+            F.length("chunk_text").cast("bigint").alias("chunk_len"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "rag_chunk_manifest",
+    oracle=f"""
+    WITH {_CHUNK_CTES}
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5
+    FROM chunks
+    """,
+)
+def rag_chunk_manifest(spark, sf_dir):
+    """Retrieval-unit chunking manifest: every document split into
+    {RAG_CHUNK}-char windows at a {RAG_STRIDE}-char stride (overlap
+    {RAG_CHUNK - RAG_STRIDE}), emitting (doc_id, chunk_idx,
+    chunk_start, chunk_len, chunk_md5) — the table a RAG indexer
+    embeds and a dataloader uses to map retrieved chunks back to
+    source spans. The chunk COUNT per doc is computed in pure bigint
+    arithmetic (ceil((n-chunk)/stride) via add-(stride-1)), so both
+    engines enumerate identical windows at every length boundary —
+    including the n_chars <= {RAG_CHUNK} single-chunk case and the
+    empty doc.
+
+    Scale shape: map-only — sequence/explode fans each doc to
+    ~n_chars/{RAG_STRIDE} rows, substring+md5 are per-row, nothing
+    shuffles; at 100 TB this pipelines at scan bandwidth and the
+    manifest (≈50 B/chunk) is ~1/4 the corpus size. The md5 is the
+    downstream join key for chunk-level dedup and for
+    embedding-table upserts."""
+    return _chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_md5"
+    )
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH {_CHUNK_CTES},
+    freq AS (
+      SELECT chunk_md5, COUNT(*) AS n_occ
+      FROM chunks GROUP BY chunk_md5)
+    SELECT c.source,
+           COUNT(*) AS total_chunks,
+           COUNT(DISTINCT c.chunk_md5) AS distinct_chunks,
+           CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS duplicated_chunks
+    FROM chunks c JOIN freq f ON c.chunk_md5 = f.chunk_md5
+    GROUP BY c.source
+    """,
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level duplication profile per source — the dedup
+    decision RAG indexes actually need: document-level near-dup
+    misses boilerplate chunks shared across otherwise-distinct docs,
+    while chunk-md5 frequency catches exactly the units that would
+    be embedded twice. Emits per source: total chunk count, distinct
+    chunk hashes, and how many chunk instances are corpus-wide
+    duplicates (hash seen >1 time anywhere, not just within the
+    source).
+
+    Scale shape: one partial-aggregated groupBy on chunk_md5 (the
+    frequency table), one co-partitioned join back on the same key
+    (no second shuffle of the chunks under AQE same-key planning),
+    one source-keyed rollup. All counters are bigints — nothing
+    float crosses a row boundary."""
+    c = _chunks(spark, sf_dir)
+    freq = c.groupBy("chunk_md5").agg(F.count("*").alias("n_occ"))
+    return (
+        c.join(freq, "chunk_md5")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_chunks"),
+            F.countDistinct("chunk_md5").alias("distinct_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("duplicated_chunks"),
+        )
+    )
