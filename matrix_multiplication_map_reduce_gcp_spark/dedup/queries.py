@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable_hash import hash32, md5_hex, sql_hash32
-from ..functions.vectors import as_double_array, cosine_rounded, sql_cosine_rounded
+from ..functions.vectors import as_double_array, sql_cosine_rounded
 from ..similarity.lsh import sql_bucket_expr
 from ..registry import query
 from .clusters import sql_components_ctes
@@ -268,6 +268,36 @@ EMB_CAND_CAP = 8  # coarse per-vector candidate budget (by shared bands)
 EMB_SN_WINDOW = 8  # sorted-neighborhood width inside each band bucket
 
 
+def _sn_neighbors(df, part_cols, order_cols, width, lead_cols, keep_cols):
+    """Sorted-neighborhood expansion — the linear candidate generator
+    all three windowed-blocking variants share (embedding capped,
+    levenshtein capped, sorted_neighborhood_pairs): each row pairs
+    with its next ``width`` sort neighbors INSIDE its ``part_cols``
+    block via lead() windows (never a self-join), emitting
+    ``keep_cols`` plus a neighbor struct ``p`` carrying the lead of
+    each ``lead_cols``; block-tail rows with no neighbor in a slot
+    are dropped. One window sort per block, m·width candidates per
+    block of m — the m² → m·w bound. Window exprs are not allowed
+    inside generators, so the leads materialize as columns first,
+    then one explode."""
+    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    led = df
+    for off in range(1, width + 1):
+        for c in lead_cols:
+            led = led.withColumn(f"__sn_{c}_{off}", F.lead(c, off).over(w))
+    nbrs = F.array(
+        *[
+            F.struct(
+                *[F.col(f"__sn_{c}_{off}").alias(c) for c in lead_cols]
+            )
+            for off in range(1, width + 1)
+        ]
+    )
+    return led.select(*keep_cols, F.explode(nbrs).alias("p")).filter(
+        F.col(f"p.{lead_cols[0]}").isNotNull()
+    )
+
+
 def _top_k_per_endpoint(pairs, id_a: str, id_b: str, val: str, best_first,
                         k: int = PAIR_TOP_K):
     """Keep a pair iff it ranks within EITHER endpoint's top-``k`` by
@@ -382,20 +412,16 @@ def embedding_near_dup_pairs_capped(spark, sf_dir):
     cluster, what connected-components dedup actually needs) stays
     1.0 via window chaining (tests/test_quality_gates.py pins it)."""
     e, bands = _emb_bands(spark, sf_dir)
-    w = W.partitionBy("label", "band_idx", "band_val").orderBy(
-        "bucket", "vec_id"
-    )
-    led = bands
-    for off in range(1, EMB_SN_WINDOW + 1):
-        led = led.withColumn(f"nbr{off}", F.lead("vec_id", off).over(w))
-    nbrs = F.array(*[F.col(f"nbr{off}") for off in range(1, EMB_SN_WINDOW + 1)])
-    sn = (
-        led.select("vec_id", F.explode(nbrs).alias("nbr"))
-        .filter(F.col("nbr").isNotNull())
-        .select(
-            F.least("vec_id", "nbr").alias("vec_a"),
-            F.greatest("vec_id", "nbr").alias("vec_b"),
-        )
+    sn = _sn_neighbors(
+        bands,
+        part_cols=("label", "band_idx", "band_val"),
+        order_cols=("bucket", "vec_id"),
+        width=EMB_SN_WINDOW,
+        lead_cols=("vec_id",),
+        keep_cols=("vec_id",),
+    ).select(
+        F.least("vec_id", "p.vec_id").alias("vec_a"),
+        F.greatest("vec_id", "p.vec_id").alias("vec_b"),
     )
     cand = sn.groupBy("vec_a", "vec_b").agg(F.count("*").alias("n_shared"))
     coarse = _top_k_per_endpoint(
@@ -526,29 +552,20 @@ def levenshtein_near_dup_pairs_capped(spark, sf_dir):
         (F.col("n_chars") / LEN_BUCKET).cast("bigint").alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("head"),
     )
-    w = W.partitionBy("lang", "len_bucket").orderBy("head", "doc_id")
-    led = d
-    for off in range(1, LEV_SN_WINDOW + 1):
-        led = led.withColumn(
-            f"nbr{off}", F.lead("doc_id", off).over(w)
-        ).withColumn(f"nbr_head{off}", F.lead("head", off).over(w))
-    nbrs = F.array(
-        *[
-            F.struct(
-                F.col(f"nbr{off}").alias("nbr"),
-                F.col(f"nbr_head{off}").alias("nbr_head"),
-            )
-            for off in range(1, LEV_SN_WINDOW + 1)
-        ]
-    )
-    dist = F.levenshtein("head", F.col("p.nbr_head"))
+    dist = F.levenshtein("head", F.col("p.head"))
     scored = (
-        led.select("doc_id", "head", F.explode(nbrs).alias("p"))
-        .filter(F.col("p.nbr").isNotNull())
+        _sn_neighbors(
+            d,
+            part_cols=("lang", "len_bucket"),
+            order_cols=("head", "doc_id"),
+            width=LEV_SN_WINDOW,
+            lead_cols=("doc_id", "head"),
+            keep_cols=("doc_id", "head"),
+        )
         .filter(dist <= LEV_MAX)
         .select(
-            F.least("doc_id", "p.nbr").alias("doc_a"),
-            F.greatest("doc_id", "p.nbr").alias("doc_b"),
+            F.least("doc_id", "p.doc_id").alias("doc_a"),
+            F.greatest("doc_id", "p.doc_id").alias("doc_b"),
             dist.cast("bigint").alias("edit_distance"),
         )
     )
@@ -635,41 +652,21 @@ def sorted_neighborhood_pairs(spark, sf_dir):
         "source",
         F.substring("text", 1, SN_PREFIX).alias("head"),
     )
-    w = W.partitionBy("lang", "source").orderBy("head", "doc_id")
-    # Window exprs are not allowed inside generators: materialize the
-    # lead columns first, then explode the neighbor structs.
-    led = d
-    for off in range(1, SN_WINDOW):
-        led = led.withColumn(
-            f"nbr{off}", F.lead("doc_id", off).over(w)
-        ).withColumn(f"nbr_head{off}", F.lead("head", off).over(w))
-    nbrs = F.array(
-        *[
-            F.struct(
-                F.col(f"nbr{off}").alias("nbr"),
-                F.col(f"nbr_head{off}").alias("nbr_head"),
-            )
-            for off in range(1, SN_WINDOW)
-        ]
-    )
-    return (
-        led.select(
-            "lang",
-            "source",
-            "doc_id",
-            "head",
-            F.explode(nbrs).alias("p"),
-        )
-        .filter(F.col("p.nbr").isNotNull())
-        .select(
-            "lang",
-            "source",
-            F.least("doc_id", "p.nbr").alias("doc_a"),
-            F.greatest("doc_id", "p.nbr").alias("doc_b"),
-            F.levenshtein("head", F.col("p.nbr_head"))
-            .cast("bigint")
-            .alias("head_edit_distance"),
-        )
+    return _sn_neighbors(
+        d,
+        part_cols=("lang", "source"),
+        order_cols=("head", "doc_id"),
+        width=SN_WINDOW - 1,
+        lead_cols=("doc_id", "head"),
+        keep_cols=("lang", "source", "doc_id", "head"),
+    ).select(
+        "lang",
+        "source",
+        F.least("doc_id", "p.doc_id").alias("doc_a"),
+        F.greatest("doc_id", "p.doc_id").alias("doc_b"),
+        F.levenshtein("head", F.col("p.head"))
+        .cast("bigint")
+        .alias("head_edit_distance"),
     )
 
 

@@ -41,27 +41,41 @@ N_BITS = 60
 # 2.21 s packed; sf1 5.75 s vs 5.61 s — wall-equal on local[32],
 # because agg width was NOT the cost driver (the 60-SUM agg alone
 # micro-measures 0.7 s; the ~2 s floor is per-token md5 + explode +
-# fixed stage overheads). Kept anyway: 4x less combine state per
+# fixed stage overheads). Kept anyway: less combine state per
 # partition is what matters on a 1000-executor 100 TB corpus where
 # the map-side hash table holds millions of doc groups, and the
 # packed form adds an explicit overflow contract the old one lacked.
-# Overflow bound: each lane accumulates at most n (the doc's token
-# count); the top lane sits at shift 48, so n <= 2^15-1 keeps the
-# packed bigint sign-free. Docs past that raise loudly (raise_error)
-# instead of fingerprinting wrong — at 100 TB, split such docs
-# upstream or chunk them (doc_chunking) before fingerprinting.
-N_LANES = 4
-LANE_SHIFT = 16
-TOKEN_CAP = (1 << 15) - 1
+# Lane geometry: 2 lanes x 32-bit stride (r6 review — the first cut
+# used 4x16, whose 2^15-1 token cap a single long web document could
+# hit, turning one oversized doc into a job-killing error; at 2
+# lanes each lane accumulates at most n <= 2^31-1 tokens ~ a 10 GB
+# document, the top lane sits at shift 32 occupying bits <= 62, and
+# the packed bigint stays sign-free with a bound no real document
+# reaches). Docs past the cap still raise loudly (assert_true)
+# instead of fingerprinting wrong.
+N_LANES = 2
+LANE_SHIFT = 32
+TOKEN_CAP = (1 << 31) - 1
 
 
-def simhash(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
-    """(doc_id, simhash) — 60-bit fingerprint as a bigint."""
+def simhash(
+    docs: DataFrame, n_bits: int = N_BITS, token_cap: int = TOKEN_CAP
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit fingerprint as a bigint.
+
+    ``token_cap`` exists so tests can exercise the overflow guard
+    without materializing a 2^31-token document; production callers
+    keep the default."""
+    assert n_bits % N_LANES == 0, (
+        f"simhash lane packing requires n_bits % {N_LANES} == 0; "
+        f"got {n_bits} (bits past the last full group would silently "
+        f"alias under shift-mod-64)"
+    )
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = tok.select("doc_id", hash60(F.col("tok")).alias("hv"))
-    n_groups = n_bits // N_LANES  # 15 packed accumulators
-    # Pre-slice the hash into its 4 15-bit quarters in a narrow
-    # projection, so each packed SUM's input expression is one
+    n_groups = n_bits // N_LANES  # packed accumulators
+    # Pre-slice the hash into its per-lane n_groups-bit slices in a
+    # narrow projection, so each packed SUM's input expression is one
     # shift+and per lane over a SMALL column instead of re-deriving
     # from the full hash inside the aggregate (measured 0.96 s → 0.64 s
     # at sf0.1 for the agg alone).
@@ -92,9 +106,9 @@ def simhash(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
     # first over-cap document.
     guarded = sums.filter(
         F.assert_true(
-            F.col("n") <= TOKEN_CAP,
+            F.col("n") <= token_cap,
             F.lit(
-                f"simhash: document exceeds {TOKEN_CAP} tokens — packed-lane "
+                f"simhash: document exceeds {token_cap} tokens — packed-lane "
                 "accumulators would overflow; chunk the document first"
             ),
         ).isNull()

@@ -66,23 +66,51 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         import numpy as np
         import pandas as pd
 
+        def kernel(xa, xb):
+            A = np.array(xa.tolist(), dtype=np.float64)
+            B = np.array(xb.tolist(), dtype=np.float64)
+
+            def seqsum(P):
+                acc = np.zeros(len(P), dtype=np.float64)
+                for i in range(P.shape[1]):
+                    acc = acc + P[:, i]
+                return acc
+
+            d = seqsum(A * B)
+            na = np.sqrt(seqsum(A * A))
+            nb = np.sqrt(seqsum(B * B))
+            return d / (na * nb)
+
         if len(va) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        A = np.array(va.tolist(), dtype=np.float64)
-        B = np.array(vb.tolist(), dtype=np.float64)
+        # Row-level NULL arrays arrive as None (the JVM wrapper below
+        # also nulls ragged / null-element rows): compute on the valid
+        # subset, emit real NULLs (not NaN — Spark orders NaN ABOVE
+        # every number, so a NaN would pass >= threshold filters the
+        # fold's NULL never did) for the rest.
+        valid = (~(va.isna() | vb.isna())).to_numpy()
+        if valid.all():
+            return pd.Series(kernel(va, vb))
+        out = pd.Series([None] * len(va), dtype=object)
+        if valid.any():
+            out.iloc[np.flatnonzero(valid)] = kernel(
+                va.iloc[valid], vb.iloc[valid]
+            )
+        return out
 
-        def seqsum(P):
-            acc = np.zeros(len(P), dtype=np.float64)
-            for i in range(P.shape[1]):
-                acc = acc + P[:, i]
-            return acc
-
-        d = seqsum(A * B)
-        na = np.sqrt(seqsum(A * A))
-        nb = np.sqrt(seqsum(B * B))
-        return pd.Series(d / (na * nb))
-
-    return _cos(a, b)
+    # The fold returns NULL for a null array, a null element, or a
+    # length mismatch (zip_with pads with null -> product null -> sum
+    # null). Mirror that contract JVM-side by nulling such inputs
+    # BEFORE they reach the kernel — the codegen'd exists/size scan is
+    # cheap, and the kernel then only ever sees rectangular batches.
+    both_clean = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.size(b))
+        & ~F.exists(a, lambda x: x.isNull())
+        & ~F.exists(b, lambda x: x.isNull())
+    )
+    return _cos(F.when(both_clean, a), F.when(both_clean, b))
 
 
 def cosine_rounded_arrow(a: Column, b: Column, digits: int = 6) -> Column:

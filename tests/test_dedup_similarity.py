@@ -198,25 +198,57 @@ def test_adaptive_planes_python_sql_parity():
 
 
 def test_simhash_token_cap_guard(spark):
-    """Packed-lane simhash must REFUSE documents past the 32767-token
-    overflow bound (assert_true filter) rather than fingerprint them
-    wrong — and accept one exactly at the cap."""
+    """Packed-lane simhash must REFUSE documents past the token cap
+    (assert_true filter) rather than fingerprint them wrong — and
+    accept one exactly at the cap. The production cap is 2^31-1 (no
+    real document reaches it); the guard mechanism is exercised with
+    a small injected cap."""
     import pytest
-    from pyspark.sql import functions as F
 
-    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import TOKEN_CAP, simhash
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import simhash
 
-    # Either layer may fire first: the assert_true contract message, or
-    # (when every token sets a top-lane bit, as here with one repeated
-    # token) ANSI's long-overflow on the lane-3 SUM itself — both are
-    # LOUD failures; the pinned property is "never silently wrong".
     over = spark.createDataFrame(
-        [(1, "w " * (TOKEN_CAP + 1))], "doc_id long, text string"
+        [(1, "w " * 101)], "doc_id long, text string"
     )
     with pytest.raises(Exception, match="exceeds|ARITHMETIC_OVERFLOW"):
-        simhash(over).collect()
+        simhash(over, token_cap=100).collect()
     at_cap = spark.createDataFrame(
-        [(1, " ".join("w" for _ in range(TOKEN_CAP)))],
+        [(1, " ".join("w" for _ in range(100)))],
         "doc_id long, text string",
     )
-    assert simhash(at_cap).count() == 1
+    assert simhash(at_cap, token_cap=100).count() == 1
+
+
+def test_simhash_handles_long_documents(spark):
+    """Regression for the r6 4x16 lane geometry, whose 32767-token cap
+    a single long web document could hit: a 40000-token doc (past the
+    old cap, far under the 2-lane 2^31-1 cap) must fingerprint
+    CORRECTLY. With one repeated token every bit's ones-count is n or
+    0, so the fingerprint must equal hash60(token) exactly."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import hash60, simhash
+
+    doc = spark.createDataFrame(
+        [(7, "w " * 40000)], "doc_id long, text string"
+    )
+    # "w " * n splits to n 'w' tokens + 1 trailing '' token; the ''
+    # token contributes its own hash bits to the minority, which at
+    # 40001 tokens can never outvote — fingerprint is hash60('w').
+    got = simhash(doc).collect()[0]
+    expected = spark.range(1).select(
+        hash60(F.lit("w")).alias("h")
+    ).collect()[0].h
+    assert got.simhash == expected
+
+
+def test_simhash_rejects_unpackable_n_bits(spark):
+    """n_bits not divisible by the lane count would silently alias
+    bits under shift-mod-64 — must refuse upfront."""
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.simhash import simhash
+
+    doc = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="n_bits"):
+        simhash(doc, n_bits=61)

@@ -100,3 +100,35 @@ def test_cosine_arrow_dims(spark, dim):
         cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
     ).collect()
     assert all(r.fold == r.arrow for r in rows)
+
+
+def test_cosine_arrow_null_semantics_match_fold(spark):
+    """Null array, null element, and length mismatch must all yield
+    NULL (the fold's contract: zip_with pads/propagates null) — never
+    a crash and never NaN, which Spark orders ABOVE every number and
+    would therefore sail through >= threshold filters."""
+    rows = [
+        (0, [1.0, 2.0], [3.0, 4.0]),      # clean
+        (1, None, [3.0, 4.0]),            # null array
+        (2, [1.0, None], [3.0, 4.0]),     # null element
+        (3, [1.0, 2.0, 5.0], [3.0, 4.0]), # ragged
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = {
+        r.id: (r.fold, r.arrow)
+        for r in df.select(
+            "id",
+            cosine_rounded(F.col("a"), F.col("b")).alias("fold"),
+            cosine_rounded_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        ).collect()
+    }
+    assert got[0][0] == got[0][1] and got[0][0] is not None
+    for i in (1, 2, 3):
+        assert got[i] == (None, None), (i, got[i])
+    # And the threshold filter drops the bad rows on both paths.
+    n = df.filter(
+        cosine_rounded_arrow(F.col("a"), F.col("b")) >= -1.0
+    ).count()
+    assert n == 1
