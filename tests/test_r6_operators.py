@@ -118,3 +118,40 @@ def test_chunk_manifest_is_map_only(spark):
         qs["rag_chunk_manifest"].fn(spark, "/root/testdata/sf0.001")
     )
     assert "Exchange" not in plan, plan
+
+
+def test_sn_neighbors_bounds_and_locality(spark):
+    """The shared sorted-neighborhood helper must (1) emit at most
+    `width` candidates per row, (2) never pair across blocks, and
+    (3) pair each row with exactly its next-`width` sort successors
+    inside its block — the contract all three windowed-blocking
+    queries rely on."""
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.queries import _sn_neighbors
+
+    rows = [
+        (blk, i, (i * 13 + ord(blk)) % 7)
+        for blk in ("x", "y")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "blk string, rid long, key long")
+    got = _sn_neighbors(
+        df,
+        part_cols=("blk",),
+        order_cols=("key", "rid"),
+        width=3,
+        lead_cols=("rid",),
+        keep_cols=("blk", "rid"),
+    ).collect()
+    per_row = {}
+    for r in got:
+        per_row.setdefault((r.blk, r.rid), []).append(r.p.rid)
+    assert all(len(v) <= 3 for v in per_row.values())
+    # Recompute expected successors per block in (key, rid) order.
+    for blk in ("x", "y"):
+        order = sorted(
+            [(k, i) for (b, i, k) in rows if b == blk]
+        )
+        ids = [i for _, i in order]
+        for pos, rid in enumerate(ids):
+            expect = ids[pos + 1 : pos + 4]
+            assert sorted(per_row.get((blk, rid), [])) == sorted(expect)
