@@ -194,14 +194,46 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     repetitions: dict[str, list[float]] = {}
+    gc_attrib: dict[str, list[int]] = {}
 
-    def timed(name, thunk, reps: int = 1) -> None:
+    def gc_now() -> None:
+        """Full JVM heap drain (JMH-style inter-iteration hygiene).
+        The r7 A/Bs (scripts/ab_4000_block.py, ab_4000_gc.py) proved
+        the 4000² block-matmul rep spread was HEAP STATE, not the
+        plan: the GarbageCollectorMXBean counters attribute a 90.6 s
+        rep to 21.1 s of in-rep GC (and 40/35 s reps to 5-6 s) right
+        after heavy session work, while after this drain in-rep GC is
+        ~1 s and walls sit at 9.6-18.9 s (median 10.2, spread <2×).
+        One System.gc() alone is NOT enough: the second pass +
+        sleeps let the ContextCleaner actually unpersist the
+        broadcast/shuffle state the first pass only enqueued (its
+        cleanup is async, driven by weak-ref collection). Used only
+        where the measured operator allocates GB-scale JVM state
+        (the block matmuls' 16M-struct collect_list pack)."""
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+
+    def jvm_gc_ms() -> int:
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getGarbageCollectorMXBeans())
+        return sum(b.getCollectionTime() for b in beans)
+
+    def timed(name, thunk, reps: int = 1, pre=None) -> None:
         walls = []
+        gc_walls = []
         try:
             for _ in range(reps):
+                if pre is not None:
+                    pre()
+                g0 = jvm_gc_ms() if pre is not None else 0
                 t0 = time.perf_counter()
                 thunk()
                 walls.append(round(time.perf_counter() - t0, 3))
+                if pre is not None:
+                    gc_walls.append(jvm_gc_ms() - g0)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
@@ -209,6 +241,37 @@ def main() -> None:
         timings[name] = sorted(walls)[len(walls) // 2]  # median
         if reps > 1:
             repetitions[name] = walls
+        if gc_walls:
+            # Committed per-rep in-rep GC time: the evidence that
+            # adjudicates a slow rep as GC debt vs a real regression.
+            gc_attrib[name] = gc_walls
+
+    # Era-drift canary (VERDICT r6 #5): the same 5 queries timed once
+    # at session START and once at session END of every bench run,
+    # committed inside BENCH_r{N}. Headline totals have moved ±20%
+    # round-over-round on untouched code; comparing canary_start
+    # across rounds (same session position, same warm state) makes
+    # environment-era drift measurable instead of inferred, and
+    # end-vs-start within one run exposes in-session state decay
+    # (heap/codegen-cache growth). The five span the engine's main
+    # cost shapes: scan+agg, join+agg matmul, hash-groupBy dedup,
+    # broadcast-crossJoin cosine top-k, and a streaming micro-batch.
+    CANARY = ("pricing_summary", "matmul", "dedup_exact",
+              "ann_brute_force_topk", "stream_tumbling_counts")
+
+    def run_canary() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname in CANARY:
+            try:
+                t0 = time.perf_counter()
+                run_noop(queries[cname].fn(spark, sf_dir))
+                out[cname] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # pragma: no cover
+                out[cname] = -1.0
+                print(f"canary {cname} failed: {exc}", file=sys.stderr)
+        return out
+
+    canary_start = run_canary()
 
     # Queries that moved >10% between r1 and r3 on untouched code —
     # n=1 evidence couldn't adjudicate whether the cost was real
@@ -248,20 +311,23 @@ def main() -> None:
         a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
         timed("matmul_dense_1000_block",
               lambda: run_noop(block_multiply(a, b, block_size=250).df),
-              reps=3)
+              reps=3, pre=gc_now)
         # 4000×4000 (6.4e10 multiply-pairs, 20x the reference's largest
         # published size squared) — the stress point where block-size /
         # shuffle behavior matters: an 8×8 block grid, 512 GEMM tasks,
         # and only block rows through every shuffle
         # (tests/test_plans.py::test_summa_block_plan_shuffles_block_rows_only).
-        # reps=3 so the driver records a MEDIAN: r5 recorded one cold
-        # 64.7 s rep at session end vs the ~28 s warm median committed
-        # in SCALING.md — the measurement, not the plan, was the gap
-        # (VERDICT r5 #4; bar stays driver-side median ≤60 s).
+        # reps=3 for a MEDIAN, pre=gc_now for a clean heap per rep:
+        # the r6 driver triple [85.7, 124.0, 37.6] was adjudicated by
+        # the r7 interleaved A/B as GC debt from the 41 preceding
+        # queries, not the plan — see gc_now's docstring and
+        # SCALING.md (bar: driver-side median ≤60 s, spread ≤1.5×).
         a4, b4 = gen_matrix(spark, 4000, seed=5), gen_matrix(spark, 4000, seed=6)
         timed("matmul_dense_4000_block",
               lambda: run_noop(block_multiply(a4, b4, block_size=500).df),
-              reps=3)
+              reps=3, pre=gc_now)
+
+    canary_end = run_canary()
 
     # Reference-parity chart artifact (the reference's test.py plotted
     # MapReduce vs VM; we add our curve). Never let plotting break the
@@ -286,11 +352,20 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Same-position runs of the same 5 queries at session start and
+        # end: cross-ROUND comparison of "start" (or "end") isolates
+        # era drift; end-vs-start within this run shows session decay.
+        "canary": {"start": canary_start, "end": canary_end},
     }
     if repetitions:
         # Raw per-repetition walls for the median-of-3 queries — the
         # committed evidence that adjudicates round-over-round deltas.
         record["repetitions"] = repetitions
+    if gc_attrib:
+        # Per-rep in-rep JVM GC milliseconds for the gc-hygiene'd
+        # entries (the block matmuls): a slow rep with high gc_ms is
+        # heap debt, not a plan regression (r7 adjudication protocol).
+        record["gc_ms"] = gc_attrib
     if errors:
         # A partial total is not comparable across rounds — flag it so
         # downstream consumers can't mistake it for a full run.

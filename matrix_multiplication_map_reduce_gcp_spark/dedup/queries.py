@@ -179,8 +179,10 @@ _EMB_SCORED_CTES = f"""{_EMB_BAND_CTES},
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by (label, SRP-LSH
-    band) — the 100 TB shape. A label-only self-join is O(n²/|labels|)
+    """Embedding-cosine near-dup AUDIT baseline (emits EVERY pair —
+    quadratic in duplicate-cluster size by contract; the crawl-scale
+    production default is embedding_near_dup_pairs_capped), blocked by
+    (label, SRP-LSH band). A label-only self-join is O(n²/|labels|)
     on a 10⁹-vector corpus; instead each vector's 8-bit
     sign-random-projection bucket is split into 4 bands of 2 planes,
     and candidates must agree on label AND at least one band (the
@@ -279,8 +281,15 @@ def _sn_neighbors(df, part_cols, order_cols, width, lead_cols, keep_cols):
     are dropped. One window sort per block, m·width candidates per
     block of m — the m² → m·w bound. Window exprs are not allowed
     inside generators, so the leads materialize as columns first,
-    then one explode."""
-    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    then one explode. Sort keys are pinned ASC NULLS LAST: Spark's
+    default orderBy puts NULLs FIRST while DuckDB's ROW_NUMBER puts
+    them LAST, so a NULL sort key (NULL text head, NULL bucket) would
+    silently shift every neighbor in the partition and diverge the
+    candidate sets across engines (r6 ADVICE) — the mirrored oracles
+    say NULLS LAST explicitly."""
+    w = W.partitionBy(*part_cols).orderBy(
+        *[F.asc_nulls_last(c) for c in order_cols]
+    )
     led = df
     for off in range(1, width + 1):
         for c in lead_cols:
@@ -365,7 +374,8 @@ def _sql_top_k_per_endpoint(
     nb AS (
       SELECT vec_id, label, band_idx, band_val,
              ROW_NUMBER() OVER (PARTITION BY label, band_idx, band_val
-                                ORDER BY bucket, vec_id) AS rn
+                                ORDER BY bucket NULLS LAST,
+                                         vec_id NULLS LAST) AS rn
       FROM bands),
     sn AS (
       SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
@@ -390,7 +400,8 @@ def _sql_top_k_per_endpoint(
     """,
 )
 def embedding_near_dup_pairs_capped(spark, sf_dir):
-    """embedding_near_dup_pairs with bounded WORK, not just bounded
+    """PRODUCTION DEFAULT for crawl-scale embedding dedup:
+    embedding_near_dup_pairs with bounded WORK, not just bounded
     emit. The full variant's band self-join is quadratic in duplicate-
     cluster size (a cluster of g identical vectors shares every band
     bucket, so each bucket contributes g²/2 candidate rows — profiled
@@ -458,8 +469,10 @@ _LEV_SCORED_CTES = f"""d AS (
     """,
 )
 def levenshtein_near_dup_pairs(spark, sf_dir):
-    """Fuzzy dedup by edit distance: document pairs within the same
-    (lang, length-bucket) block whose {LEV_PREFIX}-char prefixes are
+    """Edit-distance near-dup AUDIT baseline (emits every qualifying
+    pair — quadratic per block by contract; the crawl-scale production
+    default is levenshtein_near_dup_pairs_capped): pairs within the
+    same (lang, length-bucket) block whose {LEV_PREFIX}-char prefixes are
     within {LEV_MAX} edits. Levenshtein is an exact integer in both
     engines, so every emitted distance is hash-checked. Scale shape:
     the self-join is blocked on (lang, floor(n_chars/{LEN_BUCKET})) —
@@ -518,7 +531,8 @@ LEV_SN_WINDOW = 8  # sorted-neighborhood width for the capped variant
     nb AS (
       SELECT doc_id, lang, len_bucket, head,
              ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
-                                ORDER BY head, doc_id) AS rn
+                                ORDER BY head NULLS LAST,
+                                         doc_id NULLS LAST) AS rn
       FROM d),
     scored AS (
       SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
@@ -532,7 +546,8 @@ LEV_SN_WINDOW = 8  # sorted-neighborhood width for the capped variant
     """,
 )
 def levenshtein_near_dup_pairs_capped(spark, sf_dir):
-    """levenshtein_near_dup_pairs with bounded WORK and bounded emit.
+    """PRODUCTION DEFAULT for crawl-scale edit-distance dedup:
+    levenshtein_near_dup_pairs with bounded WORK and bounded emit.
     The full variant's cost is the quadratic per-block levenshtein —
     every pair in a (lang, len_bucket) block is compared, so planted
     duplicate clusters multiply wall by cluster_size² (measured 68x at
@@ -619,7 +634,8 @@ SN_WINDOW = 3  # each doc pairs with the next SN_WINDOW-1 neighbors
       SELECT lang, source, doc_id, head,
              LEAD(doc_id, 1) OVER w AS n1, LEAD(head, 1) OVER w AS h1,
              LEAD(doc_id, 2) OVER w AS n2, LEAD(head, 2) OVER w AS h2
-      FROM d WINDOW w AS (PARTITION BY lang, source ORDER BY head, doc_id)),
+      FROM d WINDOW w AS (PARTITION BY lang, source
+                          ORDER BY head NULLS LAST, doc_id NULLS LAST)),
     pairs AS (
       SELECT lang, source, doc_id, head, n1 AS nbr, h1 AS nbr_head
       FROM nb WHERE n1 IS NOT NULL

@@ -89,20 +89,31 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         # every number, so a NaN would pass >= threshold filters the
         # fold's NULL never did) for the rest.
         valid = (~(va.isna() | vb.isna())).to_numpy()
-        if valid.all():
-            return pd.Series(kernel(va, vb))
+        if not valid.any():
+            return pd.Series([None] * len(va), dtype=object)
+        # A batch may legitimately mix embedding DIMENSIONS (model
+        # migrations leave dim-64 and dim-32 rows in one column; the
+        # JVM guard only pins size(a)==size(b) PER ROW). np.array on a
+        # ragged list would raise, so vectorize per distinct length —
+        # each length group is rectangular and the per-row IEEE op
+        # sequence is unchanged, so results stay bit-identical to the
+        # fold regardless of grouping.
+        lengths = np.array([len(x) for x in va.iloc[valid]])
         out = pd.Series([None] * len(va), dtype=object)
-        if valid.any():
-            out.iloc[np.flatnonzero(valid)] = kernel(
-                va.iloc[valid], vb.iloc[valid]
-            )
-        return out
+        vidx = np.flatnonzero(valid)
+        for dim in np.unique(lengths):
+            sel = vidx[lengths == dim]
+            out.iloc[sel] = kernel(va.iloc[sel], vb.iloc[sel])
+        if (~valid).any():
+            return out
+        return out.astype(np.float64)
 
     # The fold returns NULL for a null array, a null element, or a
     # length mismatch (zip_with pads with null -> product null -> sum
     # null). Mirror that contract JVM-side by nulling such inputs
     # BEFORE they reach the kernel — the codegen'd exists/size scan is
-    # cheap, and the kernel then only ever sees rectangular batches.
+    # cheap; the kernel handles the remaining (legitimate) variation
+    # of mixed embedding dims by vectorizing per distinct length.
     both_clean = (
         a.isNotNull()
         & b.isNotNull()

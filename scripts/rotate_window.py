@@ -16,7 +16,11 @@ Algorithm (deterministic, no RNG, no timestamps):
     first never-green query in registration order, else its
     first-registered query (a proven anchor).
  3. Remaining slots fill with never-green queries: judge-prioritized
-    names first (PRIORITY_HINTS), then registration order.
+    names first (PRIORITY_HINTS), then registration order. Once the
+    never-green backlog is empty (steady state since r6), slots
+    re-verify GREEN queries oldest-evidence-first — age = the latest
+    round with a green row — so driver evidence rotates instead of
+    pinning to the registry head (VERDICT r6 #4).
  4. The result is written to matrix_multiplication_map_reduce_gcp_spark/window.py
     together with CONSUMED_ROUNDS (the CORRECTNESS rounds the decision
     consumed) and DEFERRED (never-green queries that didn't fit).
@@ -79,9 +83,14 @@ def correctness_rounds() -> list[int]:
     return sorted(rounds)
 
 
-def green_queries(rounds: list[int]) -> set[str]:
-    """Queries with at least one fully-green driver row in ``rounds``."""
-    green: set[str] = set()
+def green_by_round(rounds: list[int]) -> dict[str, int]:
+    """Map query -> LATEST round with a fully-green driver row in
+    ``rounds``. The round number is the query's evidence age: with the
+    backlog drained (every query green at least once), rotation
+    re-verifies the STALEST evidence first (VERDICT r6 #4) — code
+    keeps evolving, so a green row from three rounds ago certifies
+    three-rounds-ago code."""
+    latest: dict[str, int] = {}
     for rnd in rounds:
         path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
         with open(path) as f:
@@ -92,8 +101,13 @@ def green_queries(rounds: list[int]) -> set[str]:
                 and rec.get("schema_match")
                 and rec.get("hash_match") is not False  # rows-only ⇒ None
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, rnd), rnd)
+    return latest
+
+
+def green_queries(rounds: list[int]) -> set[str]:
+    """Queries with at least one fully-green driver row in ``rounds``."""
+    return set(green_by_round(rounds))
 
 
 def propose_window(
@@ -106,8 +120,13 @@ def propose_window(
 
     ``extra_green`` lets callers simulate a FUTURE rotation: names
     treated as already driver-verified on top of the recorded rounds
-    (tests use it to prove the deferred backlog drains next round)."""
-    green = green_queries(rounds) | set(extra_green)
+    (tests use it to prove the deferred backlog drains next round);
+    they count as freshest-possible evidence (just verified)."""
+    last_green = green_by_round(rounds)
+    fresh = (max(rounds) if rounds else 0) + 1
+    for n in extra_green:
+        last_green[n] = fresh
+    green = set(last_green)
     never_green = [n for n in registered if n not in green]
 
     # Module representatives: the rep is the module's first never-green
@@ -153,14 +172,22 @@ def propose_window(
             deferred.append(n)
 
     # Backlog fits → restore fully-green module anchors, then pad the
-    # window with greens (registration order) for re-verification.
+    # window with greens for re-verification, STALEST EVIDENCE FIRST
+    # (VERDICT r6 #4): a green row certifies the code as of its round,
+    # and 170/220 rows were ≥2 rounds old entering r7 while the code
+    # kept evolving. Age key = (last green round asc, registration
+    # order) — so each rotation re-verifies the oldest-evidence ~45
+    # and, with ties broken deterministically, cycles the whole
+    # registry on a fixed cadence. Module anchors use the same key, so
+    # the anchor slot itself refreshes the module's stalest query.
     if not deferred:
+        age_key = lambda n: (last_green.get(n, -1), reg_rank[n])  # noqa: E731
         for mod in mod_order:
             if len(window) >= WINDOW:
                 break
             if not any(modules[n] == mod for n in window):
-                window.append(by_mod[mod][0])
-        for n in registered:
+                window.append(min(by_mod[mod], key=age_key))
+        for n in sorted(registered, key=age_key):
             if len(window) >= WINDOW:
                 break
             if n not in window:

@@ -62,3 +62,16 @@ def test_repetition_evidence_present(bench_record):
     for name, walls in reps.items():
         assert len(walls) == 3
         assert bench_record["queries"][name] == sorted(walls)[1], name
+
+
+def test_canary_pair_present(bench_record):
+    """VERDICT r6 #5: every bench run commits the same 5-query canary
+    timed at session start AND end, so era drift across rounds is
+    measurable (compare start-to-start) instead of inferred."""
+    canary = bench_record.get("canary")
+    assert canary and set(canary) == {"start", "end"}
+    expected = {"pricing_summary", "matmul", "dedup_exact",
+                "ann_brute_force_topk", "stream_tumbling_counts"}
+    for pos in ("start", "end"):
+        assert set(canary[pos]) == expected
+        assert all(v > 0 for v in canary[pos].values()), canary[pos]

@@ -111,3 +111,58 @@ def test_rotation_maximizes_new_coverage():
     assert len(never_green_in) + len(window.DEFERRED) == len(
         [n for n in registry.canonical_queries() if n not in green]
     )
+
+
+def test_rotation_prefers_stalest_evidence(monkeypatch):
+    """VERDICT r6 #4: with the never-green backlog drained, fill slots
+    re-verify greens OLDEST-EVIDENCE-FIRST (latest green round asc,
+    registration order as tiebreak). Synthetic evidence: two modules,
+    everything green, ages mixed — the window must pick the stale
+    names ahead of fresher, earlier-registered ones."""
+    registered = ["matmul", "q_old1", "q_new1", "q_old2", "m2_new", "m2_old"]
+    modules = {
+        "matmul": "mod_a", "q_old1": "mod_a", "q_new1": "mod_a",
+        "q_old2": "mod_a", "m2_new": "mod_b", "m2_old": "mod_b",
+    }
+    ages = {"matmul": 6, "q_old1": 1, "q_new1": 6, "q_old2": 2,
+            "m2_new": 6, "m2_old": 1}
+    monkeypatch.setattr(rotate_window, "green_by_round", lambda rounds: dict(ages))
+    monkeypatch.setattr(rotate_window, "WINDOW", 4)
+    win, deferred = rotate_window.propose_window(registered, modules, [6])
+    assert deferred == []
+    # matmul pinned; mod_b's anchor must be its STALEST query (m2_old,
+    # age 1), not its first-registered (m2_new, age 6); the two fill
+    # slots take the oldest remaining greens in age order.
+    assert win == ["matmul", "m2_old", "q_old1", "q_old2"]
+
+
+def test_committed_window_is_oldest_evidence_first():
+    """The committed window's fill slots must be drawn from the
+    stalest evidence: no green query OUTSIDE the window may be strictly
+    older than the YOUNGEST non-anchor green inside it (module anchors
+    and the matmul pin may be fresher by design)."""
+    q = registry.canonical_queries()
+    last_green = rotate_window.green_by_round(list(window.CONSUMED_ROUNDS))
+    if set(q) - set(last_green):
+        return  # backlog not drained — age rotation not in effect
+    in_window = set(window.PRIORITY_PREFIX)
+    # Identify module-anchor slots: the stalest query of each module.
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    reg_rank = {n: i for i, n in enumerate(q)}
+    age_key = lambda n: (last_green[n], reg_rank[n])  # noqa: E731
+    anchors = {"matmul"}
+    by_mod: dict[str, list[str]] = {}
+    for n in q:
+        by_mod.setdefault(modules[n], []).append(n)
+    for mod, names in by_mod.items():
+        anchors.add(min(names, key=age_key))
+    fill_in = [n for n in window.PRIORITY_PREFIX if n not in anchors]
+    outside = [n for n in q if n not in in_window]
+    if not fill_in or not outside:
+        return
+    youngest_in = max(age_key(n) for n in fill_in)
+    oldest_out = min(age_key(n) for n in outside)
+    assert oldest_out > youngest_in, (
+        "a staler green query was left outside the window: "
+        f"oldest_out={oldest_out} vs youngest_in={youngest_in}"
+    )

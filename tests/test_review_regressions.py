@@ -168,3 +168,68 @@ def test_image_oracles_handle_empty_text(spark, tmp_path):
     want_d = sorted(con.sql(dup.oracle).fetchall())
     assert got_d == want_d
     assert len(got_d) == 1  # the two empty docs form one dup group
+
+
+def test_sn_neighbors_null_sort_key_matches_oracle(spark):
+    """Cross-engine NULL-ordering parity for the shared sorted-
+    neighborhood helper (r6 ADVICE): Spark's default ascending sort
+    puts NULLs FIRST, DuckDB's ROW_NUMBER puts them LAST — a NULL sort
+    key (NULL text head / NULL bucket) would shift every neighbor in
+    the partition and diverge the candidate sets. _sn_neighbors now
+    pins asc_nulls_last and the oracles say NULLS LAST; this feeds a
+    NULL head through both engines and requires identical pair sets."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.queries import _sn_neighbors
+
+    rows = [
+        (1, "en", "aaa"),
+        (2, "en", None),  # NULL sort key
+        (3, "en", "bbb"),
+        (4, "en", "aab"),
+        (5, "en", None),  # second NULL: NULL-vs-NULL tie falls to doc_id
+        (6, "fr", "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, head string")
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in _sn_neighbors(
+            df,
+            part_cols=("lang",),
+            order_cols=("head", "doc_id"),
+            width=2,
+            lead_cols=("doc_id",),
+            keep_cols=("doc_id",),
+        )
+        .select(
+            F.least("doc_id", "p.doc_id").alias("doc_a"),
+            F.greatest("doc_id", "p.doc_id").alias("doc_b"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d (doc_id BIGINT, lang VARCHAR, head VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            WITH nb AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY head NULLS LAST,
+                                                 doc_id NULLS LAST) AS rn
+              FROM d)
+            SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                   GREATEST(a.doc_id, b.doc_id) AS doc_b
+            FROM nb a JOIN nb b
+              ON a.lang = b.lang AND b.rn BETWEEN a.rn + 1 AND a.rn + 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # The NULL-head rows must sort AFTER every non-null head: with
+    # width=2 the en-partition order is aaa,aab,bbb,NULL(2),NULL(5),
+    # so (2,5) is a pair and (1,2) is not.
+    assert (2, 5) in got and (1, 2) not in got

@@ -102,6 +102,60 @@ def test_cosine_arrow_dims(spark, dim):
     assert all(r.fold == r.arrow for r in rows)
 
 
+def test_cosine_arrow_mixed_dims_one_batch(spark):
+    """One Arrow batch mixing dim-64 and dim-32 rows (each internally
+    consistent: size(a)==size(b) per row) must compute — real corpora
+    mix dims after embedding-model migrations — and stay bit-identical
+    to the fold. Pre-fix the kernel's np.array(ragged) raised
+    ValueError where the fold returned a value (VERDICT r6 #2)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        dim = 64 if i % 2 == 0 else 32
+        rows.append(
+            (i, rng.standard_normal(dim).tolist(), rng.standard_normal(dim).tolist())
+        )
+    # coalesce(1): all rows land in ONE partition → one Arrow batch,
+    # the exact shape that used to crash.
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).coalesce(1)
+    got = df.select(
+        "id",
+        cosine(F.col("a"), F.col("b")).alias("fold"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(got) == 60
+    assert all(r.fold == r.arrow for r in got)
+
+
+def test_cosine_arrow_mixed_dims_with_nulls_one_batch(spark):
+    """Mixed dims AND null/ragged rows in the same batch: the null
+    contract and the per-length vectorization must compose."""
+    rows = [
+        (0, [1.0, 2.0], [3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, None, [1.0]),
+        (3, [1.0, 2.0, 5.0], [3.0, 4.0]),  # ragged -> NULL
+        (4, [7.0], [9.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).coalesce(1)
+    got = {
+        r.id: (r.fold, r.arrow)
+        for r in df.select(
+            "id",
+            cosine_rounded(F.col("a"), F.col("b")).alias("fold"),
+            cosine_rounded_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        ).collect()
+    }
+    for i in (0, 1, 4):
+        assert got[i][0] == got[i][1] and got[i][0] is not None, (i, got[i])
+    for i in (2, 3):
+        assert got[i] == (None, None), (i, got[i])
+
+
 def test_cosine_arrow_null_semantics_match_fold(spark):
     """Null array, null element, and length mismatch must all yield
     NULL (the fold's contract: zip_with pads/propagates null) — never
