@@ -322,10 +322,14 @@ def main() -> None:
         # the r7 interleaved A/B as GC debt from the 41 preceding
         # queries, not the plan — see gc_now's docstring and
         # SCALING.md (bar: driver-side median ≤60 s, spread ≤1.5×).
+        # reps=5: per-rep compute is ~10-30 s with GB-scale allocation,
+        # so even drained reps vary ~2× with where G1 pauses land; a
+        # median of 5 is robust to one bad-GC rep and the committed
+        # gc_ms column adjudicates any outlier individually.
         a4, b4 = gen_matrix(spark, 4000, seed=5), gen_matrix(spark, 4000, seed=6)
         timed("matmul_dense_4000_block",
               lambda: run_noop(block_multiply(a4, b4, block_size=500).df),
-              reps=3, pre=gc_now)
+              reps=5, pre=gc_now)
 
     canary_end = run_canary()
 

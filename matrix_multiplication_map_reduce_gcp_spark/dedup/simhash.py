@@ -4,10 +4,11 @@ Per token: a portable 60-bit hash; per bit position: +1 if set else
 -1, summed over the doc's tokens; the fingerprint sets each bit whose
 weighted sum is positive. Near-dups then differ in few bits (Hamming).
 
-Scale shape: explode tokens → one groupBy(doc_id) with 60 SUM
-aggregates (partial-aggregatable — map-side combine collapses each
-partition to one row per doc before the shuffle). Everything is
-integer arithmetic: exactly reproducible anywhere.
+Scale shape: explode tokens → one groupBy(doc_id) with 30 packed SUM
+aggregates (2 bit-lanes per bigint; partial-aggregatable — map-side
+combine collapses each partition to one row per doc before the
+shuffle). Everything is integer arithmetic: exactly reproducible
+anywhere.
 
 Width matters for the PAIRING step, not the fingerprint quality:
 pigeonhole banding over max_dist+1 = 4 bands gives band keys of
@@ -31,32 +32,34 @@ N_BITS = 60
 
 # Lane packing for the per-bit aggregation (r5 VERDICT #8): instead of
 # one SUM column per bit through the groupBy, pack N_LANES bit-
-# positions into each bigint accumulator at LANE_SHIFT-bit stride
-# (N_BITS/N_LANES SUM columns — N_LANES× less agg state per doc per
-# partition in the map-side combine). The summed quantity per lane is
-# the ONES-COUNT of that bit (nonnegative — lanes can never borrow
-# from each other), and the classic +1/-1 sign test becomes
-# 2*ones > n.
+# positions into each bigint accumulator (N_BITS/N_LANES SUM columns —
+# N_LANES× less agg state per doc per partition in the map-side
+# combine). The summed quantity per lane is the ONES-COUNT of that bit
+# (nonnegative — lanes can never borrow from each other), and the
+# classic +1/-1 sign test becomes 2*ones > n.
 #
-# Measured honestly (r6, interleaved A/B medians): sf0.1 2.25 s old vs
-# 2.21 s packed; sf1 5.75 s vs 5.61 s — wall-equal on local[32],
-# because agg width was NOT the cost driver (the 60-SUM agg alone
-# micro-measures 0.7 s; the ~2 s floor is per-token md5 + explode +
-# fixed stage overheads). Kept anyway: less combine state per
-# partition is what matters on a 1000-executor 100 TB corpus where
-# the map-side hash table holds millions of doc groups, and the
-# packed form adds an explicit overflow contract the old one lacked.
-# Lane geometry: 2 lanes x 32-bit stride (r6 review — the first cut
-# used 4x16, whose 2^15-1 token cap a single long web document could
-# hit, turning one oversized doc into a job-killing error; at 2
-# lanes each lane accumulates at most n <= 2^31-1 tokens ~ a 10 GB
-# document, the top lane sits at shift 32 occupying bits <= 62, and
-# the packed bigint stays sign-free with a bound no real document
-# reaches). Docs past the cap still raise loudly (assert_true)
-# instead of fingerprinting wrong.
+# Lane geometry (r7): 2 lanes at stride n_groups (= 30), i.e. the
+# accumulator stride EQUALS the hash's own lane spacing. That makes
+# group g's packed per-token input a SINGLE shift-and on the raw
+# 60-bit hash — (hv >> g) & (1<<30 | 1) picks bit g (lane 0) and bit
+# g+30 (lane 1) already at their accumulation positions — replacing
+# the r6 form's per-lane slice/shift/and/cast/mul/add chain (~9 JVM
+# ops per group per token → 2). The r6 claim that the floor was
+# "md5 + explode" was WRONG: an r7 stage decomposition measured
+# scan 0.08 / +explode 0.15 / +md5 0.41 / +1-SUM groupBy 0.48 s vs
+# 3.3 s full at sf0.1 — the packed-agg expression work WAS the wall.
+# Interleaved same-session A/B of this form: 2.20 s → 1.55 s median
+# at sf0.1, bit-identical fingerprints (test_dedup_similarity pins
+# equality vs the per-bit DuckDB oracle).
+#
+# Overflow contract: lane 0's count can carry into lane 1's LSB once
+# a document exceeds 2^30 - 1 tokens (~ a 6 GB document; the r6
+# stride-32 form allowed 2^31 - 1 — both unreachable for any real
+# document, and 4×16's 2^15 cap, which a long web page CAN hit, stays
+# rejected for exactly the reason r6 documented). Docs past the cap
+# raise loudly (assert_true) instead of fingerprinting wrong.
 N_LANES = 2
-LANE_SHIFT = 32
-TOKEN_CAP = (1 << 31) - 1
+TOKEN_CAP = (1 << (N_BITS // N_LANES)) - 1
 
 
 def simhash(
@@ -65,41 +68,28 @@ def simhash(
     """(doc_id, simhash) — 60-bit fingerprint as a bigint.
 
     ``token_cap`` exists so tests can exercise the overflow guard
-    without materializing a 2^31-token document; production callers
+    without materializing a 2^30-token document; production callers
     keep the default."""
     assert n_bits % N_LANES == 0, (
         f"simhash lane packing requires n_bits % {N_LANES} == 0; "
         f"got {n_bits} (bits past the last full group would silently "
         f"alias under shift-mod-64)"
     )
+    n_groups = n_bits // N_LANES  # packed accumulators, also the stride
+    assert token_cap <= (1 << n_groups) - 1, (
+        f"token_cap {token_cap} would let lane 0 carry into lane 1 "
+        f"(stride {n_groups})"
+    )
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = tok.select("doc_id", hash60(F.col("tok")).alias("hv"))
-    n_groups = n_bits // N_LANES  # packed accumulators
-    # Pre-slice the hash into its per-lane n_groups-bit slices in a
-    # narrow projection, so each packed SUM's input expression is one
-    # shift+and per lane over a SMALL column instead of re-deriving
-    # from the full hash inside the aggregate (measured 0.96 s → 0.64 s
-    # at sf0.1 for the agg alone).
-    quarters = h.select(
-        "doc_id",
-        *[
-            F.shiftright("hv", lane * n_groups)
-            .bitwiseAND(F.lit((1 << n_groups) - 1))
-            .alias(f"q{lane}")
-            for lane in range(N_LANES)
-        ],
-    )
-    packed = []
-    for g in range(n_groups):
-        lanes = None
-        for lane in range(N_LANES):
-            term = (
-                F.shiftright(f"q{lane}", g).bitwiseAND(F.lit(1)).cast("bigint")
-                * F.lit(1 << (lane * LANE_SHIFT)).cast("bigint")
-            )
-            lanes = term if lanes is None else lanes + term
-        packed.append(F.sum(lanes).alias(f"p{g}"))
-    sums = quarters.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
+    # One shift+and per group per token: bit g and bit g+n_groups land
+    # at packed positions 0 and n_groups directly.
+    mask = (1 << n_groups) | 1
+    packed = [
+        F.sum(F.shiftright("hv", g).bitwiseAND(F.lit(mask))).alias(f"p{g}")
+        for g in range(n_groups)
+    ]
+    sums = h.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
     # Overflow guard as a once-per-row FILTER: an inline
     # when/raise_error wrapped around n would be re-inlined into all
     # 60 fingerprint terms by projection collapse (measured +0.65 s at
@@ -117,8 +107,8 @@ def simhash(
     fingerprint = None
     for b in range(n_bits):
         g, lane = b % n_groups, b // n_groups
-        ones = F.shiftright(f"p{g}", lane * LANE_SHIFT).bitwiseAND(
-            F.lit((1 << LANE_SHIFT) - 1)
+        ones = F.shiftright(f"p{g}", lane * n_groups).bitwiseAND(
+            F.lit((1 << n_groups) - 1)
         )
         term = F.when(ones * 2 > F.col("n"), F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")

@@ -60,8 +60,8 @@ def test_repetition_evidence_present(bench_record):
     reps = bench_record.get("repetitions", {})
     assert reps, "smoke subset includes REPEAT3 queries; reps missing"
     for name, walls in reps.items():
-        assert len(walls) == 3
-        assert bench_record["queries"][name] == sorted(walls)[1], name
+        assert len(walls) in (3, 5)
+        assert bench_record["queries"][name] == sorted(walls)[len(walls) // 2], name
 
 
 def test_canary_pair_present(bench_record):
