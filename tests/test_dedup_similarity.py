@@ -252,3 +252,38 @@ def test_simhash_rejects_unpackable_n_bits(spark):
     doc = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError, match="n_bits"):
         simhash(doc, n_bits=61)
+
+
+def test_simhash_matches_independent_reference_model(spark):
+    """Pin the r7 single-mask lane accumulation against a THIRD
+    implementation: a pure-Python/hashlib per-bit majority model that
+    shares no code with either engine. Random docs include repeated
+    tokens (duplicate hash contributions must count multiply), single-
+    token docs (all-ties: 2*ones > n false at ones=n... only for n
+    even; a lone token sets exactly its own bits), and empty tokens
+    from double spaces (split(' ') keeps them — so must the model)."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "", "x", "longtokenvalue"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+            for i in range(1, 31)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref_fp(text: str) -> int:
+        toks = text.split(" ")
+        n = len(toks)
+        fp = 0
+        for b in range(60):
+            ones = 0
+            for t in toks:
+                hv = int(hashlib.md5(f"s0|{t}".encode()).hexdigest()[:15], 16)
+                ones += (hv >> b) & 1
+            if 2 * ones > n:
+                fp |= 1 << b
+        return fp
+
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {i: ref_fp(t) for i, t in docs}
+    assert got == want

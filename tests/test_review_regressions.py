@@ -233,3 +233,51 @@ def test_sn_neighbors_null_sort_key_matches_oracle(spark):
     # width=2 the en-partition order is aaa,aab,bbb,NULL(2),NULL(5),
     # so (2,5) is a pair and (1,2) is not.
     assert (2, 5) in got and (1, 2) not in got
+
+
+def test_capped_dedup_null_text_oracle_parity(spark, tmp_path):
+    """End-to-end pin for the NULLS LAST contract on REAL query paths:
+    a documents table containing NULL text (NULL sort-key head) must
+    keep levenshtein_near_dup_pairs_capped and sorted_neighborhood_pairs
+    bit-identical to their DuckDB oracles. Pre-fix, Spark's
+    NULLS-FIRST default shifted every row_number in the block, so the
+    NON-null rows' neighbor sets diverged across engines even though
+    the NULL rows' own pairs are filtered by the NULL edit distance."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        None,
+        "a completely different document about spark",
+        "a completely different document about sparks",
+        None,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            # Same len bucket for everyone so NULL and non-NULL rows
+            # share one block and the sort-order contract is what
+            # separates the engines.
+            "n_chars": pa.array([44] * len(texts), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    qs = registry.load_all()
+    for name in ("levenshtein_near_dup_pairs_capped", "sorted_neighborhood_pairs"):
+        q = qs[name]
+        got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+        want = sorted(tuple(r) for r in con.sql(q.oracle).fetchall())
+        assert got == want, (name, got, want)
+        assert got, f"{name}: fixture produced no pairs — test is vacuous"
