@@ -308,7 +308,17 @@ def main() -> None:
     # would materialize all of them; the block plan shuffles 4x4x4
     # block pairs and runs BLAS inside applyInPandas).
     if not smoke and not heavy:
+        # One UNTIMED warm rep per block entry before the timed reps
+        # (JMH warmup-iteration discipline): the r7 validation run
+        # measured first-rep walls of 3-4× the warm floor with LOW
+        # gc_ms (36.8/41.5 s vs 9.0-13.8 s warm at 4000²) — that cost
+        # is operator-level warm-up (JIT tiering on the pack/agg
+        # codegen at full size, first-touch page cache on the
+        # generated inputs), not heap debt, so the drain alone cannot
+        # remove it and it does not represent the operator's
+        # steady-state cost on a long-lived cluster.
         a, b = gen_matrix(spark, 1000, seed=3), gen_matrix(spark, 1000, seed=4)
+        run_noop(block_multiply(a, b, block_size=250).df)
         timed("matmul_dense_1000_block",
               lambda: run_noop(block_multiply(a, b, block_size=250).df),
               reps=3, pre=gc_now)
@@ -322,14 +332,16 @@ def main() -> None:
         # the r7 interleaved A/B as GC debt from the 41 preceding
         # queries, not the plan — see gc_now's docstring and
         # SCALING.md (bar: driver-side median ≤60 s, spread ≤1.5×).
-        # reps=5: per-rep compute is ~10-30 s with GB-scale allocation,
-        # so even drained reps vary ~2× with where G1 pauses land; a
-        # median of 5 is robust to one bad-GC rep and the committed
-        # gc_ms column adjudicates any outlier individually.
+        # reps=3 after one untimed warm rep: per-rep compute is ~9-14 s
+        # warm with GB-scale allocation; the drain keeps in-rep GC ~1 s
+        # and the committed gc_ms column adjudicates any outlier rep
+        # individually (r7 validation: warm reps 9.2/9.0/13.8 = 1.5×).
         a4, b4 = gen_matrix(spark, 4000, seed=5), gen_matrix(spark, 4000, seed=6)
+        gc_now()
+        run_noop(block_multiply(a4, b4, block_size=500).df)
         timed("matmul_dense_4000_block",
               lambda: run_noop(block_multiply(a4, b4, block_size=500).df),
-              reps=5, pre=gc_now)
+              reps=3, pre=gc_now)
 
     canary_end = run_canary()
 
