@@ -911,7 +911,13 @@ def ann_recall_report(spark, sf_dir):
     )
     corpus = e.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
     exact_scored = (
-        qset.crossJoin(corpus)
+        # Explicit broadcast of the bounded query set (N_QUERIES rows)
+        # — the corpus side must NEVER shuffle for the exact oracle,
+        # and relying on AQE to pick the broadcast is fragile at 100×
+        # (a fat row-size estimate can flip it to a shuffled
+        # nested-loop). Matches ann_brute_force_topk's shape; pinned
+        # in tests/test_plans.py::test_ann_recall_report_broadcasts_queries.
+        F.broadcast(qset).crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -50,6 +50,18 @@ WINDOW = 50
 # Never-green queries the judge called out as highest-value: verified
 # first when capacity is short. Order matters; unknown names are
 # ignored (they fall out as rounds verify them).
+# Queries whose IMPLEMENTATION changed since their latest green row:
+# a green driver row certifies the code as of its round, so touching
+# a query's code path supersedes its evidence. Names here are treated
+# as stalest-possible (evidence age 0) by green_by_round, which both
+# puts them at the head of the next window's re-verification fill and
+# keeps every window test consistent with the committed rotation.
+# Maintained by the builder in the same commit that touches the
+# query; entries drain naturally (remove once re-verified green).
+# r8: ann_recall_report's exact side gained an explicit F.broadcast
+# (VERDICT r7 #3) — its r4 green row predates the change.
+TOUCHED = ("ann_recall_report",)
+
 PRIORITY_HINTS = (
     # Round-4 second-wave flagships: verify new capability the same
     # round it ships (the r3 lesson — the PQ stack shipped a round
@@ -102,6 +114,13 @@ def green_by_round(rounds: list[int]) -> dict[str, int]:
                 and rec.get("hash_match") is not False  # rows-only ⇒ None
             ):
                 latest[name] = max(latest.get(name, rnd), rnd)
+    # Evidence interpretation, not history rewriting: a green row for
+    # code that has since changed certifies the SUPERSEDED version, so
+    # touched queries report the stalest possible age and win the next
+    # window's re-verification slots.
+    for name in TOUCHED:
+        if name in latest:
+            latest[name] = 0
     return latest
 
 

@@ -39,6 +39,49 @@ def bench_record():
     return json.loads(lines[0])
 
 
+@pytest.fixture(scope="module")
+def merged_output():
+    """The DRIVER's view of a bench run: stdout and stderr interleaved
+    into one captured stream. BENCH_r07 recorded parsed:null because
+    the canary's trailing streaming query (stream_tumbling_counts)
+    left state-store shutdown noise AFTER the JSON line in exactly
+    this merged view — the stdout-only fixture above could never catch
+    it. The smoke subset runs the same 5-query canary (including the
+    streaming query), so this reproduces the r7 failure shape; the
+    quiesce in bench.py (StateStore.stop() + spark.stop() before the
+    print) is what must keep the JSON line last."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_SMOKE="1",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    return proc.stdout
+
+
+def test_last_combined_output_line_is_the_json_record(merged_output):
+    lines = [ln for ln in merged_output.strip().splitlines() if ln.strip()]
+    assert lines, "bench produced no output"
+    record = json.loads(lines[-1])  # raises ⇒ the round loses its BENCH record
+    assert record["metric"] == "headline_queries_total_wall"
+    assert isinstance(record["queries"], dict) and record["queries"]
+    canary = record.get("canary", {})
+    assert "stream_tumbling_counts" in canary.get("end", {}), (
+        "the merged-view pin must cover the streaming canary that "
+        "produced the r7 post-JSON shutdown noise"
+    )
+
+
 def test_contract_keys_and_types(bench_record):
     r = bench_record
     assert r["metric"] == "headline_queries_total_wall"
@@ -60,7 +103,9 @@ def test_repetition_evidence_present(bench_record):
     reps = bench_record.get("repetitions", {})
     assert reps, "smoke subset includes REPEAT3 queries; reps missing"
     for name, walls in reps.items():
-        assert len(walls) in (3, 5)
+        # The documented protocol (SCALING.md) is median-of-3 — pinned
+        # exactly so docs and harness can't drift apart (ADVICE r7).
+        assert len(walls) == 3
         assert bench_record["queries"][name] == sorted(walls)[len(walls) // 2], name
 
 

@@ -99,6 +99,19 @@ def test_pq_plans_broadcast_only(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_ann_recall_report_broadcasts_queries(spark):
+    """VERDICT r7 #3: the recall report's exact (ground-truth) side is
+    a bounded query set crossJoined against the full corpus — the
+    query set must ship as an EXPLICIT broadcast (BroadcastNestedLoop,
+    corpus streams, never shuffles), not depend on AQE's row-size
+    estimate, and no plain CartesianProduct may appear anywhere in
+    the plan. Same shape as ann_brute_force_topk
+    (similarity/queries.py:299)."""
+    plan = executed_plan(Q["ann_recall_report"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_no_python_udfs_in_relational_paths(spark):
     """Relational + dedup queries must stay JVM-side (Python only in
     the explicitly-Pandas multimodal/block operators)."""

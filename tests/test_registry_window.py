@@ -136,6 +136,42 @@ def test_rotation_prefers_stalest_evidence(monkeypatch):
     assert win == ["matmul", "m2_old", "q_old1", "q_old2"]
 
 
+MAX_STALENESS = 5  # rounds — ceil(220 registered / 50-slot window)
+
+
+def test_rotation_bounds_evidence_age(monkeypatch):
+    """VERDICT r7 #4: with a 220-query registry and a 50-query driver
+    window, a green row can silently age. This simulates 12 future
+    rotations (each committed window assumed fully green at its round)
+    starting from the ACTUAL committed evidence, and asserts no
+    green query's evidence age ever exceeds MAX_STALENESS rounds —
+    i.e. the stalest-first fill policy really cycles the whole
+    registry on a bounded cadence, with module anchors and the matmul
+    pin included. Never-green queries are the drain test's job."""
+    q = registry.canonical_queries()
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    last_green = dict(
+        rotate_window.green_by_round(list(window.CONSUMED_ROUNDS))
+    )
+    cur = max(window.CONSUMED_ROUNDS)
+    win = list(window.PRIORITY_PREFIX)  # the committed next window
+    for step in range(1, 13):
+        rnd = cur + step
+        for n in win:
+            last_green[n] = rnd
+        # Let the backlog drain before enforcing the bound (a freshly
+        # registered query's first rows come via the drain horizon).
+        if set(q) <= set(last_green):
+            stale = {n: rnd - last_green[n] for n in q
+                     if rnd - last_green[n] > MAX_STALENESS}
+            assert not stale, f"round {rnd}: evidence older than {MAX_STALENESS}: {stale}"
+        monkeypatch.setattr(
+            rotate_window, "green_by_round", lambda rounds, lg=dict(last_green): lg
+        )
+        win, _ = rotate_window.propose_window(list(q), modules, [rnd])
+    assert set(q) <= set(last_green), "simulation never drained the backlog"
+
+
 def test_committed_window_is_oldest_evidence_first():
     """The committed window's fill slots must be drawn from the
     stalest evidence: no green query OUTSIDE the window may be strictly
