@@ -136,6 +136,31 @@ def test_rotation_prefers_stalest_evidence(monkeypatch):
     assert win == ["matmul", "m2_old", "q_old1", "q_old2"]
 
 
+def test_touched_queries_reverify_next_window(monkeypatch):
+    """r8 TOUCHED mechanism: a query whose code changed since its
+    latest green row must re-enter the very next window — its old
+    evidence certifies superseded code. green_by_round reports
+    touched names at age 0 (stalest possible), so they win the fill
+    ahead of every genuinely-green query."""
+    registered = ["matmul", "fresh1", "fresh2", "touched_q", "fresh3"]
+    modules = dict.fromkeys(registered, "mod_a")
+    raw_ages = {n: 6 for n in registered}  # everything freshly green
+
+    def fake_green(rounds):
+        ages = dict(raw_ages)
+        for n in rotate_window.TOUCHED:
+            if n in ages:
+                ages[n] = 0
+        return ages
+
+    monkeypatch.setattr(rotate_window, "TOUCHED", ("touched_q",))
+    monkeypatch.setattr(rotate_window, "green_by_round", fake_green)
+    monkeypatch.setattr(rotate_window, "WINDOW", 2)
+    win, deferred = rotate_window.propose_window(registered, modules, [6])
+    assert deferred == []
+    assert win == ["matmul", "touched_q"]
+
+
 MAX_STALENESS = 5  # rounds — ceil(220 registered / 50-slot window)
 
 
