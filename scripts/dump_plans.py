@@ -157,6 +157,14 @@ SHOWCASE = [
         "(single Exchange of six counters) plus a broadcast anti-join for "
         "the FK check — checks never multiply scans.",
     ),
+    (
+        "ann_recall_report",
+        "Recall@k evaluation: the bounded query set ships as an EXPLICIT "
+        "broadcast on the exact side (r8, BroadcastNestedLoopJoin — the "
+        "corpus streams and never shuffles for the ground truth), the "
+        "approx side is the production bucket equi-join, and the hit rate "
+        "is a LEFT join + COUNT — no per-query collect anywhere.",
+    ),
 ]
 
 
