@@ -2,9 +2,17 @@
 columns + typed metadata, decoded / feature-extracted via Arrow-batched
 mapInPandas (north-star surface; BASELINE.json).
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS — a deterministic fake keyed off the blob bytes (documented and
-oracle-checkable), with the real-codec path raising NotImplementedError
-behind an import-try. The Spark-side plumbing — binary schema,
-partitioning, UDF signatures, Arrow batch shapes — is real and tested.
+Decode status (r8): the UNCOMPRESSED-format decodes are REAL and
+self-contained — PNG (stdlib zlib/struct: chunk walk, CRC checks,
+IDAT inflate, scanline de-filter; blobs.py::png_decode, since r7) and
+PCM WAV (stdlib struct + numpy: RIFF walk, fmt geometry cross-check,
+int16 frame decode; blobs.py::wav_decode, r8) — both round-tripped
+against standards-compliant encoders and hash-checked by DuckDB
+oracles that recompute what a correct decoder must report
+(multimodal_image_meta, multimodal_audio_decode). The remaining
+boundary is COMPRESSED codecs (JPEG/mp3/aac/video): this container
+ships no codec libraries, so those paths stay behind the documented
+import-try; swapping PIL/ffmpeg in changes only the pure-Python codec
+functions — the Spark-side plumbing (binary schema, partitioning, UDF
+signatures, Arrow batch shapes) is identical and tested.
 """

@@ -94,3 +94,103 @@ def test_frame_sampling_expansion_ceil(spark):
     max_off = frames.groupBy("doc_id").agg(F.max("frame_offset").alias("m"))
     for r in max_off.join(docs.select("doc_id", "n_chars"), "doc_id").collect():
         assert r.m < max(1, r.n_chars) or r.n_chars == 0
+
+
+def test_wav_codec_roundtrip_local():
+    """REAL WAV round-trip at the kernel level: encode standards-
+    compliant PCM, decode recovers every advertised value and every
+    sample from the bytes alone."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    for rate, ch, nf in ((8000, 1, 1), (16000, 2, 33), (24000, 1, 64)):
+        samples = (np.arange(nf * ch, dtype=np.int64) * 977 % 65536 - 32768).astype(
+            "<i2"
+        )
+        blob = wav_encode(rate, ch, samples.tobytes())
+        r_rate, r_ch, r_bits, r_nf, r_samples = wav_decode(blob)
+        assert (r_rate, r_ch, r_bits, r_nf) == (rate, ch, 16, nf)
+        assert (r_samples == samples).all()
+
+
+def test_wav_decode_rejects_corruption():
+    """Foreign/corrupt bytes must raise, never misreport: bad
+    signature, truncated stream, size-field lies, fmt geometry
+    inconsistencies, and non-PCM formats are all guarded."""
+    import struct
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    good = wav_encode(8000, 1, b"\x01\x00\x02\x00")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JFIF" + good[4:])
+    with pytest.raises(ValueError, match="declares"):
+        wav_decode(good[:-2])  # truncated: declared RIFF size now lies
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # audio_fmt = IEEE float, not PCM
+    with pytest.raises(ValueError, match="16-bit integer PCM"):
+        wav_decode(bytes(bad_fmt))
+    bad_align = bytearray(good)
+    # block_align field (offset 12+8+12=32): break channels*2 invariant
+    bad_align[32:34] = struct.pack("<H", 6)
+    with pytest.raises(ValueError, match="geometry"):
+        wav_decode(bytes(bad_align))
+
+
+def test_wav_blobs_are_real_files(spark):
+    """Every generated blob is a parseable PCM WAV whose data chunk
+    decodes to the advertised frame count and whose geometry follows
+    the generation rule."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        wav_decode,
+        with_wav_blob,
+    )
+
+    blobs = with_wav_blob(load_table(spark, SF, "documents")).limit(20).collect()
+    assert blobs
+    for r in blobs:
+        rate, ch, bits, nf, samples = wav_decode(bytes(r.blob))
+        assert rate in (8000, 16000, 24000) and ch in (1, 2) and bits == 16
+        assert 1 <= nf <= 32 and samples.size == nf * ch
+
+
+def test_wav_decode_meta_recovers_generation_rule(spark):
+    """End-to-end through TWO mapInPandas stages: the WAV decoder
+    (which sees only bytes) must report exactly what the generation
+    rule implies from the text — including the content checksum."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_audio_meta,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    meta = decode_audio_meta(docs)
+    joined = meta.join(docs, "doc_id").select(
+        "doc_id", "sample_rate", "channels", "bit_depth", "n_frames",
+        "sample_sum", "text",
+    )
+    rows = joined.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        b = r.text.encode("utf-8")
+        n = len(b)
+        assert r.sample_rate == (8000 * (1 + b[0] % 3) if n else 8000)
+        assert r.channels == 1 + n % 2
+        assert r.n_frames == (1 + b[-1] % 32 if n else 1)
+        assert r.bit_depth == 16
+        m = r.n_frames * r.channels
+        idx = np.arange(m, dtype=np.int64)
+        t = (
+            np.frombuffer(b, dtype=np.uint8)[idx % n].astype(np.int64)
+            if n
+            else np.zeros(m, dtype=np.int64)
+        )
+        assert r.sample_sum == int(((t * 131 + idx * 7919) % 65536 - 32768).sum())

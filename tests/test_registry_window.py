@@ -161,11 +161,11 @@ def test_touched_queries_reverify_next_window(monkeypatch):
     assert win == ["matmul", "touched_q"]
 
 
-MAX_STALENESS = 5  # rounds — ceil(220 registered / 50-slot window)
+MAX_STALENESS = 5  # rounds — ceil(registry size / 50-slot window)
 
 
 def test_rotation_bounds_evidence_age(monkeypatch):
-    """VERDICT r7 #4: with a 220-query registry and a 50-query driver
+    """VERDICT r7 #4: with a ~220-query registry and a 50-query driver
     window, a green row can silently age. This simulates 12 future
     rotations (each committed window assumed fully green at its round)
     starting from the ACTUAL committed evidence, and asserts no
