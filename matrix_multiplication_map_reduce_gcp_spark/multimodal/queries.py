@@ -135,6 +135,56 @@ def multimodal_audio_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_decode",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             1 + ascii(substr(text, 1, 1)) % 8 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 8 AS height,
+             5 * (1 + octet_length(encode(text)) % 5) AS fps,
+             1 + (ascii(substr(text, 1, 1))
+                  + ascii(substr(text, length(text), 1))) % 6 AS n_frames
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, fps, n_frames,
+             ((CASE WHEN n = 0 THEN 0
+                    ELSE ascii(substr(text,
+                           CAST(((r.i // (width * height * 3)) * 31
+                                 + r.i % (width * height * 3)) % n AS INT) + 1,
+                           1))
+               END) + (r.i // (width * height * 3)) * 17) % 256 AS v
+      FROM params,
+           UNNEST(range(0, CAST(n_frames AS BIGINT) * width * height * 3))
+             AS r(i))
+    SELECT doc_id, width, height, fps, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, width, height, fps, n_frames
+    """,
+)
+def multimodal_video_decode(spark, sf_dir):
+    """REAL video-container decode through Arrow-batched mapInPandas:
+    documents become standards-shaped uncompressed AVIs (RIFF 'AVI '
+    with AVIMAINHEADER, a vids stream header pair, and raw 24-bit DIB
+    '00db' frames — bottom-up BGR rows, 4-byte stride padding), then a
+    full stdlib+numpy decode — RIFF/list tree walk, header
+    cross-checks (rate/scale vs dwMicroSecPerFrame, movi frame count
+    vs dwTotalFrames vs stream length, frame size vs stride·height),
+    de-pad + re-flip to top-down RGB — recovers (width, height, fps,
+    n_frames, pixel_sum) from the bytes alone. Completes the
+    uncompressed-decode trilogy (PNG image / PCM WAV audio / DIB AVI
+    video); compressed codecs remain the documented boundary. The
+    oracle recomputes every value including the all-frames pixel
+    checksum, so a decoder that misreads any header field or any
+    frame byte hash-fails the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_video_meta
+
+    return decode_video_meta(d)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
