@@ -68,6 +68,12 @@ HEADLINE = [
     "cogroup_events_before_order",
     "jacobi_solve_2iter",
     "matmul_chain_assoc",
+    # r8: the two new REAL uncompressed-media decode round-trips —
+    # Arrow-batched mapInPandas codec paths (PCM WAV, DIB AVI), both
+    # map-only scan-bandwidth shapes (~0.6 s / ~1.2 s at sf0.1 on
+    # first measurement).
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing
