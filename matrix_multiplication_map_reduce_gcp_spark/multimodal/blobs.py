@@ -613,3 +613,40 @@ def decode_video_meta(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_avi_blob(docs).mapInPandas(op, AVI_DECODE_SCHEMA)
+
+
+VIDEO_AHASH_SCHEMA = "doc_id long, frame_idx int, width int, height int, ahash long"
+
+
+def video_frame_ahash(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, width, height, ahash) — the per-FRAME
+    average-hash over the REAL decoded AVI frames (decode → aHash in
+    one Arrow-batched pass). Same exact integer mean-compare as
+    image_ahash (bit i set iff pixel_byte_i * n >= sum over the whole
+    frame, first 60 bytes), so every bit is reproducible in SQL. This
+    is the unit of video dedup: identical frames collide regardless of
+    which video or position they appear in."""
+    decode = avi_decode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, _fps, _nf, frames = decode(bytes(blob))
+                for fi, fb in enumerate(frames):
+                    px = np.frombuffer(fb, dtype=np.uint8).astype(np.int64)
+                    n, s = px.size, int(px.sum())
+                    bits = 0
+                    for i in range(min(60, n)):
+                        if int(px[i]) * n >= s:
+                            bits |= 1 << i
+                    rows.append((doc_id, fi, w, h, bits))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "ahash"]
+            )
+            rows = []
+
+    return with_avi_blob(docs).mapInPandas(op, VIDEO_AHASH_SCHEMA)

@@ -185,6 +185,76 @@ def multimodal_video_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_dup_groups",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             1 + ascii(substr(text, 1, 1)) % 8 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 8 AS height,
+             1 + (ascii(substr(text, 1, 1))
+                  + ascii(substr(text, length(text), 1))) % 6 AS n_frames
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             CAST(r.i // (width * height * 3) AS INT) AS f,
+             r.i % (width * height * 3) AS k,
+             ((CASE WHEN n = 0 THEN 0
+                    ELSE ascii(substr(text,
+                           CAST(((r.i // (width * height * 3)) * 31
+                                 + r.i % (width * height * 3)) % n AS INT) + 1,
+                           1))
+               END) + (r.i // (width * height * 3)) * 17) % 256 AS v
+      FROM params,
+           UNNEST(range(0, CAST(n_frames AS BIGINT) * width * height * 3))
+             AS r(i)),
+    tot AS (
+      SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY 1, 2),
+    hashes AS (
+      SELECT p.doc_id, p.f, p.width, p.height,
+             CAST(COALESCE(SUM(CASE WHEN p.k < 60 AND p.v * t.n >= t.s
+                  THEN CAST(1 AS BIGINT) << CAST(p.k AS INT) ELSE 0 END), 0)
+                  AS BIGINT) AS ahash
+      FROM px p JOIN tot t ON p.doc_id = t.doc_id AND p.f = t.f
+      GROUP BY 1, 2, 3, 4)
+    SELECT width, height, ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM hashes
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_frame_dup_groups(spark, sf_dir):
+    """Video dedup at FRAME granularity: decode the real AVI stream,
+    perceptual-average-hash every frame (exact integer mean-compare —
+    bit-reproducible in SQL), and group colliding (dims, ahash) keys
+    across the whole corpus. Duplicate documents share every frame;
+    near-identical videos share most — the groups are what a video
+    dedup pass would drop or cluster. At 100 TB the shape is the same
+    as text dedup_exact: a map-only decode+hash stage, then one
+    hash-groupBy whose shuffle key is ~24 bytes per FRAME (not per
+    pixel); frame volume = corpus frames, so the shuffle is bounded
+    by metadata, never media bytes."""
+    from .blobs import video_frame_ahash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = video_frame_ahash(d)
+    return (
+        h.groupBy("width", "height", "ahash")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

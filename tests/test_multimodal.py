@@ -261,3 +261,27 @@ def test_avi_blobs_are_real_files(spark):
         assert fps in (5, 10, 15, 20, 25)
         assert len(frames) == nf
         assert all(len(f) == w * h * 3 for f in frames)
+
+
+def test_frame_ahash_identical_docs_collide(spark):
+    """Frame-level dedup semantics: two documents with identical text
+    produce identical AVIs, so ALL their frames must collide pairwise
+    on (width, height, ahash) — and the corpus' planted duplicates
+    must surface as multi-doc groups."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        video_frame_ahash,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    h = video_frame_ahash(docs)
+    # identical text => identical frame hash sets, positionally
+    dup = (
+        docs.groupBy("text").count().filter(F.col("count") >= 2).limit(1)
+    ).join(docs, "text").select("doc_id")
+    pair = [r.doc_id for r in dup.collect()][:2]
+    if len(pair) == 2:
+        a = {(r.frame_idx, r.width, r.height, r.ahash)
+             for r in h.filter(F.col("doc_id") == pair[0]).collect()}
+        b = {(r.frame_idx, r.width, r.height, r.ahash)
+             for r in h.filter(F.col("doc_id") == pair[1]).collect()}
+        assert a == b and a
