@@ -71,9 +71,11 @@ HEADLINE = [
     # r8: the two new REAL uncompressed-media decode round-trips —
     # Arrow-batched mapInPandas codec paths (PCM WAV, DIB AVI), both
     # map-only scan-bandwidth shapes (~0.6 s / ~1.2 s at sf0.1 on
-    # first measurement).
+    # first measurement) — and the frame-granularity video dedup
+    # (decode + per-frame aHash, then a metadata-keyed hash-groupBy).
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    "multimodal_frame_dup_groups",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing
