@@ -112,6 +112,21 @@ def test_ann_recall_report_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_media_decode_queries_are_map_only(spark):
+    """The r8 decode trilogy's scale contract (SCALING.md): encode +
+    decode are Arrow-batched mapInPandas stages with NO Exchange
+    anywhere — cost scales with corpus bytes alone. The frame-dedup
+    variant is allowed exactly its metadata hash-groupBy shuffle, and
+    nothing else."""
+    for name in ("multimodal_audio_decode", "multimodal_video_decode"):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+    dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
+    assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
+    assert "MapInPandas" in dup
+
+
 def test_no_python_udfs_in_relational_paths(spark):
     """Relational + dedup queries must stay JVM-side (Python only in
     the explicitly-Pandas multimodal/block operators)."""
