@@ -388,7 +388,17 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"plot generation failed: {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # Headline composition (VERDICT r8 #2): `value` EXCLUDES
+    # matmul_dense_4000_block — its wall has shown 3-10× run-to-run
+    # spread across JVM heap eras (adjudicated as environment, not
+    # plan, by scripts/ab_4000_spread.py), so summing it would let one
+    # heap era swing the 44-query headline by ±15%. Its median is
+    # still committed per-query in `queries` (with raw reps + gc
+    # evidence in the full record) and tracked against its own bar
+    # (SCALING.md: driver-side median ≤60 s).
+    EXCLUDED_FROM_VALUE = ("matmul_dense_4000_block",)
+    total = round(
+        sum(v for k, v in timings.items() if k not in EXCLUDED_FROM_VALUE), 3)
     record = {
         "metric": "heavy_scale_queries_total_wall" if heavy
         else "headline_queries_total_wall",
@@ -396,6 +406,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "excluded_from_value": [
+            k for k in EXCLUDED_FROM_VALUE if k in timings],
         # Same-position runs of the same 5 queries at session start and
         # end: cross-ROUND comparison of "start" (or "end") isolates
         # era drift; end-vs-start within this run shows session decay.
@@ -418,6 +430,50 @@ def main() -> None:
         # downstream consumers can't mistake it for a full run.
         record["errors"] = errors
         record["partial"] = True
+
+    # Two-tier emission (VERDICT r8 #1): the driver captures only a
+    # 2000-char TAIL of merged stdout+stderr, so the r8 full record
+    # (~2.2 KB with canary/reps/gc) had its head truncated —
+    # parsed:null two rounds running. The FULL record (all evidence)
+    # goes to a file artifact; stdout gets a COMPACT line — per-query
+    # medians rounded to 2 dp, no canary/reps/gc — measured ~1.3 KB at
+    # 44 queries and pinned <1900 chars by tests/test_bench_contract.py.
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_artifacts", "bench_full.json"),
+    )
+    try:
+        os.makedirs(os.path.dirname(full_out), exist_ok=True)
+        with open(full_out, "w") as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+    except Exception as exc:  # pragma: no cover
+        print(f"full-record write failed (non-fatal): {exc}", file=sys.stderr)
+
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "n_queries": len(timings),
+        "excluded_from_value": record["excluded_from_value"],
+        "full_record": os.path.relpath(
+            full_out, os.path.dirname(os.path.abspath(__file__)))
+        if full_out.startswith(os.path.dirname(os.path.abspath(__file__)))
+        else full_out,
+    }
+    if errors:
+        compact["partial"] = True
+        compact["n_errors"] = len(errors)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:  # pragma: no cover — degradation backstop
+        # Never emit an unparseable record again: drop the per-query
+        # map (it lives in the full artifact) rather than overflow the
+        # driver's tail window.
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
 
     # Quiesce the session BEFORE emitting the one-JSON-line record
     # (VERDICT r7 #1): the r7 canary ends on a real streaming query
@@ -444,7 +500,7 @@ def main() -> None:
     spark.stop()
     time.sleep(2.0)
     sys.stderr.flush()
-    print(json.dumps(record))
+    print(line)
     sys.stdout.flush()
 
 
