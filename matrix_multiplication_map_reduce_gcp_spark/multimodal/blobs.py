@@ -136,6 +136,19 @@ def with_png_blob(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    # The SQL oracles index text by CHARACTER
+                    # (ascii(substr)) while this generator indexes
+                    # UTF-8 BYTES — identical only for ASCII. A
+                    # non-ASCII doc must raise loudly, never
+                    # silently diverge from the oracle (ADVICE r8;
+                    # corpus ASCII-ness is also pinned in
+                    # tests/test_multimodal.py).
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 w = 1 + (b[0] % 8) if b else 1
                 h = 1 + (b[-1] % 8) if b else 1
                 ch = 3 if len(b) % 2 == 0 else 1
@@ -324,6 +337,11 @@ def wav_decode(data: bytes):
             raise ValueError(f"corrupt WAV: chunk {tag!r} truncated")
         pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
         if tag == b"fmt ":
+            if fmt is not None:
+                # Keep the raise-on-anomaly guarantee: a second fmt
+                # chunk would silently overwrite the geometry the
+                # first one declared (ADVICE r8).
+                raise ValueError("corrupt WAV: duplicate fmt chunk")
             audio_fmt, channels, rate, byte_rate, block_align, bits = (
                 struct.unpack("<HHIIHH", body[:16])
             )
@@ -333,6 +351,8 @@ def wav_decode(data: bytes):
                 raise ValueError("corrupt WAV: fmt geometry inconsistent")
             fmt = (rate, channels, bits)
         elif tag == b"data":
+            if pcm is not None:
+                raise ValueError("corrupt WAV: duplicate data chunk")
             pcm = body
     if fmt is None or pcm is None:
         raise ValueError("invalid WAV: missing fmt/data chunk")
@@ -360,6 +380,19 @@ def with_wav_blob(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    # The SQL oracles index text by CHARACTER
+                    # (ascii(substr)) while this generator indexes
+                    # UTF-8 BYTES — identical only for ASCII. A
+                    # non-ASCII doc must raise loudly, never
+                    # silently diverge from the oracle (ADVICE r8;
+                    # corpus ASCII-ness is also pinned in
+                    # tests/test_multimodal.py).
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
                 rate = 8000 * (1 + (b[0] % 3)) if n else 8000
                 channels = 1 + n % 2
@@ -512,8 +545,17 @@ def avi_decode(data: bytes):
                 strh = struct.unpack("<4s4sIHHIIIIIIII4h", buf[start : start + 56])
             elif tag == b"strf":
                 strf = struct.unpack("<IiiHHIIiiII", buf[start : start + 40])
-            elif tag in (b"00db", b"00dc"):
+            elif tag == b"00db":
                 frame_chunks.append((start, ln))
+            elif tag == b"00dc":
+                # '00dc' marks COMPRESSED frame data; this decoder
+                # supports only raw DIB ('00db'). Treating a 00dc
+                # chunk as raw pixels would misreport a malformed
+                # file instead of rejecting it (ADVICE r8).
+                raise ValueError(
+                    "unsupported AVI: compressed '00dc' frame chunk "
+                    "(raw '00db' DIB frames only)"
+                )
 
     scan(data, 12, len(data))
     if avih is None or strh is None or strf is None:
@@ -566,6 +608,19 @@ def with_avi_blob(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    # The SQL oracles index text by CHARACTER
+                    # (ascii(substr)) while this generator indexes
+                    # UTF-8 BYTES — identical only for ASCII. A
+                    # non-ASCII doc must raise loudly, never
+                    # silently diverge from the oracle (ADVICE r8;
+                    # corpus ASCII-ness is also pinned in
+                    # tests/test_multimodal.py).
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
                 w = 1 + (b[0] % 8) if n else 1
                 h = 1 + (b[-1] % 8) if n else 1

@@ -285,3 +285,81 @@ def test_frame_ahash_identical_docs_collide(spark):
         b = {(r.frame_idx, r.width, r.height, r.ahash)
              for r in h.filter(F.col("doc_id") == pair[1]).collect()}
         assert a == b and a
+
+
+def test_wav_decode_rejects_duplicate_chunks():
+    """ADVICE r8: a second 'fmt ' or 'data' chunk must raise, not
+    silently overwrite the first — consistent with the decoder's
+    raise-on-anomaly posture everywhere else."""
+    import struct
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    good = wav_encode(8000, 1, b"\x01\x00\x02\x00")
+
+    def with_extra_chunk(base: bytes, chunk: bytes) -> bytes:
+        body = base[8:] + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt2 = (b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16))
+    with pytest.raises(ValueError, match="duplicate fmt"):
+        wav_decode(with_extra_chunk(good, fmt2))
+    data2 = b"data" + struct.pack("<I", 2) + b"\x07\x00"
+    with pytest.raises(ValueError, match="duplicate data"):
+        wav_decode(with_extra_chunk(good, data2))
+
+
+def test_avi_decode_rejects_compressed_frame_chunks():
+    """ADVICE r8: '00dc' marks COMPRESSED frame data; the decoder
+    supports only raw '00db' DIB frames and must reject, not decode a
+    right-sized 00dc chunk as raw pixels."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        avi_decode,
+        avi_encode,
+    )
+
+    good = avi_encode(3, 3, 5, [bytes(27)])
+    # The single frame chunk lives in the movi list; flip its fourcc.
+    idx = good.index(b"00db")
+    assert good.count(b"00db") == 1
+    swapped = good[:idx] + b"00dc" + good[idx + 4:]
+    with pytest.raises(ValueError, match="00dc"):
+        avi_decode(swapped)
+
+
+def test_blob_generators_raise_on_non_ascii_text(spark):
+    """ADVICE r8: the SQL oracles index text by CHARACTER
+    (ascii(substr)) while the generators index UTF-8 BYTES — equal
+    only for ASCII. A non-ASCII doc must raise loudly in the
+    generator, never silently diverge from the oracle."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        with_avi_blob,
+        with_png_blob,
+        with_wav_blob,
+    )
+
+    bad = spark.createDataFrame([(1, "café au lait")], "doc_id long, text string")
+    for gen in (with_png_blob, with_wav_blob, with_avi_blob):
+        with pytest.raises(Exception, match="non-ASCII"):
+            gen(bad).collect()
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_documents_corpus_is_ascii(spark, sf_dir):
+    """The ASCII corpus contract every byte-indexed multimodal oracle
+    depends on (ascii(substr(text,i,1)) == utf8_byte[i-1] iff ASCII):
+    char length must equal UTF-8 octet length for EVERY document at
+    every tested SF. If the driver's generator ever emits non-ASCII,
+    this fails loudly instead of a silent oracle divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bad = docs.filter(
+        F.length("text") != F.octet_length(F.col("text").cast("string"))
+    ).count()
+    assert n_bad == 0
