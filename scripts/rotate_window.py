@@ -59,8 +59,19 @@ WINDOW = 50
 # Maintained by the builder in the same commit that touches the
 # query; entries drain naturally (remove once re-verified green).
 # r8: ann_recall_report's exact side gained an explicit F.broadcast
-# (VERDICT r7 #3) — its r4 green row predates the change.
-TOUCHED = ("ann_recall_report",)
+# (VERDICT r7 #3) — re-verified green in CORRECTNESS_r08, drained.
+# r9: the three blob generators gained the non-ASCII guard and
+# wav/avi decoders gained duplicate-chunk / 00dc rejection
+# (ADVICE r8) — no behavior change on the ASCII corpus, but the
+# decode queries' code paths were touched, so their evidence is
+# superseded until a fresh green row lands.
+TOUCHED = (
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "multimodal_frame_dup_groups",
+    "multimodal_image_meta",
+    "multimodal_image_dup_groups",
+)
 
 PRIORITY_HINTS = (
     # Round-4 second-wave flagships: verify new capability the same

@@ -227,3 +227,34 @@ def test_committed_window_is_oldest_evidence_first():
         "a staler green query was left outside the window: "
         f"oldest_out={oldest_out} vs youngest_in={youngest_in}"
     )
+
+
+def test_recorded_history_stays_within_staleness_bound():
+    """VERDICT r8 #5: not just the simulation — the ACTUAL committed
+    CORRECTNESS_r*.json history must show no green query whose latest
+    green row is more than MAX_STALENESS rounds behind the newest
+    recorded round, and every query sitting exactly AT the bound must
+    be scheduled in the committed next window (else the next round
+    would push it past the bound). Uses raw recorded rows, not the
+    TOUCHED-adjusted ages."""
+    import json
+
+    raw: dict[str, int] = {}
+    rounds = rotate_window.correctness_rounds()
+    for rnd in rounds:
+        d = json.loads((REPO / f"CORRECTNESS_r{rnd:02d}.json").read_text())
+        for name, row in d.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                raw[name] = max(raw.get(name, 0), rnd)
+    latest = max(rounds)
+    over = {n: latest - r for n, r in raw.items() if latest - r > MAX_STALENESS}
+    assert not over, f"recorded evidence older than {MAX_STALENESS} rounds: {over}"
+    at_bound = [n for n, r in raw.items() if latest - r == MAX_STALENESS]
+    missed = [n for n in at_bound if n not in window.PRIORITY_PREFIX]
+    assert not missed, (
+        f"queries at the staleness bound missing from the next window: {missed}"
+    )
