@@ -173,6 +173,7 @@ _EMB_SCORED_CTES = f"""{_EMB_BAND_CTES},
 
 @query(
     "embedding_near_dup_pairs",
+    exact_baseline=True,
     oracle=f"""
     WITH {_EMB_SCORED_CTES}
     SELECT vec_a, vec_b, cos_sim FROM scored
@@ -463,6 +464,7 @@ _LEV_SCORED_CTES = f"""d AS (
 
 @query(
     "levenshtein_near_dup_pairs",
+    exact_baseline=True,
     oracle=f"""
     WITH {_LEV_SCORED_CTES}
     SELECT doc_a, doc_b, edit_distance FROM scored

@@ -35,6 +35,15 @@ class QueryDef:
     # insertion-order iteration made test_registry_window fail under
     # subset pytest invocations).
     order: tuple[int, int] = (0, 0)
+    # EXACT-BASELINE marker (VERDICT r8 #4): True for audit-only
+    # queries that deliberately emit every qualifying pair — quadratic
+    # in duplicate-group size by contract — and therefore must never
+    # be a production default at crawl scale. Every exact-baseline
+    # query ships a bounded production sibling named
+    # f"{name}_capped" (pinned by tests/test_registry_meta.py), and
+    # the capped sibling's recall against this baseline is gated at
+    # sf0.1 in tests/test_quality_gates.py.
+    exact_baseline: bool = False
 
 
 QUERIES: dict[str, QueryDef] = {}
@@ -76,8 +85,12 @@ _MODULE_INDEX = {mod: i for i, mod in enumerate(_QUERY_MODULES)}
 _MODULE_SEQ: dict[str, int] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query under ``name`` with its oracle SQL."""
+def query(
+    name: str, oracle: str | None = None, exact_baseline: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL.
+    ``exact_baseline=True`` marks an audit-only emit-all-pairs query
+    (see QueryDef.exact_baseline)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -86,7 +99,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         seq = _MODULE_SEQ.get(mod, -1) + 1
         _MODULE_SEQ[mod] = seq
         QUERIES[name] = QueryDef(
-            fn, oracle, (_MODULE_INDEX.get(mod, len(_QUERY_MODULES)), seq)
+            fn, oracle, (_MODULE_INDEX.get(mod, len(_QUERY_MODULES)), seq),
+            exact_baseline,
         )
         return fn
 

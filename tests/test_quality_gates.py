@@ -399,3 +399,81 @@ def test_capped_pair_variants_bound_output_keep_cluster_recall(
             assert _connected(members, kept), (
                 f"{capped_name}: planted cluster {base} disconnected"
             )
+
+
+def test_capped_variants_hold_sf01_recall_floors(spark):
+    """VERDICT r8 #4: the capped production variants' recall against
+    their exact baselines, measured on the REAL sf0.1 corpus (not the
+    planted-replica fixture above), must never regress below the
+    floors measured when the cap shipped. The sf0.1 similarity profile
+    matters: every embedding pair sits in the LOOSE 0.35-0.6 cosine
+    band (no near-exact stratum exists — the corpus has no duplicate
+    embeddings), which is exactly where the sorted-neighborhood cap is
+    designed to trade recall for bounded work, so its overall floor is
+    low (0.14) BY DESIGN; the levenshtein capped variant is perfect on
+    the near-exact stratum (edit_distance <= 20) and holds 0.95
+    cluster survival. Precision is 1.0 for both: every capped pair
+    must also be a baseline pair."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    SF01 = "/root/testdata/sf0.1"
+    qs = registry.load_all()
+
+    # --- embedding family ---
+    emb_full = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in qs["embedding_near_dup_pairs"].fn(spark, SF01).collect()
+    }
+    emb_capped = {
+        (r.vec_a, r.vec_b)
+        for r in qs["embedding_near_dup_pairs_capped"].fn(spark, SF01).collect()
+    }
+    assert emb_capped <= set(emb_full), "capped emitted a non-baseline pair"
+    assert emb_full, "baseline found no pairs at sf0.1 — vacuous gate"
+    assert len(emb_capped) / len(emb_full) >= 0.14  # measured 0.142 (r9)
+    # If the corpus ever grows a near-exact stratum, the cap must be
+    # near-perfect there (the design's whole claim).
+    near_exact = {p for p, c in emb_full.items() if c >= 0.9}
+    if near_exact:
+        assert len(near_exact & emb_capped) / len(near_exact) >= 0.9
+
+    # --- levenshtein family ---
+    lev_full = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in qs["levenshtein_near_dup_pairs"].fn(spark, SF01).collect()
+    }
+    lev_capped = {
+        (r.doc_a, r.doc_b)
+        for r in qs["levenshtein_near_dup_pairs_capped"].fn(spark, SF01).collect()
+    }
+    assert lev_capped <= set(lev_full), "capped emitted a non-baseline pair"
+    strict = {p for p, d in lev_full.items() if d <= 20}
+    assert strict, "no near-exact levenshtein stratum at sf0.1 — vacuous"
+    assert len(strict & lev_capped) / len(strict) >= 0.95  # measured 1.0 (r9)
+    assert len(lev_capped) / len(lev_full) >= 0.55  # measured 0.596 (r9)
+
+    # Cluster survival: a baseline cluster is "found" if at least one
+    # of its pairs survives the cap (connected-components downstream
+    # still merges those docs with the cluster's representative).
+    def clusters(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        out: dict[int, set[int]] = {}
+        for n in list(parent):
+            out.setdefault(find(n), set()).add(n)
+        return list(out.values())
+
+    lev_cl = clusters(set(lev_full))
+    survived = sum(
+        1 for c in lev_cl if any(a in c and b in c for a, b in lev_capped)
+    )
+    assert survived / len(lev_cl) >= 0.9  # measured 60/63 = 0.952 (r9)

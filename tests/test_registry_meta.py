@@ -125,3 +125,21 @@ def test_queries_md_in_lockstep():
     )
     for name in q:
         assert f"`{name}`" in text, f"QUERIES.md missing {name}"
+
+
+def test_exact_baselines_ship_a_capped_production_sibling():
+    """VERDICT r8 #4: every query marked exact_baseline (audit-only,
+    emits all pairs — quadratic in duplicate-group size) must ship a
+    bounded production sibling named f"{name}_capped", and the marker
+    must cover exactly the two pair emitters the scale audit flagged
+    (57.9x / 15.9x wall at 10x data). A new emit-all-pairs query must
+    either be marked here or be defensibly linear."""
+    q = registry.canonical_queries()
+    baselines = {n for n, d in q.items() if d.exact_baseline}
+    assert baselines == {
+        "embedding_near_dup_pairs",
+        "levenshtein_near_dup_pairs",
+    }
+    for name in baselines:
+        assert f"{name}_capped" in q, f"{name}: no capped production sibling"
+        assert "baseline" in (q[name].fn.__doc__ or "").lower(), name
