@@ -76,6 +76,10 @@ HEADLINE = [
     "multimodal_audio_decode",
     "multimodal_video_decode",
     "multimodal_frame_dup_groups",
+    # r9: the compressed-PNG ladder step — Up-filtered scanlines at
+    # 16-32px geometry, full spec de-filter in the decoder; map-only
+    # scan-bandwidth shape like the rest of the decode family.
+    "multimodal_image_decode_filtered",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

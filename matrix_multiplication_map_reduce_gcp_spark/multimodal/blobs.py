@@ -44,12 +44,20 @@ def with_blob(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
 
 
-def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+def png_encode(
+    width: int, height: int, channels: int, pixels: bytes, row_filter: int = 0
+) -> bytes:
     """Minimal REAL PNG writer (stdlib only): 8-bit greyscale or
-    truecolor, filter 0 scanlines, one IDAT, correct CRCs. Readable by
-    any standards-compliant viewer."""
+    truecolor, one IDAT, correct CRCs. Readable by any
+    standards-compliant viewer. ``row_filter`` picks the scanline
+    filter: 0 (None) or 2 (Up — each row stores its delta vs the row
+    above, the spec's cheap vertical predictor; repetitive pixel
+    streams deflate much smaller, which is why real encoders filter)."""
     import struct
     import zlib
+
+    if row_filter not in (0, 2):
+        raise ValueError(f"unsupported encode filter {row_filter}")
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -62,9 +70,18 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     color_type = 2 if channels == 3 else 0
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
-    raw = b"".join(
-        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
-    )
+    rows = []
+    prev = b"\x00" * stride
+    for r in range(height):
+        cur = pixels[r * stride : (r + 1) * stride]
+        if row_filter == 0:
+            rows.append(b"\x00" + cur)
+        else:  # Up: out[x] = cur[x] - prev[x] (mod 256)
+            rows.append(
+                b"\x02" + bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+            )
+        prev = cur
+    raw = b"".join(rows)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -76,9 +93,11 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Minimal REAL PNG reader (stdlib only): walks the chunk stream,
     checks the signature and chunk CRCs, parses IHDR, inflates the
-    concatenated IDAT stream, and strips filter bytes (filter 0 only —
-    anything else raises, which is the honest guard for foreign
-    PNGs). Returns (width, height, channels, pixel_bytes)."""
+    concatenated IDAT stream, and reverses the per-scanline filter —
+    all five spec filter types (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth), so any standards-compliant 8-bit non-interlaced PNG
+    decodes; an out-of-spec filter byte raises. Returns
+    (width, height, channels, pixel_bytes)."""
     import struct
     import zlib
 
@@ -114,12 +133,37 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             f"corrupt PNG: inflated {len(raw)} bytes, "
             f"expected {height * (stride + 1)}"
         )
+    bpp = channels  # bytes per pixel at depth 8
     pixels = bytearray()
+    prev = bytes(stride)
     for r in range(height):
         row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
-        if row[0] != 0:
-            raise ValueError(f"unsupported PNG filter {row[0]}")
-        pixels += row[1:]
+        ftype, line = row[0], bytearray(row[1:])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: + left
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up: + above
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average: + floor((left + above)/2)
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: filter byte {ftype} out of spec")
+        prev = bytes(line)
+        pixels += prev
     return width, height, channels, bytes(pixels)
 
 
@@ -186,6 +230,77 @@ def decode_image_meta(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_png_blob(docs).mapInPandas(op, DECODE_SCHEMA)
+
+
+def with_png_blob_filtered(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) at the LARGER ladder geometry with Up-filtered
+    scanlines: 16..32 px per side (width from the first text byte,
+    height from the last), always truecolor, pixel i =
+    (byte[i mod n] + (i // 7) * 13) mod 256, rows stored as filter-2
+    deltas before deflate — the shape real encoders emit. Geometry is
+    bounded at 32x32x3 = 3072 px so the SQL oracle's per-pixel UNNEST
+    stays ~1.5M rows at sf0.01."""
+    encode = png_encode  # bind by value for the worker closure
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    # Same ASCII corpus contract as every byte-indexed
+                    # generator (see with_png_blob).
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                w = 16 + (b[0] % 17) if n else 16
+                h = 16 + (b[-1] % 17) if n else 16
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                px = ((src + (i // 7) * 13) % 256).astype(np.uint8).tobytes()
+                rows.append((doc_id, encode(w, h, 3, px, row_filter=2)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+            rows = []
+
+    return docs.select("doc_id", "text").mapInPandas(op, "doc_id long, blob binary")
+
+
+def decode_image_meta_filtered(docs: DataFrame) -> DataFrame:
+    """decode_image_meta over the filtered/large-geometry blobs: the
+    decoder must reverse the Up filter on every scanline before the
+    reported pixel_sum can match the oracle's per-pixel recompute —
+    a filter-ignoring reader fails the content hash, not just a
+    header check."""
+    decode = png_decode
+
+    def op(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, ch, px = decode(bytes(blob))
+                rows.append((doc_id, w, h, ch, w * h, sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_pixels", "pixel_sum",
+                ],
+            )
+            rows = []
+
+    return with_png_blob_filtered(docs).mapInPandas(op, DECODE_SCHEMA)
 
 
 AUDIO_SCHEMA = "doc_id long, window_idx int, mean_amplitude double, peak_amplitude int"

@@ -60,6 +60,55 @@ def multimodal_image_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_image_decode_filtered",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             16 + ascii(substr(text, 1, 1)) % 17 AS width,
+             16 + ascii(substr(text, length(text), 1)) % 17 AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             ((CASE WHEN n = 0 THEN 0
+                    ELSE ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) END)
+                + (r.i // 7) * 13) % 256 AS v
+      FROM params,
+           UNNEST(range(0, CAST(width AS BIGINT) * height * 3)) AS r(i))
+    SELECT doc_id, width, height, 3 AS channels,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_image_decode_filtered(spark, sf_dir):
+    """The compressed-PNG ladder step (VERDICT r8 #6): 16..32 px per
+    side (up to 3072 pixel bytes/doc, ~32x the small geometry) with
+    FILTER-2 (Up) scanlines — each row is stored as its delta vs the
+    row above before deflate, the shape real encoders emit. The
+    decoder must CRC-walk, inflate, and reverse the filter on every
+    scanline (png_decode now de-filters all five spec types) before
+    its reported pixel_sum can match the oracle's per-pixel recompute
+    — a filter-ignoring reader fails the content hash outright. Same
+    Arrow-batched two-stage mapInPandas plumbing (map-only plan) as
+    multimodal_image_meta; pixel rule: px[i] = (byte[i mod n] +
+    (i // 7) * 13) mod 256."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_image_meta_filtered
+
+    out = decode_image_meta_filtered(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "n_pixels",
+        "pixel_sum",
+    )
+
+
+@query(
     "multimodal_audio_windows",
     oracle="""
     WITH bytes AS (
