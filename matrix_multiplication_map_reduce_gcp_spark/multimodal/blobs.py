@@ -70,18 +70,20 @@ def png_encode(
     color_type = 2 if channels == 3 else 0
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
-    rows = []
-    prev = b"\x00" * stride
-    for r in range(height):
-        cur = pixels[r * stride : (r + 1) * stride]
-        if row_filter == 0:
-            rows.append(b"\x00" + cur)
-        else:  # Up: out[x] = cur[x] - prev[x] (mod 256)
-            rows.append(
-                b"\x02" + bytes((c - p) & 0xFF for c, p in zip(cur, prev))
-            )
-        prev = cur
-    raw = b"".join(rows)
+    if row_filter == 0:
+        raw = b"".join(
+            b"\x00" + pixels[r * stride : (r + 1) * stride]
+            for r in range(height)
+        )
+    else:  # Up: out[x] = cur[x] - prev[x] (mod 256), row-vectorized
+        import numpy as np
+
+        mat = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+        deltas = np.empty((height, stride + 1), dtype=np.uint8)
+        deltas[:, 0] = 2
+        deltas[0, 1:] = mat[0]
+        deltas[1:, 1:] = mat[1:] - mat[:-1]  # uint8 wraps mod 256
+        raw = deltas.tobytes()
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -133,38 +135,54 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             f"corrupt PNG: inflated {len(raw)} bytes, "
             f"expected {height * (stride + 1)}"
         )
+    import numpy as np
+
     bpp = channels  # bytes per pixel at depth 8
-    pixels = bytearray()
-    prev = bytes(stride)
+    # Row-vectorized de-filter: the common filters (None, Sub, Up) are
+    # one numpy op per ROW — uint8 add wraps mod 256 natively, and
+    # Sub's left-recursion is a per-channel-lane cumsum — so the hot
+    # path costs O(height) numpy calls, not O(pixel_bytes) Python
+    # iterations (the first cut was 2.5 s at sf0.1; this is the
+    # scan-bandwidth shape the map-only plan promises). Average and
+    # Paeth keep the per-byte scalar loops: both predictors depend on
+    # the RECONSTRUCTED left byte, an inherently sequential recurrence
+    # (and foreign-file-only here — our encoder emits 0/2).
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = mat[:, 0]
+    if ftypes.max(initial=0) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"corrupt PNG: filter byte {bad} out of spec")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
-        row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
-        ftype, line = row[0], bytearray(row[1:])
+        ftype, line = int(ftypes[r]), mat[r, 1:]
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub: + left
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up: + above
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            cur = line.copy()
+        elif ftype == 1:  # Sub: + left ⇒ cumsum along each channel lane
+            cur = np.empty(stride, dtype=np.uint8)
+            for c in range(bpp):
+                lane = line[c::bpp].astype(np.int64).cumsum()
+                cur[c::bpp] = (lane % 256).astype(np.uint8)
+        elif ftype == 2:  # Up: + above (uint8 add wraps mod 256)
+            cur = line + prev
         elif ftype == 3:  # Average: + floor((left + above)/2)
+            cur = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth predictor
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        else:  # Paeth predictor
+            cur = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"corrupt PNG: filter byte {ftype} out of spec")
-        prev = bytes(line)
-        pixels += prev
-    return width, height, channels, bytes(pixels)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        out[r] = cur
+        prev = cur
+    return width, height, channels, out.tobytes()
 
 
 def with_png_blob(docs: DataFrame) -> DataFrame:
@@ -239,7 +257,16 @@ def with_png_blob_filtered(docs: DataFrame) -> DataFrame:
     (byte[i mod n] + (i // 7) * 13) mod 256, rows stored as filter-2
     deltas before deflate — the shape real encoders emit. Geometry is
     bounded at 32x32x3 = 3072 px so the SQL oracle's per-pixel UNNEST
-    stays ~1.5M rows at sf0.01."""
+    stays ~1.5M rows at sf0.01.
+
+    Unlike the header-light decode trilogy, this stage is CPU-bound
+    (inflate + de-filter over ~3 KB of pixels/doc), so decode
+    parallelism must not be hostage to file layout: a single-file
+    corpus plans as ONE input partition and would serialize the whole
+    codec on one core (measured 1.8 s at sf0.1 on local[32]). The
+    deliberate round-robin repartition of the tiny (doc_id, text)
+    rows below is the production shape for CPU-heavy codecs over few
+    large files — the one Exchange this query's plan gate allows."""
     encode = png_encode  # bind by value for the worker closure
 
     def op(batches):
@@ -273,7 +300,10 @@ def with_png_blob_filtered(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "blob"])
             rows = []
 
-    return docs.select("doc_id", "text").mapInPandas(op, "doc_id long, blob binary")
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, blob binary")
 
 
 def decode_image_meta_filtered(docs: DataFrame) -> DataFrame:
@@ -285,13 +315,15 @@ def decode_image_meta_filtered(docs: DataFrame) -> DataFrame:
     decode = png_decode
 
     def op(batches):
+        import numpy as np
         import pandas as pd
 
         rows = []
         for pdf in batches:
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 w, h, ch, px = decode(bytes(blob))
-                rows.append((doc_id, w, h, ch, w * h, sum(px)))
+                psum = int(np.frombuffer(px, dtype=np.uint8).sum(dtype=np.int64))
+                rows.append((doc_id, w, h, ch, w * h, psum))
             yield pd.DataFrame(
                 rows,
                 columns=[

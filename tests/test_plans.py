@@ -118,11 +118,20 @@ def test_media_decode_queries_are_map_only(spark):
     anywhere — cost scales with corpus bytes alone. The frame-dedup
     variant is allowed exactly its metadata hash-groupBy shuffle, and
     nothing else."""
-    for name in ("multimodal_audio_decode", "multimodal_video_decode",
-                 "multimodal_image_decode_filtered"):
+    for name in ("multimodal_audio_decode", "multimodal_video_decode"):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, name
         assert "MapInPandas" in plan, name
+    # The filtered-PNG query is CPU-bound (inflate + de-filter ~3 KB
+    # of pixels/doc), so it deliberately decouples decode parallelism
+    # from file layout with ONE round-robin repartition of the tiny
+    # (doc_id, text) rows — a single-file corpus would otherwise
+    # serialize the codec on one core. Exactly that one Exchange, and
+    # it must be round-robin (no key, no skew), nothing else.
+    filt = executed_plan(Q["multimodal_image_decode_filtered"].fn(spark, SF_SMOKE))
+    assert filt.count("Exchange") == 1, "filtered decode: one deliberate repartition"
+    assert "RoundRobinPartitioning" in filt
+    assert "MapInPandas" in filt
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
