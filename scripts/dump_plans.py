@@ -165,6 +165,15 @@ SHOWCASE = [
         "approx side is the production bucket equi-join, and the hit rate "
         "is a LEFT join + COUNT — no per-query collect anywhere.",
     ),
+    (
+        "multimodal_image_decode_filtered",
+        "CPU-bound codec (r9, inflate + spec de-filter over ~3 KB "
+        "pixels/doc): ONE deliberate RoundRobinPartitioning Exchange of "
+        "the tiny (doc_id, text) rows decouples decode parallelism from "
+        "file layout (a single-file corpus would serialize the codec on "
+        "one core); both codec stages are Arrow-batched MapInPandas; no "
+        "other shuffle.",
+    ),
 ]
 
 
