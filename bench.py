@@ -77,9 +77,14 @@ HEADLINE = [
     "multimodal_video_decode",
     "multimodal_frame_dup_groups",
     # r9: the compressed-PNG ladder step — Up-filtered scanlines at
-    # 16-32px geometry, full spec de-filter in the decoder; map-only
-    # scan-bandwidth shape like the rest of the decode family.
+    # 16-32px geometry, full spec de-filter in the decoder; one
+    # deliberate round-robin Exchange decouples the CPU-bound codec
+    # from file layout (plan-gated); plus the two decoded-content
+    # analytics over the real codec streams (peak-decimation envelope,
+    # temporal-diff motion) — both map-only.
     "multimodal_image_decode_filtered",
+    "multimodal_audio_envelope",
+    "multimodal_video_motion",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

@@ -590,6 +590,58 @@ def decode_audio_meta(docs: DataFrame) -> DataFrame:
     return with_wav_blob(docs).mapInPandas(op, WAV_DECODE_SCHEMA)
 
 
+ENVELOPE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, "
+    "n_blocks long, envelope_sum long"
+)
+
+
+def decode_audio_envelope(docs: DataFrame, factor: int = 4) -> DataFrame:
+    """Peak-decimation envelope extraction over the REAL decoded PCM
+    stream — the waveform-display / VAD-frontend downsample: per
+    channel, frames group into blocks of ``factor`` and each block
+    reports its MAX sample (max, not mean: integer-exact in SQL with
+    no floor-vs-truncate division hazard across engines). Returns
+    (doc_id, sample_rate, channels, n_blocks, envelope_sum) where
+    n_blocks = ceil(n_frames/factor) and envelope_sum is the int64
+    sum of every per-channel block peak — content-checking the whole
+    decimation, not just its shape."""
+    decode = wav_decode
+    k = int(factor)
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                rate, channels, bits, n_frames, samples = decode(bytes(blob))
+                frames = samples.astype(np.int64).reshape(n_frames, channels)
+                n_blocks = (n_frames + k - 1) // k
+                pad = n_blocks * k - n_frames
+                if pad:
+                    # -32768 is the int16 minimum: identity for MAX,
+                    # and partial blocks always hold >=1 real frame.
+                    frames = np.vstack(
+                        [frames, np.full((pad, channels), -32768, np.int64)]
+                    )
+                peaks = frames.reshape(n_blocks, k, channels).max(axis=1)
+                rows.append(
+                    (doc_id, rate, channels, n_blocks, int(peaks.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels",
+                    "n_blocks", "envelope_sum",
+                ],
+            )
+            rows = []
+
+    return with_wav_blob(docs).mapInPandas(op, ENVELOPE_SCHEMA)
+
+
 AVI_DECODE_SCHEMA = (
     "doc_id long, width int, height int, fps int, "
     "n_frames long, pixel_sum long"
@@ -815,6 +867,46 @@ def decode_video_meta(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_avi_blob(docs).mapInPandas(op, AVI_DECODE_SCHEMA)
+
+
+MOTION_SCHEMA = (
+    "doc_id long, n_frames long, n_transitions long, motion_sum long"
+)
+
+
+def decode_video_motion(docs: DataFrame) -> DataFrame:
+    """Temporal-difference motion metric over the REAL decoded frame
+    stream — the scene-change / static-clip signal a video curation
+    pipeline thresholds before frame sampling: motion_sum =
+    Σ_{t≥1} Σ_p |frame_t[p] − frame_{t−1}[p]| (exact integer L1 delta
+    between consecutive decoded RGB frames), n_transitions =
+    n_frames − 1. A single-frame clip reports (0 transitions, 0
+    motion). Content-checks every byte of every frame PAIR, a
+    stronger oracle than the per-frame sum."""
+    decode = avi_decode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, fps, nf, frames = decode(bytes(blob))
+                stack = np.stack(
+                    [np.frombuffer(f, dtype=np.uint8) for f in frames]
+                ).astype(np.int64)
+                motion = (
+                    int(np.abs(stack[1:] - stack[:-1]).sum()) if nf > 1 else 0
+                )
+                rows.append((doc_id, nf, max(nf - 1, 0), motion))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_transitions", "motion_sum"],
+            )
+            rows = []
+
+    return with_avi_blob(docs).mapInPandas(op, MOTION_SCHEMA)
 
 
 VIDEO_AHASH_SCHEMA = "doc_id long, frame_idx int, width int, height int, ahash long"

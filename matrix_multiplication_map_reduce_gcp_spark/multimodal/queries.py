@@ -234,6 +234,108 @@ def multimodal_video_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_envelope",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
+             1 + octet_length(encode(text)) % 2 AS channels,
+             1 + ascii(substr(text, length(text), 1)) % 32 AS n_frames
+      FROM documents),
+    smp AS (
+      SELECT doc_id, sample_rate, channels, n_frames,
+             r.i % channels AS ch,
+             (r.i // channels) // 4 AS block,
+             ((CASE WHEN n = 0 THEN 0
+                    ELSE ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) END)
+                * 131 + r.i * 7919) % 65536 - 32768 AS v
+      FROM params,
+           UNNEST(range(0, CAST(n_frames AS BIGINT) * channels)) AS r(i)),
+    env AS (
+      SELECT doc_id, sample_rate, channels, n_frames, ch, block,
+             MAX(v) AS peak
+      FROM smp GROUP BY doc_id, sample_rate, channels, n_frames, ch, block)
+    SELECT doc_id, sample_rate, channels,
+           CAST((n_frames + 3) // 4 AS BIGINT) AS n_blocks,
+           CAST(SUM(peak) AS BIGINT) AS envelope_sum
+    FROM env
+    GROUP BY doc_id, sample_rate, channels, n_frames
+    """,
+)
+def multimodal_audio_envelope(spark, sf_dir):
+    """Peak-decimation envelope (waveform-display / VAD-frontend
+    downsample) over the REAL decoded PCM stream: per channel, frames
+    group into blocks of 4 and each block reports its MAX sample —
+    max, not mean, so every value is integer-exact in both engines
+    with no floor-vs-truncate division hazard. envelope_sum aggregates
+    every per-channel block peak, so the oracle content-checks the
+    whole decimation against its own recompute of the sample rule.
+    Same map-only Arrow-batched shape as multimodal_audio_decode."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_audio_envelope
+
+    return decode_audio_envelope(d)
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             1 + ascii(substr(text, 1, 1)) % 8 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 8 AS height,
+             1 + (ascii(substr(text, 1, 1))
+                  + ascii(substr(text, length(text), 1))) % 6 AS n_frames
+      FROM documents),
+    diffs AS (
+      SELECT doc_id, n_frames,
+             ABS(
+               ((CASE WHEN n = 0 THEN 0
+                      ELSE ascii(substr(text,
+                             CAST((((r.i // (width * height * 3)) + 1) * 31
+                                   + r.i % (width * height * 3)) % n AS INT) + 1,
+                             1)) END)
+                  + ((r.i // (width * height * 3)) + 1) * 17) % 256
+               -
+               ((CASE WHEN n = 0 THEN 0
+                      ELSE ascii(substr(text,
+                             CAST(((r.i // (width * height * 3)) * 31
+                                   + r.i % (width * height * 3)) % n AS INT) + 1,
+                             1)) END)
+                  + (r.i // (width * height * 3)) * 17) % 256
+             ) AS d
+      FROM params,
+           UNNEST(range(0, CAST(n_frames - 1 AS BIGINT) * width * height * 3))
+             AS r(i))
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames - 1 AS BIGINT) AS n_transitions,
+           CAST(COALESCE(SUM(d), 0) AS BIGINT) AS motion_sum
+    FROM diffs
+    GROUP BY doc_id, n_frames
+    UNION ALL
+    SELECT doc_id, CAST(n_frames AS BIGINT), 0, 0
+    FROM params WHERE n_frames = 1
+    """,
+)
+def multimodal_video_motion(spark, sf_dir):
+    """Temporal-difference motion metric (scene-change / static-clip
+    detection — the signal a video curation pipeline thresholds before
+    frame sampling): exact integer L1 delta between every pair of
+    consecutive REAL decoded RGB frames, summed per clip. The oracle
+    recomputes both frames of every transition from the generation
+    rule, so a decoder that misorders, drops, or corrupts any frame
+    fails the hash; single-frame clips report zero transitions via the
+    UNION ALL branch (the per-pixel CTE has no rows to group for
+    them). Map-only Arrow-batched shape."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_video_motion
+
+    return decode_video_motion(d)
+
+
+@query(
     "multimodal_frame_dup_groups",
     oracle="""
     WITH params AS (

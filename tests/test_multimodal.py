@@ -472,3 +472,64 @@ def test_filtered_png_blobs_are_real_files(spark):
         for i in range(min(64, len(px))):
             src = t[i % len(t)] if t else 0
             assert px[i] == (src + (i // 7) * 13) % 256
+
+
+def test_audio_envelope_kernel_semantics(spark):
+    """Peak decimation on a constructed per-doc check: blocks of 4
+    frames per channel, MAX per block, ceil semantics on the tail
+    block — verified against a NumPy recompute from the decoded
+    samples themselves."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_audio_envelope,
+        wav_decode,
+        with_wav_blob,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    env = {r.doc_id: r for r in decode_audio_envelope(docs).collect()}
+    blobs = {r.doc_id: bytes(r.blob) for r in with_wav_blob(docs).collect()}
+    assert env and set(env) == set(blobs)
+    for doc_id, blob in blobs.items():
+        rate, ch, bits, nf, samples = wav_decode(blob)
+        frames = samples.astype(np.int64).reshape(nf, ch)
+        n_blocks = (nf + 3) // 4
+        expect = sum(
+            int(frames[b * 4 : (b + 1) * 4, c].max())
+            for b in range(n_blocks)
+            for c in range(ch)
+        )
+        r = env[doc_id]
+        assert (r.sample_rate, r.channels, r.n_blocks) == (rate, ch, n_blocks)
+        assert r.envelope_sum == expect, doc_id
+
+
+def test_video_motion_kernel_semantics(spark):
+    """Motion metric: exact L1 delta between consecutive decoded
+    frames, zero for single-frame clips — verified against a NumPy
+    recompute from the decoded frames themselves."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        avi_decode,
+        decode_video_motion,
+        with_avi_blob,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    mot = {r.doc_id: r for r in decode_video_motion(docs).collect()}
+    blobs = {r.doc_id: bytes(r.blob) for r in with_avi_blob(docs).collect()}
+    saw_single = saw_multi = False
+    for doc_id, blob in blobs.items():
+        w, h, fps, nf, frames = avi_decode(blob)
+        stack = np.stack(
+            [np.frombuffer(f, dtype=np.uint8) for f in frames]
+        ).astype(np.int64)
+        expect = int(np.abs(stack[1:] - stack[:-1]).sum()) if nf > 1 else 0
+        r = mot[doc_id]
+        assert (r.n_frames, r.n_transitions) == (nf, max(nf - 1, 0))
+        assert r.motion_sum == expect, doc_id
+        saw_single |= nf == 1
+        saw_multi |= nf > 1
+    assert saw_multi, "fixture gave no multi-frame clips — vacuous"

@@ -118,7 +118,8 @@ def test_media_decode_queries_are_map_only(spark):
     anywhere — cost scales with corpus bytes alone. The frame-dedup
     variant is allowed exactly its metadata hash-groupBy shuffle, and
     nothing else."""
-    for name in ("multimodal_audio_decode", "multimodal_video_decode"):
+    for name in ("multimodal_audio_decode", "multimodal_video_decode",
+                 "multimodal_audio_envelope", "multimodal_video_motion"):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, name
         assert "MapInPandas" in plan, name
