@@ -71,6 +71,10 @@ TOUCHED = (
     "multimodal_frame_dup_groups",
     "multimodal_image_meta",
     "multimodal_image_dup_groups",
+    # r9: cms_heavy_hitters rebuilt its cells from pre-aggregated key
+    # counts (bit-identical by the cell-sum identity, 3.7x faster) —
+    # its r8 green row certifies the per-row-digest code.
+    "cms_heavy_hitters",
 )
 
 PRIORITY_HINTS = (
