@@ -150,7 +150,110 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def jvm_gc_ms(spark) -> int:
+    beans = (spark._jvm.java.lang.management.ManagementFactory
+             .getGarbageCollectorMXBeans())
+    return sum(b.getCollectionTime() for b in beans)
+
+
+def gc_drain(spark) -> None:
+    """Full JVM heap drain (JMH-style inter-iteration hygiene).
+    The r7 A/Bs (scripts/ab_4000_block.py, ab_4000_gc.py) proved
+    the 4000² block-matmul rep spread was HEAP STATE, not the
+    plan: the GarbageCollectorMXBean counters attribute a 90.6 s
+    rep to 21.1 s of in-rep GC (and 40/35 s reps to 5-6 s) right
+    after heavy session work, while after this drain in-rep GC is
+    ~1 s and walls sit at 9.6-18.9 s (median 10.2, spread <2×).
+    One System.gc() alone is NOT enough: the second pass +
+    sleeps let the ContextCleaner actually unpersist the
+    broadcast/shuffle state the first pass only enqueued (its
+    cleanup is async, driven by weak-ref collection). Used only
+    where the measured operator allocates GB-scale JVM state
+    (the block matmuls' 16M-struct collect_list pack)."""
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(1.0)
+    spark._jvm.System.gc()
+    time.sleep(1.0)
+
+
+def run_block4000_rep() -> None:
+    """SPARK_GRAFT_BENCH_GROUP=block4000: ONE timed rep of the dense
+    block matmul in a FRESH JVM, emitted as one JSON line.
+
+    VERDICT r9 #3: in-session reps share a heap era — the 2.5-10× rep
+    spread survived GC-drain + interleaving across three rounds
+    because every rep inherits the session's allocation history. A
+    subprocess-isolated rep gives each measurement its own heap, so
+    spread across reps finally isolates the operator from the era.
+    Warm-up stays per-JVM (small-kernel codegen + one untimed
+    full-size rep — JIT tiering needs real iteration volume,
+    SCALING.md 4000² protocol) so the timed rep measures warm
+    steady-state compute, not cold-start."""
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK_N", "4000"))
+    bs = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK_SIZE", "500"))
+    from matrix_multiplication_map_reduce_gcp_spark.matrix.block import block_multiply
+    from matrix_multiplication_map_reduce_gcp_spark.session import get_spark as _gs
+
+    spark = _gs(app_name="spark_graft_bench_block4000")
+    run_noop(block_multiply(gen_matrix(spark, 40, seed=9),
+                            gen_matrix(spark, 40, seed=10),
+                            block_size=20).df)
+    a, b = gen_matrix(spark, n, seed=5), gen_matrix(spark, n, seed=6)
+    run_noop(block_multiply(a, b, block_size=bs).df)  # untimed warm rep
+    gc_drain(spark)
+    g0 = jvm_gc_ms(spark)
+    t0 = time.perf_counter()
+    run_noop(block_multiply(a, b, block_size=bs).df)
+    wall = round(time.perf_counter() - t0, 3)
+    gc_ms = jvm_gc_ms(spark) - g0
+    spark.stop()
+    time.sleep(2.0)
+    sys.stderr.flush()
+    print(json.dumps({
+        "metric": "block4000_rep_wall", "value": wall, "unit": "sec",
+        "n": n, "block_size": bs, "gc_ms": gc_ms,
+    }, separators=(",", ":")))
+    sys.stdout.flush()
+
+
+def fresh_jvm_block4000_reps(reps: int) -> tuple[list[float], list[int], str]:
+    """Run `reps` subprocess-isolated block4000 reps SEQUENTIALLY
+    (never two 48g-driver JVMs at once — callers invoke this BEFORE
+    creating their own session). Returns (walls, gc_ms, error)."""
+    import subprocess
+
+    walls: list[float] = []
+    gcs: list[int] = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP="block4000")
+    for i in range(reps):
+        proc = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=1200, cwd=here,
+            )
+            line = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.strip()][-1]
+            rec = json.loads(line)
+            assert rec["metric"] == "block4000_rep_wall"
+            walls.append(float(rec["value"]))
+            gcs.append(int(rec["gc_ms"]))
+        except Exception as exc:
+            tail = proc.stderr[-300:] if proc is not None else ""
+            return walls, gcs, (
+                f"fresh-JVM rep {i} failed: {type(exc).__name__}: {exc} "
+                f"stderr={tail}"
+            )[:500]
+    return walls, gcs, ""
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_GROUP") == "block4000":
+        run_block4000_rep()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # Smoke mode (tests/test_bench_contract.py): a 3-query subset that
@@ -165,6 +268,20 @@ def main() -> None:
     heavy = os.environ.get("SPARK_GRAFT_BENCH_GROUP") == "heavy"
     headline = HEAVY_SCALE if heavy else (HEADLINE[:3] if smoke else HEADLINE)
     ladder = () if heavy else ((4,) if smoke else (4, 10, 50, 100, 200))
+
+    # VERDICT r9 #3: the 4000² block-matmul reps run in SUBPROCESS-
+    # ISOLATED fresh JVMs, BEFORE this process creates its own 48g
+    # session (never two driver heaps at once). Each child does its
+    # own warm-up + drain + one timed rep; the spread across children
+    # finally measures the operator without a shared heap era
+    # (SCALING.md fresh-JVM bar: <1.5× across 3 reps).
+    block4000_walls: list[float] = []
+    block4000_gc: list[int] = []
+    block4000_err = ""
+    if not smoke and not heavy:
+        block4000_walls, block4000_gc, block4000_err = fresh_jvm_block4000_reps(
+            reps=int(os.environ.get("SPARK_GRAFT_BENCH_4000_REPS", "3")))
+
     spark = get_spark(app_name="spark_graft_bench")
     queries = registry.load_all()
 
@@ -215,29 +332,9 @@ def main() -> None:
     gc_adjusted: dict[str, list[float]] = {}
 
     def gc_now() -> None:
-        """Full JVM heap drain (JMH-style inter-iteration hygiene).
-        The r7 A/Bs (scripts/ab_4000_block.py, ab_4000_gc.py) proved
-        the 4000² block-matmul rep spread was HEAP STATE, not the
-        plan: the GarbageCollectorMXBean counters attribute a 90.6 s
-        rep to 21.1 s of in-rep GC (and 40/35 s reps to 5-6 s) right
-        after heavy session work, while after this drain in-rep GC is
-        ~1 s and walls sit at 9.6-18.9 s (median 10.2, spread <2×).
-        One System.gc() alone is NOT enough: the second pass +
-        sleeps let the ContextCleaner actually unpersist the
-        broadcast/shuffle state the first pass only enqueued (its
-        cleanup is async, driven by weak-ref collection). Used only
-        where the measured operator allocates GB-scale JVM state
-        (the block matmuls' 16M-struct collect_list pack)."""
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        time.sleep(1.0)
-        spark._jvm.System.gc()
-        time.sleep(1.0)
-
-    def jvm_gc_ms() -> int:
-        beans = (spark._jvm.java.lang.management.ManagementFactory
-                 .getGarbageCollectorMXBeans())
-        return sum(b.getCollectionTime() for b in beans)
+        """See gc_drain — module-level since r10 so the block4000
+        fresh-JVM mode shares the identical drain discipline."""
+        gc_drain(spark)
 
     def timed(name, thunk, reps: int = 1, pre=None) -> None:
         walls = []
@@ -246,12 +343,12 @@ def main() -> None:
             for _ in range(reps):
                 if pre is not None:
                     pre()
-                g0 = jvm_gc_ms() if pre is not None else 0
+                g0 = jvm_gc_ms(spark) if pre is not None else 0
                 t0 = time.perf_counter()
                 thunk()
                 walls.append(round(time.perf_counter() - t0, 3))
                 if pre is not None:
-                    gc_walls.append(jvm_gc_ms() - g0)
+                    gc_walls.append(jvm_gc_ms(spark) - g0)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
@@ -355,26 +452,29 @@ def main() -> None:
         # shuffle behavior matters: an 8×8 block grid, 512 GEMM tasks,
         # and only block rows through every shuffle
         # (tests/test_plans.py::test_summa_block_plan_shuffles_block_rows_only).
-        # reps=3 for a MEDIAN, pre=gc_now for a clean heap per rep:
-        # the r6 driver triple [85.7, 124.0, 37.6] was adjudicated by
-        # the r7 interleaved A/B as GC debt from the 41 preceding
-        # queries, not the plan — see gc_now's docstring and
-        # SCALING.md (bar: driver-side MEDIAN ≤60 s; spread is
-        # committed evidence, not a bar — withdrawn r8 on the
-        # ab_4000_spread.py data: same plan, same drain, walls
-        # 8.6-125 s within one session around a stable median).
-        # reps=3 after one untimed warm rep: per-rep compute is ~9-14 s
-        # warm with GB-scale allocation; the drain keeps in-rep GC ~1 s
-        # and the committed gc_ms column adjudicates any outlier rep
-        # individually (r7 validation: warm reps 9.2/9.0/13.8 = 1.5×).
-        a4, b4 = gen_matrix(spark, 4000, seed=5), gen_matrix(spark, 4000, seed=6)
-        gc_now()
-        run_noop(block_multiply(a4, b4, block_size=500).df)
-        timed("matmul_dense_4000_block",
-              lambda: run_noop(block_multiply(a4, b4, block_size=500).df),
-              reps=3, pre=gc_now)
+        # Since r10 the reps are FRESH-JVM subprocesses collected
+        # BEFORE this session existed (fresh_jvm_block4000_reps, run
+        # at the top of main — VERDICT r9 #3): three rounds of drain +
+        # interleaving never tamed the 2.5-10× in-session rep spread
+        # because reps shared one heap era. Each child warms, drains,
+        # and times exactly one rep; the per-child gc_ms stays the
+        # adjudication evidence, and SCALING.md pins the fresh-JVM
+        # spread bar (<1.5× across 3 reps).
+        if block4000_walls and not block4000_err:
+            timings["matmul_dense_4000_block"] = sorted(
+                block4000_walls)[len(block4000_walls) // 2]
+            repetitions["matmul_dense_4000_block"] = block4000_walls
+            gc_attrib["matmul_dense_4000_block"] = block4000_gc
+            gc_adjusted["matmul_dense_4000_block"] = [
+                round(w - g / 1000.0, 3)
+                for w, g in zip(block4000_walls, block4000_gc)
+            ]
+        if block4000_err:
+            errors["matmul_dense_4000_block"] = block4000_err
+            print(f"bench query matmul_dense_4000_block failed: "
+                  f"{block4000_err}", file=sys.stderr)
 
-    # NOTE: canary_end runs right after the gc_now-drained block-matmul
+    # NOTE: canary_end runs right after the gc_now-drained 1000² block
     # reps, so its end-vs-start delta reads "post-drain warm state",
     # not raw in-session decay — the heap-debt component of decay is
     # deliberately removed by the drain. Cross-ROUND comparison of
@@ -413,6 +513,10 @@ def main() -> None:
         else "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # ADVICE r9: `value` excludes the unstable 4000² block since
+        # r9 while r1-r8 records included it — emit the all-inclusive
+        # sum too so cross-round tooling compares like with like.
+        "value_with_excluded": round(sum(timings.values()), 3),
         "queries": timings,
         "sf": sf,
         "excluded_from_value": [
@@ -434,6 +538,14 @@ def main() -> None:
         # wall − gc_ms/1000 per rep: outlier-rep adjudication evidence
         # (SCALING.md 4000² protocol; the declared bar is the median).
         record["gc_adjusted_walls"] = gc_adjusted
+    if block4000_walls:
+        # Fresh-JVM isolation evidence (VERDICT r9 #3): per-rep walls
+        # + gc_ms already live in repetitions/gc_ms; the spread here
+        # is the number SCALING.md's <1.5× bar reads.
+        record["block4000"] = {
+            "isolation": "fresh_jvm_per_rep",
+            "spread": round(max(block4000_walls) / min(block4000_walls), 2),
+        }
     if errors:
         # A partial total is not comparable across rounds — flag it so
         # downstream consumers can't mistake it for a full run.
@@ -447,10 +559,14 @@ def main() -> None:
     # goes to a file artifact; stdout gets a COMPACT line — per-query
     # medians rounded to 2 dp, no canary/reps/gc — measured ~1.3 KB at
     # 44 queries and pinned <1900 chars by tests/test_bench_contract.py.
+    # ADVICE r9: suffix the default artifact name with mode+sf so a
+    # heavy/smoke run can't silently overwrite the headline evidence
+    # that an earlier compact record's full_record pointer references.
+    mode = "heavy" if heavy else ("smoke" if smoke else "headline")
     full_out = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_artifacts", "bench_full.json"),
+                     "bench_artifacts", f"bench_full_{mode}_sf{sf}.json"),
     )
     try:
         os.makedirs(os.path.dirname(full_out), exist_ok=True)
@@ -463,6 +579,7 @@ def main() -> None:
     compact = {
         "metric": record["metric"],
         "value": record["value"],
+        "value_with_excluded": record["value_with_excluded"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,

@@ -209,3 +209,31 @@ def test_compact_queries_match_full_medians(bench_record, full_record):
     assert set(bench_record["queries"]) == set(full_record["queries"])
     for name, v in bench_record["queries"].items():
         assert v == round(full_record["queries"][name], 2), name
+
+
+def test_all_inclusive_sum_is_emitted(bench_record, full_record):
+    """ADVICE r9: `value` excludes the unstable 4000² block since r9
+    while r1-r8 included it — both records must also carry the
+    all-inclusive sum so cross-round tooling compares like with
+    like."""
+    expected = round(sum(full_record["queries"].values()), 3)
+    assert abs(full_record["value_with_excluded"] - expected) < 1e-6
+    assert bench_record["value_with_excluded"] == full_record[
+        "value_with_excluded"]
+
+
+def test_block4000_fresh_jvm_rep_contract(monkeypatch):
+    """VERDICT r9 #3: the 4000² reps are subprocess-isolated fresh
+    JVMs. Pin the child-mode contract at toy geometry (120², bs=60):
+    the parent-side collector must get back a parseable one-line
+    record with a wall and gc attribution — a child regression would
+    otherwise cost the round its 4000² evidence silently."""
+    import bench as bench_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BLOCK_N", "120")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BLOCK_SIZE", "60")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    walls, gcs, err = bench_mod.fresh_jvm_block4000_reps(reps=1)
+    assert err == "", err
+    assert len(walls) == 1 and walls[0] > 0
+    assert len(gcs) == 1 and gcs[0] >= 0

@@ -414,9 +414,17 @@ def test_capped_variants_hold_sf01_recall_floors(spark):
     the near-exact stratum (edit_distance <= 20) and holds 0.95
     cluster survival. Precision is 1.0 for both: every capped pair
     must also be a baseline pair."""
+    import os
+
     from matrix_multiplication_map_reduce_gcp_spark import registry
 
-    SF01 = "/root/testdata/sf0.1"
+    # ADVICE r9: resolve via the env convention the bench harness uses
+    # and SKIP (not error) on hosts without the driver-generated sf0.1
+    # corpus — the floor gate documents machine state, it shouldn't
+    # masquerade as a code failure where the fixture is absent.
+    SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(SF01):
+        pytest.skip(f"sf0.1 corpus not present at {SF01}")
     qs = registry.load_all()
 
     # --- embedding family ---
