@@ -92,69 +92,39 @@ def png_encode(
     )
 
 
-def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Minimal REAL PNG reader (stdlib only): walks the chunk stream,
-    checks the signature and chunk CRCs, parses IHDR, inflates the
-    concatenated IDAT stream, and reverses the per-scanline filter —
-    all five spec filter types (0 None, 1 Sub, 2 Up, 3 Average,
-    4 Paeth), so any standards-compliant 8-bit non-interlaced PNG
-    decodes; an out-of-spec filter byte raises. Returns
-    (width, height, channels, pixel_bytes)."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass, in
+# pass order. Each pass is an independent sub-image for filtering
+# (its first row's "above" is zero), serialized back-to-back in one
+# deflate stream; passes whose sub-image is empty contribute nothing
+# (not even filter bytes).
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG: bad signature")
-    pos, idat = 8, b""
-    width = height = color_type = None
-    while pos < len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
-        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        pos += 12 + ln
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or interlace != 0:
-                raise ValueError("unsupported PNG: need 8-bit non-interlaced")
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("invalid PNG: no IHDR chunk")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError(
-            f"corrupt PNG: inflated {len(raw)} bytes, "
-            f"expected {height * (stride + 1)}"
-        )
+
+def _defilter(mat, bpp: int):
+    """Reverse the per-scanline filter over one (sub-)image: ``mat``
+    is the (rows, stride+1) uint8 matrix of [filter_byte | bytes];
+    returns the (rows, stride) reconstructed pixels. All five spec
+    types; out-of-spec filter bytes raise. The common filters (None,
+    Sub, Up) are one numpy op per ROW — uint8 add wraps mod 256
+    natively, and Sub's left-recursion is a per-channel-lane cumsum —
+    so the hot path costs O(rows) numpy calls, not O(pixel_bytes)
+    Python iterations. Average and Paeth keep per-byte scalar loops:
+    both predictors depend on the RECONSTRUCTED left byte, an
+    inherently sequential recurrence (and foreign-file-only here —
+    our encoders emit 0/2)."""
     import numpy as np
 
-    bpp = channels  # bytes per pixel at depth 8
-    # Row-vectorized de-filter: the common filters (None, Sub, Up) are
-    # one numpy op per ROW — uint8 add wraps mod 256 natively, and
-    # Sub's left-recursion is a per-channel-lane cumsum — so the hot
-    # path costs O(height) numpy calls, not O(pixel_bytes) Python
-    # iterations (the first cut was 2.5 s at sf0.1; this is the
-    # scan-bandwidth shape the map-only plan promises). Average and
-    # Paeth keep the per-byte scalar loops: both predictors depend on
-    # the RECONSTRUCTED left byte, an inherently sequential recurrence
-    # (and foreign-file-only here — our encoder emits 0/2).
-    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    rows, stride = mat.shape[0], mat.shape[1] - 1
     ftypes = mat[:, 0]
     if ftypes.max(initial=0) > 4:
         bad = int(ftypes[ftypes > 4][0])
         raise ValueError(f"corrupt PNG: filter byte {bad} out of spec")
-    out = np.empty((height, stride), dtype=np.uint8)
+    out = np.empty((rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(height):
+    for r in range(rows):
         ftype, line = int(ftypes[r]), mat[r, 1:]
         if ftype == 0:
             cur = line.copy()
@@ -182,7 +152,84 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 cur[x] = (int(line[x]) + pred) & 0xFF
         out[r] = cur
         prev = cur
-    return width, height, channels, out.tobytes()
+    return out
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal REAL PNG reader (stdlib only): walks the chunk stream,
+    checks the signature and chunk CRCs, parses IHDR, inflates the
+    concatenated IDAT stream, and reverses the per-scanline filter —
+    all five spec filter types (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) — for BOTH interlace methods (0 sequential, 1 Adam7: the
+    seven passes de-filter independently, then scatter back onto the
+    full raster by the pass grid), so any standards-compliant 8-bit
+    PNG decodes; an out-of-spec filter byte raises. Returns
+    (width, height, channels, pixel_bytes) in raster order."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, b""
+    width = height = color_type = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace not in (0, 1):
+                raise ValueError("unsupported PNG: need 8-bit, interlace 0/1")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("invalid PNG: no IHDR chunk")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    import numpy as np
+
+    bpp = channels  # bytes per pixel at depth 8
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"corrupt PNG: inflated {len(raw)} bytes, "
+                f"expected {height * (stride + 1)}"
+            )
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        return width, height, channels, _defilter(mat, bpp).tobytes()
+
+    # Adam7: seven independently-filtered sub-images back-to-back in
+    # one deflate stream; de-filter each, then one vectorized numpy
+    # scatter per pass puts its pixels on the full raster grid.
+    img = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sp = wp * channels
+        nbytes = hp * (sp + 1)
+        if pos + nbytes > len(buf):
+            raise ValueError("corrupt PNG: Adam7 stream truncated")
+        mat = buf[pos : pos + nbytes].reshape(hp, sp + 1)
+        pos += nbytes
+        img[y0::dy, x0::dx, :] = _defilter(mat, bpp).reshape(hp, wp, channels)
+    if pos != len(buf):
+        raise ValueError(
+            f"corrupt PNG: {len(buf) - pos} trailing bytes after Adam7 passes"
+        )
+    return width, height, channels, img.tobytes()
 
 
 def with_png_blob(docs: DataFrame) -> DataFrame:
@@ -333,6 +380,148 @@ def decode_image_meta_filtered(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_png_blob_filtered(docs).mapInPandas(op, DECODE_SCHEMA)
+
+
+def png_encode_adam7(
+    width: int, height: int, channels: int, pixels: bytes, row_filter: int = 2
+) -> bytes:
+    """Minimal REAL interlaced PNG writer (stdlib only): IHDR
+    interlace=1, pixels split into the seven Adam7 passes, each pass
+    filtered as an INDEPENDENT sub-image (its first row's "above" is
+    zero — the spec's rule), all passes deflated into one IDAT.
+    ``row_filter``: 0 (None) or 2 (Up within the pass). Readable by
+    any standards-compliant viewer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if row_filter not in (0, 2):
+        raise ValueError(f"unsupported encode filter {row_filter}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    parts = []
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sub = img[y0::dy, x0::dx, :].reshape(hp, wp * channels)
+        ser = np.empty((hp, wp * channels + 1), dtype=np.uint8)
+        ser[:, 0] = row_filter
+        if row_filter == 0:
+            ser[:, 1:] = sub
+        else:  # Up within the pass: row r stores sub[r] - sub[r-1]
+            ser[0, 1:] = sub[0]
+            ser[1:, 1:] = sub[1:] - sub[:-1]  # uint8 wraps mod 256
+        parts.append(ser.tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# Position weight modulus for the Adam7 content check: pixel_sum alone
+# is PERMUTATION-INVARIANT, so a decoder that de-filters correctly but
+# scatters a pass to the wrong grid cells would still match it. The
+# weighted digest sum((i % ADAM7_W_MOD + 1) * px[i]) over RASTER order
+# breaks under any misplacement. 9973 is prime (no resonance with the
+# 1..32-px strides); max term 9973*255*3072 per doc stays far inside
+# int64.
+ADAM7_W_MOD = 9973
+
+
+def with_png_blob_adam7(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) ADAM7-INTERLACED at the filtered ladder's
+    geometry: 16..32 px per side (width from the first text byte,
+    height from the last), truecolor, pixel i =
+    (byte[i mod n] + (i // 5) * 11) mod 256, each pass Up-filtered
+    independently before the shared deflate. Same CPU-bound
+    round-robin repartition rationale as with_png_blob_filtered."""
+    encode = png_encode_adam7  # bind by value for the worker closure
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                w = 16 + (b[0] % 17) if n else 16
+                h = 16 + (b[-1] % 17) if n else 16
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                px = ((src + (i // 5) * 11) % 256).astype(np.uint8).tobytes()
+                rows.append((doc_id, encode(w, h, 3, px, row_filter=2)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, blob binary")
+
+
+def decode_image_meta_adam7(docs: DataFrame) -> DataFrame:
+    """decode_image_meta over the Adam7 blobs, with the
+    POSITION-WEIGHTED digest alongside pixel_sum: de-interlacing must
+    put every pass's pixels on exactly the right raster cells for
+    pos_weighted_sum to match the oracle's raster-order recompute —
+    a decoder that merely concatenates de-filtered passes (right
+    values, wrong order) fails it."""
+    decode = png_decode
+    wmod = ADAM7_W_MOD
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, ch, px = decode(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                i = np.arange(arr.size, dtype=np.int64)
+                psum = int(arr.sum())
+                wsum = int(((i % wmod + 1) * arr).sum())
+                rows.append((doc_id, w, h, ch, w * h, psum, wsum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_pixels", "pixel_sum", "pos_weighted_sum",
+                ],
+            )
+            rows = []
+
+    return with_png_blob_adam7(docs).mapInPandas(
+        op, DECODE_SCHEMA + ", pos_weighted_sum long"
+    )
 
 
 AUDIO_SCHEMA = "doc_id long, window_idx int, mean_amplitude double, peak_amplitude int"

@@ -109,6 +109,61 @@ def multimodal_image_decode_filtered(spark, sf_dir):
 
 
 @query(
+    "multimodal_image_decode_adam7",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             16 + ascii(substr(text, 1, 1)) % 17 AS width,
+             16 + ascii(substr(text, length(text), 1)) % 17 AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, r.i,
+             ((CASE WHEN n = 0 THEN 0
+                    ELSE ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) END)
+                + (r.i // 5) * 11) % 256 AS v
+      FROM params,
+           UNNEST(range(0, CAST(width AS BIGINT) * height * 3)) AS r(i))
+    SELECT doc_id, width, height, 3 AS channels,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM((r_mod + 1) * v) AS BIGINT) AS pos_weighted_sum
+    FROM (SELECT *, i % 9973 AS r_mod FROM px)
+    GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_image_decode_adam7(spark, sf_dir):
+    """The INTERLACED-PNG ladder rung (VERDICT r9 #6): same 16..32 px
+    filtered geometry, but the pixels are split into the seven Adam7
+    passes, each pass Up-filtered as an independent sub-image, all
+    passes in one deflate stream (IHDR interlace=1 — the remaining
+    real-world structural variant after r9's full de-filter ladder).
+    The decoder must CRC-walk, inflate, slice the stream by the pass
+    grid's per-pass geometry, de-filter each pass with a zero first
+    "above" row, and SCATTER each pass onto the right raster cells.
+    pixel_sum alone is permutation-invariant, so the oracle also
+    recomputes pos_weighted_sum = sum((i % 9973 + 1) * px[i]) in
+    raster order — a decoder that de-filters correctly but misplaces
+    a pass fails the hash. Same Arrow-batched two-stage mapInPandas
+    plumbing (map-only plan + one deliberate round-robin Exchange) as
+    the filtered rung; pixel rule: px[i] = (byte[i mod n] +
+    (i // 5) * 11) mod 256."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_image_meta_adam7
+
+    out = decode_image_meta_adam7(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "n_pixels",
+        "pixel_sum",
+        "pos_weighted_sum",
+    )
+
+
+@query(
     "multimodal_audio_windows",
     oracle="""
     WITH bytes AS (

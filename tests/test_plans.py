@@ -133,6 +133,13 @@ def test_media_decode_queries_are_map_only(spark):
     assert filt.count("Exchange") == 1, "filtered decode: one deliberate repartition"
     assert "RoundRobinPartitioning" in filt
     assert "MapInPandas" in filt
+    # Adam7 rung (r10): same CPU-bound codec shape — exactly the one
+    # deliberate round-robin Exchange, Arrow-batched stages, no other
+    # shuffle.
+    adam = executed_plan(Q["multimodal_image_decode_adam7"].fn(spark, SF_SMOKE))
+    assert adam.count("Exchange") == 1, "adam7 decode: one deliberate repartition"
+    assert "RoundRobinPartitioning" in adam
+    assert "MapInPandas" in adam
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
