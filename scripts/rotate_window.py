@@ -60,21 +60,18 @@ WINDOW = 50
 # query; entries drain naturally (remove once re-verified green).
 # r8: ann_recall_report's exact side gained an explicit F.broadcast
 # (VERDICT r7 #3) — re-verified green in CORRECTNESS_r08, drained.
-# r9: the three blob generators gained the non-ASCII guard and
-# wav/avi decoders gained duplicate-chunk / 00dc rejection
-# (ADVICE r8) — no behavior change on the ASCII corpus, but the
-# decode queries' code paths were touched, so their evidence is
-# superseded until a fresh green row lands.
+# r9: the five touched decode queries + cms_heavy_hitters — all six
+# re-verified green in CORRECTNESS_r09, drained.
+# r10: png_decode gained Adam7 interlace support and its de-filter
+# loop moved to the shared _defilter helper (VERDICT r9 #6) —
+# behavior-preserving on interlace-0 files (pinned by the spec
+# round-trip tests), but the three PNG-decoding queries' code paths
+# changed, so their r9 evidence is superseded until a fresh green
+# row lands.
 TOUCHED = (
-    "multimodal_audio_decode",
-    "multimodal_video_decode",
-    "multimodal_frame_dup_groups",
     "multimodal_image_meta",
+    "multimodal_image_decode_filtered",
     "multimodal_image_dup_groups",
-    # r9: cms_heavy_hitters rebuilt its cells from pre-aggregated key
-    # counts (bit-identical by the cell-sum identity, 3.7x faster) —
-    # its r8 green row certifies the per-row-digest code.
-    "cms_heavy_hitters",
 )
 
 PRIORITY_HINTS = (
