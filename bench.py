@@ -85,6 +85,10 @@ HEADLINE = [
     "multimodal_image_decode_filtered",
     "multimodal_audio_envelope",
     "multimodal_video_motion",
+    # r10: the interlaced (Adam7) PNG rung — seven independently
+    # filtered passes scattered back to the raster, content-checked by
+    # a position-weighted digest; same map-only CPU-bound codec shape.
+    "multimodal_image_decode_adam7",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing
