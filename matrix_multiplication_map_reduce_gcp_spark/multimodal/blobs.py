@@ -111,9 +111,12 @@ def _defilter(mat, bpp: int):
     Sub, Up) are one numpy op per ROW — uint8 add wraps mod 256
     natively, and Sub's left-recursion is a per-channel-lane cumsum —
     so the hot path costs O(rows) numpy calls, not O(pixel_bytes)
-    Python iterations. Average and Paeth keep per-byte scalar loops:
-    both predictors depend on the RECONSTRUCTED left byte, an
-    inherently sequential recurrence (and foreign-file-only here —
+    Python iterations. Average and Paeth depend on the RECONSTRUCTED
+    left byte — an inherently sequential recurrence along the row —
+    but are vectorized ACROSS the channel lanes (one numpy step per
+    PIXEL column, not per byte), so a foreign file using them costs
+    O(width) interpreter iterations per row instead of
+    O(width·channels) (ADVICE r9; they remain foreign-file-only —
     our encoders emit 0/2)."""
     import numpy as np
 
@@ -136,20 +139,31 @@ def _defilter(mat, bpp: int):
         elif ftype == 2:  # Up: + above (uint8 add wraps mod 256)
             cur = line + prev
         elif ftype == 3:  # Average: + floor((left + above)/2)
-            cur = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+            ln = line.reshape(-1, bpp).astype(np.int64)
+            pv = prev.reshape(-1, bpp).astype(np.int64)
+            rec = np.empty_like(ln)
+            left = np.zeros(bpp, dtype=np.int64)
+            for xi in range(ln.shape[0]):
+                left = (ln[xi] + (left + pv[xi]) // 2) & 0xFF
+                rec[xi] = left
+            cur = rec.astype(np.uint8).reshape(-1)
         else:  # Paeth predictor
-            cur = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+            ln = line.reshape(-1, bpp).astype(np.int64)
+            pv = prev.reshape(-1, bpp).astype(np.int64)
+            rec = np.empty_like(ln)
+            a = np.zeros(bpp, dtype=np.int64)  # reconstructed left
+            c = np.zeros(bpp, dtype=np.int64)  # reconstructed upper-left
+            for xi in range(ln.shape[0]):
+                b = pv[xi]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (ln[xi] + pred) & 0xFF
+                rec[xi] = a
+                c = b
+            cur = rec.astype(np.uint8).reshape(-1)
         out[r] = cur
         prev = cur
     return out
