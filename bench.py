@@ -89,6 +89,10 @@ HEADLINE = [
     # filtered passes scattered back to the raster, content-checked by
     # a position-weighted digest; same map-only CPU-bound codec shape.
     "multimodal_image_decode_adam7",
+    # r10: the entropy-coded rung — REAL baseline JPEG encode+decode
+    # (T.81: batched DCT, Annex-K Huffman, byte stuffing, LUT
+    # decoder); the most CPU-intensive codec stage in the ladder.
+    "multimodal_jpeg_roundtrip",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

@@ -538,6 +538,115 @@ def decode_image_meta_adam7(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_jpeg_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a REAL baseline JPEG (SOF0,
+    4:4:4, Annex-K Huffman entropy coding, flat quant table) at the
+    ladder geometry: 16..32 px per side (width from the first text
+    byte, height from the last), truecolor, pixel i =
+    (byte[i mod n] + (i // 3) * 7) mod 256. ``text`` rides along so
+    the round-trip stage can regenerate the EXPECTED pixels and bound
+    reconstruction error against the true source, not an
+    encode/decode fixpoint. Same CPU-bound round-robin repartition
+    rationale as with_png_blob_filtered — entropy coding is the most
+    CPU-intensive codec stage in the ladder."""
+    from .jpeg import jpeg_encode
+
+    encode = jpeg_encode  # bind by value for the worker closure
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                w = 16 + (b[0] % 17) if n else 16
+                h = 16 + (b[-1] % 17) if n else 16
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                px = ((src + (i // 3) * 7) % 256).astype(np.uint8).tobytes()
+                rows.append((doc_id, text, encode(w, h, px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "n_pixels long, within_tolerance boolean"
+)
+
+
+def decode_jpeg_roundtrip(docs: DataFrame) -> DataFrame:
+    """Decode the real JPEG blobs and bound reconstruction error
+    against the regenerated SOURCE pixels: within_tolerance =
+    (max abs pixel error <= JPEG_TOL). JPEG is lossy, so the oracle
+    cannot recompute pixel values in SQL; this is the repo's
+    approx-sketch contract instead — geometry columns are
+    SQL-recomputed exactly and the oracle expects within_tolerance
+    TRUE for every doc, so a codec regression (wrong Huffman table,
+    misplaced block, broken predictor) is a driver-red hash mismatch,
+    not a silent quality drift. The pytest side additionally pins the
+    measured error ceiling and real-compression behavior."""
+    from .jpeg import JPEG_TOL, jpeg_decode
+
+    decode = jpeg_decode
+    tol = JPEG_TOL
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                w, h, ch, px = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                expected = ((src + (i // 3) * 7) % 256).astype(np.int64)
+                got = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                max_err = int(np.abs(got - expected).max()) if m else 0
+                rows.append(
+                    (doc_id, w, h, ch, w * h, bool(max_err <= tol))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_pixels", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_jpeg_blob(docs).mapInPandas(op, JPEG_ROUNDTRIP_SCHEMA)
+
+
 AUDIO_SCHEMA = "doc_id long, window_idx int, mean_amplitude double, peak_amplitude int"
 
 

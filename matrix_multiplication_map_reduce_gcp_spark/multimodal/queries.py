@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from .blobs import decode_image_meta, sample_frames
+from .jpeg import JPEG_TOL  # noqa: F401 — resolved in docstrings
 
 
 @query(
@@ -160,6 +161,50 @@ def multimodal_image_decode_adam7(spark, sf_dir):
         "n_pixels",
         "pixel_sum",
         "pos_weighted_sum",
+    )
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           16 + ascii(substr(text, 1, 1)) % 17 AS width,
+           16 + ascii(substr(text, length(text), 1)) % 17 AS height,
+           3 AS channels,
+           CAST(16 + ascii(substr(text, 1, 1)) % 17 AS BIGINT)
+             * (16 + ascii(substr(text, length(text), 1)) % 17) AS n_pixels,
+           TRUE AS within_tolerance
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """The ENTROPY-CODED rung of the codec ladder (narrows the
+    long-documented 'compressed-entropy codecs' boundary): REAL
+    baseline JPEG — forward DCT, quantization, zigzag, DC prediction,
+    run/size AC symbols, the spec's Annex-K Huffman tables, byte
+    stuffing, full JFIF marker frame — encoded AND decoded from the
+    T.81 spec in pure numpy/stdlib (multimodal/jpeg.py), over the
+    ladder's 16..32 px geometry. JPEG is lossy, so the content
+    contract is the repo's approx-sketch pattern: geometry columns
+    are SQL-recomputed exactly; within_tolerance = (max abs pixel
+    error vs the REGENERATED source <= {JPEG_TOL}) and the oracle
+    expects TRUE per doc — a Huffman/predictor/block-placement bug
+    reds the driver hash. Flat quant table keeps the bound tight
+    (measured max err 2); pytest pins the measured ceiling and that
+    smooth content genuinely compresses below raw size. Same
+    Arrow-batched two-stage mapInPandas + one deliberate round-robin
+    Exchange shape as the other CPU-bound rungs."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_jpeg_roundtrip
+
+    out = decode_jpeg_roundtrip(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        "n_pixels",
+        "within_tolerance",
     )
 
 

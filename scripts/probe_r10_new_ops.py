@@ -25,6 +25,7 @@ from bench import run_noop  # noqa: E402
 
 QUERIES = (
     "multimodal_image_decode_adam7",
+    "multimodal_jpeg_roundtrip",
     "multimodal_image_decode_filtered",
     "multimodal_image_meta",
     "multimodal_image_dup_groups",

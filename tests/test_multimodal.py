@@ -561,6 +561,158 @@ def test_adam7_blobs_are_real_files(spark):
             assert px == expected, f"doc {r.doc_id}: pixel rule mismatch"
 
 
+def test_jpeg_codec_roundtrip_and_bound():
+    """Real baseline JPEG (T.81): encode -> decode across geometries
+    (odd sizes exercise the edge-replicated padding + crop) recovers
+    pixels within the measured flat-quant bound — the observed
+    ceiling is 2; JPEG_TOL=8 is the pinned contract margin."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.jpeg import (
+        JPEG_TOL,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    worst = 0
+    for w, h in [(16, 16), (17, 23), (32, 32), (8, 8), (1, 1), (9, 31)]:
+        px = rng.randint(0, 256, size=w * h * 3).astype(np.uint8).tobytes()
+        blob = jpeg_encode(w, h, px)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        rw, rh, rch, rpx = jpeg_decode(blob)
+        assert (rw, rh, rch) == (w, h, 3)
+        err = int(np.abs(
+            np.frombuffer(rpx, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        ).max())
+        worst = max(worst, err)
+    assert worst <= 4, f"flat-quant ceiling moved: {worst}"
+    assert worst <= JPEG_TOL // 2  # contract margin stays real
+
+
+def test_jpeg_byte_stuffing_and_custom_quant():
+    """Seed 0 noise measurably produces 0xFF bytes in the entropy
+    stream, so the stuffed-byte path (FF 00 write, destuff read) is
+    exercised end to end; and a NON-flat quant table must round-trip
+    through DQT — a decoder that ignored the parsed table would be
+    wildly off, the pinned bound is the measured 9 (+margin)."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    r = np.random.RandomState(0)
+    px = r.randint(0, 256, size=16 * 16 * 3).astype(np.uint8).tobytes()
+    blob = jpeg_encode(16, 16, px)
+    assert b"\xff\x00" in blob[blob.index(b"\xff\xda"):], (
+        "expected byte stuffing in the seed-0 entropy stream"
+    )
+    _, _, _, rpx = jpeg_decode(blob)
+    assert int(np.abs(
+        np.frombuffer(rpx, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    ).max()) <= 4
+
+    q = np.full((8, 8), 4, dtype=np.int64)
+    q[0, 0] = 2
+    worst = 0
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        px = r.randint(0, 256, size=24 * 24 * 3).astype(np.uint8).tobytes()
+        rw, rh, _, rpx = jpeg_decode(jpeg_encode(24, 24, px, quant=q))
+        assert (rw, rh) == (24, 24)
+        worst = max(worst, int(np.abs(
+            np.frombuffer(rpx, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        ).max()))
+    assert worst <= 16, worst
+
+
+def test_jpeg_compresses_smooth_content():
+    """The entropy coder must actually compress: a vertical gradient
+    (long zero runs after the DCT) encodes well below raw size and
+    reconstructs near-exactly."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    w = h = 32
+    i = np.arange(w * h * 3)
+    px = (((i // 3) // w) * 4 % 256).astype(np.uint8).tobytes()
+    blob = jpeg_encode(w, h, px)
+    assert len(blob) < len(px), (len(blob), len(px))
+    _, _, _, rpx = jpeg_decode(blob)
+    assert int(np.abs(
+        np.frombuffer(rpx, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    ).max()) <= 2
+
+
+def test_jpeg_decoder_envelope_is_checked():
+    """Out-of-envelope or corrupt streams raise instead of decoding
+    silently wrong: bad SOI, progressive SOF2, restart intervals,
+    marker inside scan, truncated entropy stream, missing EOI."""
+    import struct
+
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    px = np.random.RandomState(1).randint(
+        0, 256, size=16 * 16 * 3).astype(np.uint8).tobytes()
+    blob = jpeg_encode(16, 16, px)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x00" + blob[2:])
+    # SOF0 -> SOF2 (progressive): marker byte C0 -> C2.
+    sof_at = blob.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(blob[:sof_at + 1] + b"\xc2" + blob[sof_at + 2:])
+    # DRI segment injected before SOS.
+    sos_at = blob.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_decode(blob[:sos_at] + dri + blob[sos_at:])
+    # A marker value inside the scan body.
+    with pytest.raises(ValueError, match="inside scan|truncated|Huffman"):
+        jpeg_decode(blob[:sos_at + 20] + b"\xff\xc4" + blob[sos_at + 22:])
+    # Truncated: cut the stream well before EOI, then re-terminate.
+    with pytest.raises(ValueError, match="truncated|Huffman|dangling"):
+        jpeg_decode(blob[:len(blob) // 2] + b"\xff\xd9")
+    with pytest.raises(ValueError, match="EOI|marker"):
+        jpeg_decode(blob[:-2])
+
+
+def test_jpeg_blobs_roundtrip_on_spark(spark):
+    """The registered round-trip op end to end on the corpus: real
+    JFIF blobs at the documented geometry, decoded and bounded
+    against regenerated source pixels — every doc within JPEG_TOL."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_jpeg_roundtrip,
+        with_jpeg_blob,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    blobs = with_jpeg_blob(docs).limit(5).collect()
+    for r in blobs:
+        assert bytes(r.blob)[:2] == b"\xff\xd8"
+        assert bytes(r.blob)[-2:] == b"\xff\xd9"
+    out = decode_jpeg_roundtrip(docs)
+    rows = out.collect()
+    assert rows and all(r.within_tolerance for r in rows)
+    for r in rows:
+        assert 16 <= r.width <= 32 and 16 <= r.height <= 32
+        assert r.channels == 3 and r.n_pixels == r.width * r.height
+
+
 def test_filtered_png_blobs_are_real_files(spark):
     """Every large-geometry filtered blob is a standards-compliant PNG
     at the documented geometry rule, decodable by the full de-filter

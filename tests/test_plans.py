@@ -140,6 +140,12 @@ def test_media_decode_queries_are_map_only(spark):
     assert adam.count("Exchange") == 1, "adam7 decode: one deliberate repartition"
     assert "RoundRobinPartitioning" in adam
     assert "MapInPandas" in adam
+    # JPEG round-trip (r10): entropy coding is the most CPU-intensive
+    # rung — same single deliberate round-robin Exchange, nothing else.
+    jpg = executed_plan(Q["multimodal_jpeg_roundtrip"].fn(spark, SF_SMOKE))
+    assert jpg.count("Exchange") == 1, "jpeg roundtrip: one deliberate repartition"
+    assert "RoundRobinPartitioning" in jpg
+    assert "MapInPandas" in jpg
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
