@@ -93,6 +93,14 @@ HEADLINE = [
     # (T.81: batched DCT, Annex-K Huffman, byte stuffing, LUT
     # decoder); the most CPU-intensive codec stage in the ladder.
     "multimodal_jpeg_roundtrip",
+    # r10 second wave: the three remaining entropy-coded-codec rungs —
+    # lossless GIF/LZW (variable-width codes, exact-content oracle),
+    # compressed audio (IMA ADPCM blocks), and compressed video
+    # (Motion-JPEG AVI, per-frame entropy decode). All the same
+    # map-only Arrow-batched codec shape.
+    "multimodal_gif_decode",
+    "multimodal_adpcm_roundtrip",
+    "multimodal_mjpeg_frames",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

@@ -1256,3 +1256,492 @@ def video_frame_ahash(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_avi_blob(docs).mapInPandas(op, VIDEO_AHASH_SCHEMA)
+
+
+GIF_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_px long, "
+    "index_sum long, pos_weighted_sum long, rgb_sum long"
+)
+
+
+def with_gif_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a REAL GIF89a (256-entry global
+    color table, variable-width LZW entropy coding — multimodal/gif.py)
+    at the ladder geometry: width = 16 + first_byte % 17, height =
+    16 + last_byte % 17, index i = (byte[(i//5) mod n] + i//64) % 256.
+    The run-of-5 structure makes LZW genuinely compress (pinned in
+    tests); the rule stays SQL-recomputable so the oracle checks every
+    decoded byte. Same CPU-bound round-robin repartition rationale as
+    with_jpeg_blob — entropy coding dominates the rung's cost."""
+    from .gif import gif_encode
+
+    encode = gif_encode  # bind by value for the worker closure
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                w = 16 + (b[0] % 17) if n else 16
+                h = 16 + (b[-1] % 17) if n else 16
+                m = w * h
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[
+                        (i // 5) % n
+                    ]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                idx = ((src + i // 64) % 256).astype(np.uint8).tobytes()
+                rows.append((doc_id, text, encode(w, h, idx)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_gif_meta(docs: DataFrame) -> DataFrame:
+    """Decode the real GIF blobs and report EXACT content sums over
+    the decoded index stream AND the decoded color table: index_sum /
+    pos_weighted_sum cover the LZW stream byte for byte, rgb_sum maps
+    every index through the palette actually read from the file —
+    unlike the lossy JPEG rung, every output column here is
+    SQL-recomputable, so the driver hash certifies the whole decode
+    path (bit unpacking, width bumps, sub-block framing, color
+    table) with no tolerance flag."""
+    from .gif import gif_decode
+
+    decode = gif_decode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, palette, indices = decode(bytes(blob))
+                idx = np.frombuffer(indices, dtype=np.uint8).astype(np.int64)
+                pal_sums = (
+                    np.frombuffer(palette, dtype=np.uint8)
+                    .reshape(256, 3)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                m = idx.size
+                pos = np.arange(m, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id, w, h, m,
+                        int(idx.sum()),
+                        int((pos * idx).sum()),
+                        int(pal_sums[idx].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_px",
+                    "index_sum", "pos_weighted_sum", "rgb_sum",
+                ],
+            )
+            rows = []
+
+    return with_gif_blob(docs).mapInPandas(op, GIF_DECODE_SCHEMA)
+
+
+ADPCM_ROUNDTRIP_SCHEMA = (
+    "doc_id long, sample_rate int, n_blocks int, n_samples long, "
+    "first_sample int, within_tolerance boolean"
+)
+
+
+def with_adpcm_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a REAL IMA-ADPCM WAV (format tag
+    0x11, 256-byte blocks, fact chunk — multimodal/adpcm.py). Signal:
+    a varying-slope triangle wave, smooth everywhere so the 4-bit
+    codes track it — A_k = cumsum(1 + byte[k mod n] % 13), v = A_k mod
+    4096 reflected to a triangle, sample_k = (tri - 1024) * 8. Geometry:
+    sample_rate = 8000 * (1 + first_byte % 3), n_blocks = 1 + last_byte
+    % 4, n_samples = n_blocks * 505 (exact multiple — no final-block
+    padding). ``text`` rides along so the round-trip stage regenerates
+    the EXPECTED samples. The first sample 8*(1 + first_byte % 13) -
+    8192 is stored EXACTLY in the block header per the spec, giving the
+    oracle one SQL-recomputable CONTENT column even though ADPCM is
+    lossy."""
+    from .adpcm import SAMPLES_PER_BLOCK, adpcm_wav_encode
+
+    encode = adpcm_wav_encode
+    spb = SAMPLES_PER_BLOCK
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                rate = 8000 * (1 + (b[0] % 3)) if n else 8000
+                n_blocks = 1 + (b[-1] % 4) if n else 1
+                m = n_blocks * spb
+                k = np.arange(m, dtype=np.int64)
+                d = (
+                    1
+                    + np.frombuffer(b, dtype=np.uint8).astype(np.int64)[
+                        k % n
+                    ]
+                    % 13
+                    if n
+                    else np.ones(m, dtype=np.int64)
+                )
+                v = np.cumsum(d) % 4096
+                tri = np.where(v < 2048, v, 4095 - v)
+                s = ((tri - 1024) * 8).astype(np.int64)
+                rows.append((doc_id, text, encode(rate, s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_adpcm_roundtrip(docs: DataFrame) -> DataFrame:
+    """Decode the real IMA-ADPCM WAVs and bound reconstruction against
+    the regenerated SOURCE samples: within_tolerance = (max abs sample
+    error <= ADPCM_TOL). Same contract as the JPEG rung — geometry and
+    the exactly-stored block-header first sample are SQL-recomputed;
+    a step-table slip, nibble-order swap, or index-clamp bug reds the
+    driver hash via within_tolerance (a broken path errs in the
+    thousands, two orders past the transient bound)."""
+    from .adpcm import ADPCM_TOL, SAMPLES_PER_BLOCK, adpcm_wav_decode
+
+    decode = adpcm_wav_decode
+    spb = SAMPLES_PER_BLOCK
+    tol = ADPCM_TOL
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                rate, n_samples, n_blocks, dec = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                m = n_samples
+                k = np.arange(m, dtype=np.int64)
+                d = (
+                    1
+                    + np.frombuffer(b, dtype=np.uint8).astype(np.int64)[
+                        k % n
+                    ]
+                    % 13
+                    if n
+                    else np.ones(m, dtype=np.int64)
+                )
+                v = np.cumsum(d) % 4096
+                tri = np.where(v < 2048, v, 4095 - v)
+                expected = (tri - 1024) * 8
+                got = np.asarray(dec, dtype=np.int64)
+                max_err = int(np.abs(got - expected).max()) if m else 0
+                rows.append(
+                    (
+                        doc_id, rate, n_blocks, n_samples,
+                        int(got[0]) if m else 0,
+                        bool(max_err <= tol),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_blocks", "n_samples",
+                    "first_sample", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_adpcm_blob(docs).mapInPandas(op, ADPCM_ROUNDTRIP_SCHEMA)
+
+
+MJPEG_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "n_frames int, fps int, within_tolerance boolean"
+)
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+# Module-level binding, NOT a call-time relative import:
+# mjpeg_avi_decode executes INSIDE worker closures, and a `from .jpeg
+# import ...` at call time needs the package importable on the
+# worker's sys.path (it is not when cwd != repo root). Both this
+# module and jpeg.py are registered pickle-by-value, so a global
+# reference ships the decoder inside the closure.
+from .jpeg import jpeg_decode as _jpeg_frame_decode  # noqa: E402
+
+
+def mjpeg_avi_encode(width: int, height: int, fps: int, jpeg_frames: list) -> bytes:
+    """Minimal REAL Motion-JPEG AVI writer (stdlib only): same
+    RIFF('AVI ') / hdrl / movi shape as avi_encode, but the vids
+    stream declares fccHandler='MJPG' + biCompression='MJPG' and each
+    frame is a COMPRESSED '00dc' chunk holding a complete baseline
+    JPEG (multimodal/jpeg.py) — the classic MJPEG-in-AVI layout that
+    standards-compliant players (ffmpeg, VLC) accept."""
+    import struct
+
+    max_frame = max((len(f) for f in jpeg_frames), default=0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            tag + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_frame * fps, 0, 0, len(jpeg_frames),
+        0, 1, max_frame, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(jpeg_frames), max_frame, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG_FOURCC,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mjpeg_avi_decode(data: bytes):
+    """Minimal REAL MJPEG-AVI reader: validates the RIFF tree the same
+    way as avi_decode, requires biCompression='MJPG' (raw '00db'
+    frames raise — the mirror-image guard of avi_decode's '00dc'
+    rejection), cross-checks fps and frame counts, then ENTROPY-
+    DECODES every '00dc' chunk through the baseline JPEG decoder and
+    verifies each frame's geometry against the stream header. Returns
+    (width, height, fps, n_frames, frames) with frames RGB byte
+    buffers."""
+    import struct
+
+    jpeg_decode = _jpeg_frame_decode
+
+    if data[:4] != b"RIFF":
+        raise ValueError("not an AVI: bad RIFF signature")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size != len(data) - 8:
+        raise ValueError(
+            f"corrupt AVI: RIFF declares {riff_size}, have {len(data) - 8}"
+        )
+    if data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing form type")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + ln > end:
+                raise ValueError(f"corrupt AVI: chunk {tag!r} truncated")
+            yield tag, body_start, ln
+            pos = body_start + ln + (ln & 1)
+
+    avih = strh = strf = None
+    frame_chunks = []
+
+    def scan(buf, pos, end):
+        nonlocal avih, strh, strf
+        for tag, start, ln in walk(buf, pos, end):
+            if tag == b"LIST":
+                scan(buf, start + 4, start + ln)
+            elif tag == b"avih":
+                avih = struct.unpack("<14I", buf[start : start + 56])
+            elif tag == b"strh":
+                strh = struct.unpack(
+                    "<4s4sIHHIIIIIIII4h", buf[start : start + 56]
+                )
+            elif tag == b"strf":
+                strf = struct.unpack("<IiiHHIIiiII", buf[start : start + 40])
+            elif tag == b"00dc":
+                frame_chunks.append((start, ln))
+            elif tag == b"00db":
+                raise ValueError(
+                    "unsupported AVI: raw '00db' frame in an MJPEG "
+                    "stream (compressed '00dc' JPEG frames only)"
+                )
+
+    scan(data, 12, len(data))
+    if avih is None or strh is None or strf is None:
+        raise ValueError("invalid AVI: missing avih/strh/strf header")
+    usec, _, _, _, total_frames, _, _n_streams, _, width, height = avih[:10]
+    if strh[0] != b"vids" or strh[1] != b"MJPG":
+        raise ValueError("unsupported AVI: first stream is not MJPG video")
+    scale, rate, length = strh[6], strh[7], strh[9]
+    bit_count, compression = strf[4], strf[5]
+    if compression != _MJPG_FOURCC or bit_count != 24:
+        raise ValueError("unsupported AVI: need 24-bit MJPG frames")
+    if scale == 0 or rate % scale:
+        raise ValueError("corrupt AVI: non-integer frame rate")
+    fps = rate // scale
+    if usec != 1_000_000 // fps:
+        raise ValueError(
+            "corrupt AVI: dwMicroSecPerFrame disagrees with rate/scale"
+        )
+    if len(frame_chunks) != total_frames or length != total_frames:
+        raise ValueError(
+            f"corrupt AVI: {len(frame_chunks)} movi frames, header "
+            f"declares {total_frames}/{length}"
+        )
+    frames = []
+    for start, ln in frame_chunks:
+        w, h, _ch, px = jpeg_decode(data[start : start + ln])
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"corrupt AVI: frame geometry {w}x{h} disagrees with "
+                f"stream header {width}x{height}"
+            )
+        frames.append(px)
+    return width, height, fps, total_frames, frames
+
+
+def with_mjpeg_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a REAL MJPEG AVI: width =
+    16 + first_byte % 5, height = 16 + last_byte % 5, fps = 5 * (1 +
+    byte_length % 4), n_frames = 2 + (first_byte + last_byte) % 3,
+    frame f pixel i = (byte[i mod n] + (i//3)*7 + f*11) % 256 — the
+    JPEG rung's smooth content family shifted per frame so frame
+    ORDER is checkable. ``text`` rides along for the round-trip
+    stage."""
+    from .jpeg import jpeg_encode
+
+    encode_frame = jpeg_encode
+    encode_avi = mjpeg_avi_encode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                w = 16 + (b[0] % 5) if n else 16
+                h = 16 + (b[-1] % 5) if n else 16
+                fps = 5 * (1 + n % 4)
+                nf = 2 + ((b[0] + b[-1]) % 3) if n else 2
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                base = src + (i // 3) * 7
+                frames = [
+                    encode_frame(
+                        w, h, ((base + f * 11) % 256).astype(np.uint8).tobytes()
+                    )
+                    for f in range(nf)
+                ]
+                rows.append((doc_id, text, encode_avi(w, h, fps, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
+    """Decode the real MJPEG AVIs and bound every frame's
+    reconstruction against the regenerated per-frame source:
+    one output row per FRAME (doc_id, frame_idx, geometry, fps,
+    within_tolerance) — a dropped, reordered, or misdecoded frame
+    either changes the row set or reds within_tolerance, so the
+    driver hash certifies container walking AND per-frame entropy
+    decoding together."""
+    from .jpeg import JPEG_TOL
+
+    decode = mjpeg_avi_decode
+    tol = JPEG_TOL
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                w, h, fps, nf, frames = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                m = w * h * 3
+                i = np.arange(m, dtype=np.int64)
+                src = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(m, dtype=np.int64)
+                )
+                base = src + (i // 3) * 7
+                for f, px in enumerate(frames):
+                    expected = (base + f * 11) % 256
+                    got = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                    max_err = int(np.abs(got - expected).max()) if m else 0
+                    rows.append(
+                        (doc_id, f, w, h, nf, fps, bool(max_err <= tol))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "n_frames", "fps", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_mjpeg_blob(docs).mapInPandas(op, MJPEG_SCHEMA)

@@ -209,6 +209,161 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text, length(text) AS n,
+             16 + ascii(substr(text, 1, 1)) % 17 AS width,
+             16 + ascii(substr(text, length(text), 1)) % 17 AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, r.i AS i,
+             (ascii(substr(text, CAST((r.i // 5) % n AS INT) + 1, 1))
+              + r.i // 64) % 256 AS idx
+      FROM params,
+           UNNEST(range(0, CAST(width AS BIGINT) * height)) AS r(i))
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(idx) AS BIGINT) AS index_sum,
+           CAST(SUM(i * idx) AS BIGINT) AS pos_weighted_sum,
+           CAST(SUM(idx + (idx * 7) % 256 + (idx * 13) % 256) AS BIGINT)
+             AS rgb_sum
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_gif_decode(spark, sf_dir):
+    """The LOSSLESS entropy-coded rung of the codec ladder: REAL GIF89a
+    — 256-entry global color table, variable-width LZW (9→12 bits,
+    LSB-first packing, CLEAR/EOI, table reset), 255-byte sub-block
+    framing — encoded AND decoded from the spec in pure stdlib
+    (multimodal/gif.py). Unlike JPEG's tolerance flag, every column
+    here is exact: index_sum / pos_weighted_sum re-derive the decoded
+    LZW stream byte for byte and rgb_sum maps each index through the
+    color table actually read from the file, so a width-bump
+    off-by-one, a mispacked bit, or a palette slip is a driver-red
+    hash mismatch. pytest additionally pins the spec's exact code
+    stream for a known input (round-trip tests alone cannot catch a
+    symmetric encoder/decoder bug) and that run-structured content
+    genuinely compresses. Same Arrow-batched two-stage mapInPandas +
+    one deliberate round-robin Exchange shape as the other CPU-bound
+    rungs; at 100 TB this is a map-only stage — no shuffle, no
+    collect, parallelism = input splits."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_gif_meta
+
+    out = decode_gif_meta(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "n_px",
+        "index_sum",
+        "pos_weighted_sum",
+        "rgb_sum",
+    )
+
+
+@query(
+    "multimodal_adpcm_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
+           CAST(1 + ascii(substr(text, length(text), 1)) % 4 AS INT)
+             AS n_blocks,
+           CAST((1 + ascii(substr(text, length(text), 1)) % 4) * 505
+             AS BIGINT) AS n_samples,
+           CAST(8 * (1 + ascii(substr(text, 1, 1)) % 13) - 8192 AS INT)
+             AS first_sample,
+           TRUE AS within_tolerance
+    FROM documents
+    """,
+)
+def multimodal_adpcm_roundtrip(spark, sf_dir):
+    """The compressed-AUDIO rung of the codec ladder (narrows the
+    'adaptive-entropy A/V codecs' boundary from the audio side): REAL
+    IMA ADPCM in WAVE format tag 0x11 — 89-entry step table, 4-bit
+    sign+magnitude adaptation, 256-byte blocks whose 4-byte header
+    stores the first sample EXACTLY plus the carried step index,
+    extended fmt chunk (cbSize=2, wSamplesPerBlock) and the spec's
+    fact chunk — encoded AND decoded in pure stdlib
+    (multimodal/adpcm.py). ADPCM is lossy-but-deterministic, so the
+    contract mixes both ladder patterns: geometry AND the block-header
+    first sample are SQL-exact content columns; within_tolerance =
+    (max abs sample error vs the REGENERATED triangle source <=
+    ADPCM_TOL) and the oracle expects TRUE per doc — a step-table
+    slip, nibble-order swap, or clamp bug errs in the thousands and
+    reds the driver hash. pytest pins the measured error ceiling and
+    the ~3.9:1 real compression. Same Arrow-batched two-stage
+    mapInPandas + round-robin Exchange shape as the other CPU-bound
+    rungs; map-only at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_adpcm_roundtrip
+
+    out = decode_adpcm_roundtrip(d)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        "n_samples",
+        F.col("first_sample").cast("int").alias("first_sample"),
+        "within_tolerance",
+    )
+
+
+@query(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             16 + ascii(substr(text, 1, 1)) % 5 AS width,
+             16 + ascii(substr(text, length(text), 1)) % 5 AS height,
+             5 * (1 + length(text) % 4) AS fps,
+             2 + (ascii(substr(text, 1, 1))
+                  + ascii(substr(text, length(text), 1))) % 3 AS n_frames
+      FROM documents)
+    SELECT doc_id,
+           CAST(r.f AS INT) AS frame_idx,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(fps AS INT) AS fps,
+           TRUE AS within_tolerance
+    FROM params, UNNEST(range(0, CAST(n_frames AS BIGINT))) AS r(f)
+    """,
+)
+def multimodal_mjpeg_frames(spark, sf_dir):
+    """The compressed-VIDEO rung of the codec ladder (narrows the
+    'adaptive-entropy A/V codecs' boundary from the video side): REAL
+    Motion-JPEG AVI — the standard MJPEG-in-AVI layout with
+    fccHandler/biCompression 'MJPG' and every '00dc' chunk a complete
+    baseline JPEG (T.81 entropy coding via multimodal/jpeg.py),
+    container-walked AND per-frame entropy-decoded by
+    multimodal/blobs.py::mjpeg_avi_decode (raw '00db' frames raise —
+    the mirror guard of avi_decode's '00dc' rejection). One output row
+    per FRAME with per-frame within_tolerance vs the regenerated
+    source (frame f shifts the smooth JPEG content family by f*11, so
+    a reordered or dropped frame reds the hash, same discipline as
+    multimodal_video_motion); geometry, fps, and frame counts are
+    SQL-exact. Same Arrow-batched two-stage mapInPandas + round-robin
+    Exchange shape; map-only at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_mjpeg_frames
+
+    out = decode_mjpeg_frames(d)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("fps").cast("int").alias("fps"),
+        "within_tolerance",
+    )
+
+
+@query(
     "multimodal_audio_windows",
     oracle="""
     WITH bytes AS (

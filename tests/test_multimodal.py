@@ -797,3 +797,363 @@ def test_video_motion_kernel_semantics(spark):
         saw_single |= nf == 1
         saw_multi |= nf > 1
     assert saw_multi, "fixture gave no multi-frame clips — vacuous"
+
+
+def test_gif_lzw_roundtrip_and_table_reset():
+    """LZW round-trips noise, runs, and constants, including streams
+    long enough to climb to 12-bit codes and force the spec's
+    table-reset CLEAR (>4096 dictionary entries)."""
+    import random
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for n in (1, 2, 17, 256, 1024):
+        idx = bytes(rng.randrange(256) for _ in range(n))
+        assert lzw_decode(lzw_encode(idx), n) == idx
+    # 60k symbols: multiple 12-bit eras + table resets
+    idx = bytes((i * 37 + (i >> 3)) % 256 for i in range(60000))
+    assert lzw_decode(lzw_encode(idx), len(idx)) == idx
+
+
+def test_gif_lzw_known_stream_is_spec_exact():
+    """Pin the EXACT code stream for a known input (min_code_size=2,
+    indices 0,1,1,0): CLEAR(3b) 0(3b) 1(3b) 1(3b) 0(4b) EOI(4b),
+    LSB-first => bytes 44 02 05. A symmetric width-bump off-by-one in
+    both encoder and decoder would still round-trip, so only a
+    hand-derived stream pin catches it."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    enc = lzw_encode(bytes([0, 1, 1, 0]), min_code_size=2)
+    assert enc == bytes.fromhex("440205"), enc.hex()
+    assert lzw_decode(enc, 4, min_code_size=2) == bytes([0, 1, 1, 0])
+
+
+def test_gif_file_roundtrip_compresses_and_rejects_corruption():
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.gif import (
+        gif_decode,
+        gif_encode,
+        gif_palette,
+    )
+
+    # run-structured ladder content genuinely compresses
+    idx = bytes((((i // 5) * 7) + i // 64) % 256 for i in range(32 * 32))
+    blob = gif_encode(32, 32, idx)
+    w, h, pal, out = gif_decode(blob)
+    assert (w, h) == (32, 32) and out == idx and pal == gif_palette()
+    assert len(blob) < 6 + 7 + 768 + 10 + 1 + 32 * 32 + 2  # beats raw
+
+    # header / structure guards raise instead of guessing
+    with pytest.raises(ValueError, match="signature"):
+        gif_decode(b"NOTAGIF" + blob[7:])
+    with pytest.raises(ValueError, match="trailer"):
+        gif_decode(blob[:-1])
+    # truncated LZW payload: drop the final sub-block terminator area
+    with pytest.raises(ValueError):
+        gif_decode(blob[: len(blob) // 2])
+    # geometry lie: descriptor promises more pixels than the stream has
+    import struct
+
+    tampered = bytearray(blob)
+    # image descriptor starts right after 13-byte LSD + 768-byte GCT
+    dpos = 13 + 768
+    assert tampered[dpos] == 0x2C
+    ww, hh = struct.unpack("<HH", bytes(tampered[dpos + 5 : dpos + 9]))
+    assert (ww, hh) == (32, 32)
+    tampered[dpos + 5 : dpos + 7] = struct.pack("<H", 16)  # width 32->16
+    # keep logical screen consistent so only the pixel count lies
+    tampered[6:8] = struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="pixels decoded"):
+        gif_decode(bytes(tampered))
+
+
+def test_gif_blobs_are_real_files_and_decode_sums_match(spark):
+    """End-to-end on Spark: blobs start with the GIF89a signature +
+    a full 256-entry color table, and the decoded sums match an
+    independent numpy recomputation of the generation rule."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import decode_gif_meta
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie!"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decode_gif_meta(docs).collect()}
+    for doc_id, text in [(1, "alpha bravo"), (2, "charlie!"), (3, "x")]:
+        b = text.encode()
+        n = len(b)
+        w, h = 16 + b[0] % 17, 16 + b[-1] % 17
+        i = np.arange(w * h, dtype=np.int64)
+        idx = (
+            np.frombuffer(b, dtype=np.uint8).astype(np.int64)[(i // 5) % n]
+            + i // 64
+        ) % 256
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
+        assert r["index_sum"] == int(idx.sum())
+        assert r["pos_weighted_sum"] == int((i * idx).sum())
+        assert r["rgb_sum"] == int(
+            (idx + (idx * 7) % 256 + (idx * 13) % 256).sum()
+        )
+
+
+def _adpcm_triangle(text: bytes, n_blocks: int):
+    """The ladder generation rule for the ADPCM rung (mirrors
+    blobs.with_adpcm_blob)."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.adpcm import SAMPLES_PER_BLOCK
+
+    n = len(text)
+    m = n_blocks * SAMPLES_PER_BLOCK
+    k = np.arange(m, dtype=np.int64)
+    d = 1 + np.frombuffer(text, dtype=np.uint8).astype(np.int64)[k % n] % 13
+    v = np.cumsum(d) % 4096
+    tri = np.where(v < 2048, v, 4095 - v)
+    return (tri - 1024) * 8
+
+
+def test_adpcm_codec_roundtrip_bound_and_compression():
+    """IMA ADPCM round-trip: first sample exact (block header), max
+    reconstruction error within ADPCM_TOL with the measured ceiling
+    pinned (~184; a broken step/nibble path errs in the thousands),
+    and the payload genuinely compresses ~3.9:1 vs 16-bit PCM."""
+    import random
+
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.adpcm import (
+        ADPCM_TOL,
+        BLOCK_ALIGN,
+        adpcm_wav_decode,
+        adpcm_wav_encode,
+    )
+
+    rng = random.Random(3)
+    worst = 0
+    for _ in range(120):
+        L = rng.randrange(5, 500)
+        text = bytes(rng.randrange(32, 127) for _ in range(L))
+        nb = 1 + text[-1] % 4
+        s = _adpcm_triangle(text, nb)
+        blob = adpcm_wav_encode(16000, s)
+        rate, ns, nbl, dec = adpcm_wav_decode(blob)
+        assert (rate, ns, nbl) == (16000, len(s), nb)
+        dec = np.asarray(dec, dtype=np.int64)
+        assert dec[0] == s[0]  # header stores the first sample exactly
+        worst = max(worst, int(np.abs(dec - s).max()))
+        # 256 bytes/block vs 1010 raw PCM bytes/block
+        assert len(blob) < nb * BLOCK_ALIGN + 100
+    assert worst <= 192, worst  # measured ceiling; ADPCM_TOL has margin
+    assert ADPCM_TOL >= worst
+
+
+def test_adpcm_nibble_semantics_are_spec_exact():
+    """Pin the reconstruction recursion for a hand-computed case:
+    from pred=0, index=0 (step=7), code 0x7 gives delta = 7>>3 + 7 +
+    7>>1 + 7>>2 = 0+7+3+1 = 11, index += 8; code 0xF mirrors to -11.
+    Also pin low-nibble-first packing inside a block."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.adpcm import (
+        STEP_TABLE,
+        _decode_nibble,
+    )
+
+    assert STEP_TABLE[0] == 7 and STEP_TABLE[88] == 32767
+    assert _decode_nibble(0x7, 0, 0) == (11, 8)
+    assert _decode_nibble(0xF, 0, 0) == (-11, 8)
+    assert _decode_nibble(0x0, 100, 0) == (100, 0)  # +step>>3 = 0
+    # index clamps at both ends
+    assert _decode_nibble(0x0, 0, 0)[1] == 0
+    assert _decode_nibble(0x7, 0, 88)[1] == 88
+
+
+def test_adpcm_wav_decode_rejects_corruption():
+    import struct
+
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.adpcm import (
+        adpcm_wav_decode,
+        adpcm_wav_encode,
+    )
+
+    s = _adpcm_triangle(b"hello world", 2)
+    blob = adpcm_wav_encode(8000, s)
+    rate, ns, nb, dec = adpcm_wav_decode(blob)
+    assert (rate, ns, nb) == (8000, 1010, 2)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        adpcm_wav_decode(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="declares"):
+        adpcm_wav_decode(blob[:-4])
+    # fact chunk lying about the sample count
+    tampered = bytearray(blob)
+    fpos = blob.index(b"fact") + 8
+    tampered[fpos : fpos + 4] = struct.pack("<I", 5000)
+    with pytest.raises(ValueError, match="cannot occupy"):
+        adpcm_wav_decode(bytes(tampered))
+    # stereo/format lies in fmt
+    tampered = bytearray(blob)
+    fpos = blob.index(b"fmt ") + 8
+    tampered[fpos] = 0x01  # PCM tag on an ADPCM body
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        adpcm_wav_decode(bytes(tampered))
+    tampered = bytearray(blob)
+    tampered[fpos + 2] = 2  # channels=2
+    with pytest.raises(ValueError, match="mono"):
+        adpcm_wav_decode(bytes(tampered))
+
+
+def test_adpcm_blobs_are_real_files_and_first_sample_exact(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_adpcm_roundtrip,
+        with_adpcm_blob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie!"), (3, "x")],
+        "doc_id long, text string",
+    )
+    blobs = {r["doc_id"]: bytes(r["blob"]) for r in with_adpcm_blob(docs).collect()}
+    for doc_id, text in [(1, "alpha bravo"), (2, "charlie!"), (3, "x")]:
+        b = blobs[doc_id]
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        assert b"fact" in b and b"data" in b
+    out = {r["doc_id"]: r for r in decode_adpcm_roundtrip(docs).collect()}
+    for doc_id, text in [(1, "alpha bravo"), (2, "charlie!"), (3, "x")]:
+        t = text.encode()
+        r = out[doc_id]
+        assert r["sample_rate"] == 8000 * (1 + t[0] % 3)
+        assert r["n_blocks"] == 1 + t[-1] % 4
+        assert r["n_samples"] == r["n_blocks"] * 505
+        assert r["first_sample"] == 8 * (1 + t[0] % 13) - 8192
+        assert r["within_tolerance"]
+
+
+def test_mjpeg_avi_roundtrip_and_guards():
+    """MJPEG-in-AVI: container round-trip with per-frame JPEG entropy
+    decode, plus the raise-on-anomaly guards (raw '00db' frame,
+    geometry lies, truncation)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        mjpeg_avi_decode,
+        mjpeg_avi_encode,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.jpeg import JPEG_TOL, jpeg_encode
+
+    w, h, fps = 16, 16, 10
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, w * h * 3, dtype=np.int64)
+    srcs = [((base + f * 11) % 256).astype(np.uint8).tobytes() for f in range(3)]
+    blob = mjpeg_avi_encode(w, h, fps, [jpeg_encode(w, h, s) for s in srcs])
+    W, H, FPS, nf, frames = mjpeg_avi_decode(blob)
+    assert (W, H, FPS, nf) == (w, h, fps, 3)
+    for got, src in zip(frames, srcs):
+        g = np.frombuffer(got, dtype=np.uint8).astype(np.int64)
+        e = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
+        assert int(np.abs(g - e).max()) <= JPEG_TOL
+
+    with pytest.raises(ValueError, match="RIFF"):
+        mjpeg_avi_decode(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="declares"):
+        mjpeg_avi_decode(blob[:-2])
+    # a raw DIB frame inside an MJPEG stream must raise
+    tampered = bytearray(blob)
+    p = tampered.index(b"00dc")
+    tampered[p : p + 4] = b"00db"
+    with pytest.raises(ValueError, match="00db"):
+        mjpeg_avi_decode(bytes(tampered))
+    # header frame-count lie
+    tampered = bytearray(blob)
+    p = tampered.index(b"avih") + 8 + 16
+    tampered[p : p + 4] = struct.pack("<I", 7)
+    with pytest.raises(ValueError, match="movi frames"):
+        mjpeg_avi_decode(bytes(tampered))
+    # frame geometry disagreeing with the stream header
+    bad = mjpeg_avi_encode(w, h, fps, [jpeg_encode(24, 16, bytes(24 * 16 * 3))])
+    with pytest.raises(ValueError, match="geometry"):
+        mjpeg_avi_decode(bad)
+
+
+def test_mjpeg_blobs_decode_per_frame_on_spark(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import decode_mjpeg_frames
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie!")], "doc_id long, text string"
+    )
+    rows = decode_mjpeg_frames(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in [(1, "alpha bravo"), (2, "charlie!")]:
+        t = text.encode()
+        nf = 2 + (t[0] + t[-1]) % 3
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in frames] == list(range(nf))
+        for r in frames:
+            assert r["width"] == 16 + t[0] % 5
+            assert r["height"] == 16 + t[-1] % 5
+            assert r["fps"] == 5 * (1 + len(t) % 4)
+            assert r["n_frames"] == nf
+            assert r["within_tolerance"]
+
+
+def test_worker_closures_self_contained_from_foreign_cwd():
+    """REGRESSION (r10): mjpeg_avi_decode did `from .jpeg import ...`
+    at CALL time inside a worker closure — invisible when pytest runs
+    from the repo root (workers find the package via cwd) but fatal
+    under the driver contract, which executes from /tmp. Exercise
+    EVERY worker-shipped multimodal path in a subprocess whose cwd is
+    /tmp so the Python workers cannot import the package: any
+    call-time relative import in worker code dies here with
+    ModuleNotFoundError."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions","2")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from matrix_multiplication_map_reduce_gcp_spark.multimodal import blobs as B
+docs = spark.createDataFrame(
+    [(1, "alpha bravo"), (2, "zulu!")], "doc_id long, text string")
+builders = [
+    B.with_blob, B.decode_image_meta, B.decode_image_meta_filtered,
+    B.decode_image_meta_adam7, B.decode_jpeg_roundtrip,
+    B.decode_gif_meta, B.decode_adpcm_roundtrip, B.decode_audio_meta,
+    B.decode_audio_envelope, B.decode_video_meta, B.decode_video_motion,
+    B.decode_mjpeg_frames, B.image_ahash, B.video_frame_ahash,
+    B.audio_window_features, B.sample_frames,
+]
+for b in builders:
+    n = len(b(docs).collect())
+    assert n > 0, b.__name__
+print("ALL_OK", len(builders))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ALL_OK" in proc.stdout
