@@ -166,6 +166,15 @@ SHOWCASE = [
         "is a LEFT join + COUNT — no per-query collect anywhere.",
     ),
     (
+        "multimodal_mjpeg_frames",
+        "Compressed-video rung (r10, per-frame JPEG entropy decode "
+        "inside an MJPEG AVI container): the same deliberate "
+        "RoundRobinPartitioning Exchange + two Arrow-batched "
+        "MapInPandas stages as every CPU-bound codec rung, then a pure "
+        "per-frame row expansion — no shuffle after decode, no collect; "
+        "the heaviest codec in the ladder stays map-only.",
+    ),
+    (
         "multimodal_image_decode_filtered",
         "CPU-bound codec (r9, inflate + spec de-filter over ~3 KB "
         "pixels/doc): ONE deliberate RoundRobinPartitioning Exchange of "
