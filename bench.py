@@ -101,6 +101,11 @@ HEADLINE = [
     "multimodal_gif_decode",
     "multimodal_adpcm_roundtrip",
     "multimodal_mjpeg_frames",
+    # r10 third wave: the general-purpose entropy rung — FROM-SPEC
+    # RFC 1951/1950 inflate (stored/fixed/dynamic Huffman blocks,
+    # LZ77 back-references, Adler-32), removing the stdlib-zlib IDAT
+    # boundary. Same map-only Arrow-batched codec shape.
+    "multimodal_deflate_decode",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

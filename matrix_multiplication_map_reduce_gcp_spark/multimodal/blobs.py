@@ -1745,3 +1745,95 @@ def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_mjpeg_blob(docs).mapInPandas(op, MJPEG_SCHEMA)
+
+
+DEFLATE_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, pos_weighted_sum long, "
+    "adler32 long, has_all_btypes boolean"
+)
+
+
+def with_deflate_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) with blob a REAL zlib stream (RFC 1950 wrapper,
+    RFC 1951 body) produced by multimodal/inflate.py's multiblock
+    encoder: payload = the doc's ASCII bytes repeated k times,
+    k = 6 + first_byte % 5, so byte i of the payload is
+    text[(i mod n)] — SQL-recomputable down to the Adler-32. Every
+    stream provably holds all three DEFLATE block types (dynamic head,
+    stored sync-flush boundary, fixed tail), pinned corpus-wide in
+    tests. Same CPU-bound round-robin repartition rationale as the
+    other entropy rungs."""
+    from .inflate import zlib_multiblock_compress
+
+    encode = zlib_multiblock_compress
+
+    def op(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                k = 6 + (b[0] % 5) if b else 6
+                rows.append((doc_id, encode(b * k)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, blob binary")
+
+
+def decode_deflate_payload(docs: DataFrame) -> DataFrame:
+    """Inflate the real zlib blobs with the FROM-SPEC RFC 1951/1950
+    decoder (multimodal/inflate.py — canonical Huffman, all three
+    block types, LZ77 back-references, header + Adler-32 checks) and
+    report EXACT content sums over the decoded payload: byte_sum /
+    pos_weighted_sum cover every byte in order, adler32 is the
+    from-spec checksum the decoder verified against the stream
+    trailer, and has_all_btypes certifies the stream exercised the
+    stored+fixed+dynamic paths. A mispacked bit, a wrong extra-bits
+    table entry, or a bad back-reference is a driver-red hash
+    mismatch."""
+    from .inflate import adler32_spec, zlib_inflate
+
+    decode = zlib_inflate
+    adler = adler32_spec
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                payload, btypes = decode(bytes(blob))
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                pos = np.arange(arr.size, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        arr.size,
+                        int(arr.sum()),
+                        int((pos * arr).sum()),
+                        adler(payload),
+                        set(btypes) == {0, 1, 2},
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "byte_sum",
+                    "pos_weighted_sum", "adler32", "has_all_btypes",
+                ],
+            )
+            rows = []
+
+    return with_deflate_blob(docs).mapInPandas(op, DEFLATE_DECODE_SCHEMA)

@@ -810,3 +810,56 @@ def audio_vad_segments(spark, sf_dir):
         F.count("*").alias("n_windows"),
         F.max("peak").cast("long").alias("seg_peak"),
     ).drop("island")
+
+
+@query(
+    "multimodal_deflate_decode",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text, length(text) AS n,
+             6 + ascii(substr(text, 1, 1)) % 5 AS k
+      FROM documents),
+    b AS (
+      SELECT doc_id, CAST(n AS BIGINT) * k AS n_bytes, r.i AS i,
+             ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) AS byte
+      FROM params,
+           UNNEST(range(0, CAST(n AS BIGINT) * k)) AS r(i))
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS byte_sum,
+           CAST(SUM(i * byte) AS BIGINT) AS pos_weighted_sum,
+           CAST(((n_bytes + SUM((n_bytes - i) * byte)) % 65521) * 65536
+                + (1 + SUM(byte)) % 65521 AS BIGINT) AS adler32,
+           TRUE AS has_all_btypes
+    FROM b GROUP BY doc_id, n_bytes
+    """,
+)
+def multimodal_deflate_decode(spark, sf_dir):
+    """The general-purpose entropy rung of the codec ladder: REAL
+    RFC 1950 zlib streams decoded by a FROM-SPEC RFC 1951 inflate
+    (multimodal/inflate.py) — LSB-first bit reading, canonical Huffman
+    over the dynamic 19-symbol code-length alphabet with its 16/17/18
+    repeats, the fixed tables, stored LEN/NLEN blocks, the full
+    length/distance extra-bit tables, overlapping LZ77 copies, and
+    header + Adler-32 verification. Every prior PNG rung delegated its
+    IDAT to stdlib zlib; this rung removes that boundary. The encoder
+    guarantees each stream holds ALL THREE block types (dynamic head,
+    stored sync-flush, fixed tail), so one corpus pass exercises the
+    whole spec, and every output column is SQL-exact: byte_sum /
+    pos_weighted_sum re-derive the decoded payload byte for byte and
+    adler32 is the mod-65521 checksum the oracle recomputes from the
+    generation rule — a mispacked bit or a wrong back-reference is a
+    driver-red hash mismatch. pytest additionally cross-checks the
+    decoder bit-exactly against stdlib zlib in both directions (all
+    compression levels 0-9) and pins the per-blob block-type mix.
+    Same Arrow-batched two-stage mapInPandas + one deliberate
+    round-robin Exchange shape as the other CPU-bound rungs; at 100 TB
+    this is a map-only stage — no shuffle, no collect, parallelism =
+    input splits."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_deflate_payload
+
+    return decode_deflate_payload(d).select(
+        "doc_id", "n_bytes", "byte_sum", "pos_weighted_sum",
+        "adler32", "has_all_btypes",
+    )

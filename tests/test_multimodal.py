@@ -1157,3 +1157,205 @@ spark.stop()
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ALL_OK" in proc.stdout
+
+
+def _bitstream_lsb(chunks):
+    """Pack (value, nbits) pairs LSB-first into bytes (RFC 1951 3.1.1)
+    — test-local writer so handcrafted streams don't depend on the
+    module under test."""
+    buf = cnt = 0
+    out = bytearray()
+    for val, nbits in chunks:
+        buf |= val << cnt
+        cnt += nbits
+        while cnt >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            cnt -= 8
+    if cnt:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _rev(code, nbits):
+    """Huffman codes pack MSB-first inside the LSB-first stream."""
+    out = 0
+    for _ in range(nbits):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
+
+def test_inflate_matches_stdlib_both_directions():
+    """Bit-exact vs stdlib zlib in BOTH directions: our decoder on
+    zlib.compress at every level 0-9 (level 0 = stored blocks) over
+    empty / tiny / text / random / run / long-distance payloads, and
+    stdlib zlib.decompress on our multiblock encoder's streams."""
+    import random
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import (
+        zlib_inflate,
+        zlib_multiblock_compress,
+    )
+
+    rng = random.Random(11)
+    rand = bytes(rng.randrange(256) for _ in range(5000))
+    far = rand[:400] + bytes(rng.randrange(256) for _ in range(20000)) + rand[:400]
+    payloads = [b"", b"a", b"hello world " * 50, rand, b"ab" * 4000, far]
+    for lvl in range(10):
+        for data in payloads:
+            out, btypes = zlib_inflate(zlib.compress(data, lvl))
+            assert out == data, (lvl, len(data))
+            if lvl == 0 and data:
+                assert set(btypes) == {0}
+    for data in payloads:
+        stream = zlib_multiblock_compress(data)
+        assert zlib.decompress(stream) == data
+        out, _ = zlib_inflate(stream)
+        assert out == data
+
+
+def test_inflate_multiblock_encoder_guarantees_all_btypes():
+    """The rung's contract: any text-like payload yields a stream with
+    stored AND fixed AND dynamic blocks (the has_all_btypes column)."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import (
+        zlib_inflate,
+        zlib_multiblock_compress,
+    )
+
+    for text in ("the quick brown fox " * 20, "supplier #42: ok. " * 30):
+        payload = text.encode()
+        _, btypes = zlib_inflate(zlib_multiblock_compress(payload))
+        assert set(btypes) == {0, 1, 2}, btypes
+
+
+def test_inflate_fixed_huffman_handcrafted_stream():
+    """A hand-built fixed-Huffman literal block (no zlib encoder in
+    the loop): 'ok' as fixed lit codes (0x30+sym, 8 bits) + EOB (7
+    zero bits). Both our decoder and stdlib agree on it — catches a
+    symmetric encoder/decoder bug a round-trip cannot."""
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import inflate_raw
+
+    chunks = [(1, 1), (1, 2)]  # BFINAL=1, BTYPE=01 fixed
+    for ch in b"ok":
+        chunks.append((_rev(0x30 + ch, 8), 8))
+    chunks.append((0, 7))  # EOB: code 256 -> 7-bit code 0
+    raw = _bitstream_lsb(chunks)
+    out, btypes, _ = inflate_raw(raw)
+    assert out == b"ok" and btypes == [1]
+    assert zlib.decompress(raw, -15) == b"ok"
+
+
+def test_inflate_overlapping_backreference():
+    """distance < length replication (RFC 1951 3.2.3 note): one
+    literal + a distance-1 match must fan out the byte."""
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import zlib_inflate
+
+    data = b"z" * 3000
+    for lvl in (1, 6, 9):
+        out, _ = zlib_inflate(zlib.compress(data, lvl))
+        assert out == data
+
+
+def test_inflate_rejects_corruption():
+    import pytest
+    import struct
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import (
+        inflate_raw,
+        zlib_inflate,
+        zlib_multiblock_compress,
+    )
+
+    good = zlib_multiblock_compress(b"hello world " * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        zlib_inflate(good[:10])
+    with pytest.raises(ValueError, match="FCHECK"):
+        zlib_inflate(bytes([good[0], good[1] ^ 0x01]) + good[2:])
+    with pytest.raises(ValueError, match="Adler-32"):
+        zlib_inflate(good[:-4] + b"\x00\x00\x00\x00")
+    fdict = bytearray(good)
+    fdict[1] |= 0x20
+    while ((fdict[0] << 8) | fdict[1]) % 31:
+        fdict[1] = (fdict[1] + 1) & 0xFF
+    with pytest.raises(ValueError, match="FDICT"):
+        zlib_inflate(bytes(fdict))
+    with pytest.raises(ValueError, match="method"):
+        zlib_inflate(b"\x79\x9e" + good[2:])
+    # reserved BTYPE=3: bits BFINAL=1, BTYPE=11
+    with pytest.raises(ValueError, match="BTYPE"):
+        inflate_raw(_bitstream_lsb([(1, 1), (3, 2), (0, 13)]))
+    # stored LEN/NLEN mismatch
+    bad_stored = _bitstream_lsb([(1, 1), (0, 2), (0, 5)]) + struct.pack(
+        "<HH", 2, 0xFFFF
+    ) + b"ab"
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        inflate_raw(bad_stored)
+    # over-subscribed dynamic code lengths: HCLEN=19 codes, all len 1
+    bits = [(1, 1), (2, 2), (0, 5), (0, 5), (15, 4)]
+    bits += [(1, 3)] * 19
+    with pytest.raises(ValueError, match="over-subscribed"):
+        inflate_raw(_bitstream_lsb(bits))
+    # distance back-reference before the start of output: fixed block,
+    # length code 257 (7-bit code 1) then distance code 0 with no
+    # preceding literal
+    bits = [(1, 1), (1, 2), (_rev(1, 7), 7), (0, 5), (0, 16)]
+    with pytest.raises(ValueError, match="before start"):
+        inflate_raw(_bitstream_lsb(bits))
+
+
+def test_adler32_spec_matches_stdlib():
+    import random
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import adler32_spec
+
+    rng = random.Random(3)
+    for data in (
+        b"",
+        b"abc",
+        bytes(range(256)) * 100,
+        bytes(rng.randrange(256) for _ in range(5552 * 3 + 17)),
+    ):
+        assert adler32_spec(data) == (zlib.adler32(data) & 0xFFFFFFFF)
+
+
+def test_deflate_blobs_decode_on_spark(spark):
+    """End-to-end on Spark: blobs are real zlib streams (stdlib
+    cross-decode agrees), every stream holds all three block types,
+    and the decoded sums match an independent numpy recomputation of
+    the payload rule."""
+    import numpy as np
+    import zlib
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_deflate_payload,
+        with_deflate_blob,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.inflate import adler32_spec
+
+    # corpus contract: generated doc texts are >=44 chars, so every
+    # payload (>= 44*6 bytes) clears the ~110-byte floor below which
+    # the Huffman-only head cannot win a dynamic table
+    docs = [(1, "alpha bravo charlie delta echo foxtrot golf hotel"), (2, "delta! " * 8), (3, "x" * 80)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    blobs = {r["doc_id"]: bytes(r["blob"]) for r in with_deflate_blob(df).collect()}
+    out = {r["doc_id"]: r for r in decode_deflate_payload(df).collect()}
+    for doc_id, text in docs:
+        b = text.encode()
+        payload = b * (6 + b[0] % 5)
+        assert zlib.decompress(blobs[doc_id]) == payload
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        pos = np.arange(arr.size, dtype=np.int64)
+        r = out[doc_id]
+        assert r["n_bytes"] == arr.size
+        assert r["byte_sum"] == int(arr.sum())
+        assert r["pos_weighted_sum"] == int((pos * arr).sum())
+        assert r["adler32"] == adler32_spec(payload)
+        assert r["has_all_btypes"] is True
