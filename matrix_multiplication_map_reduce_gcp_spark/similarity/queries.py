@@ -957,3 +957,102 @@ def ann_recall_report(spark, sf_dir):
         F.count("*").alias("k"),
         (F.count("hit_id").cast("double") / F.count("*")).alias("recall_at_k"),
     )
+
+
+MRL_DIM = 16  # Matryoshka prefix: first 16 of the 64 dims
+
+
+@query(
+    "mrl_truncation_recall",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine_rounded('q.embedding', 'c.embedding')} AS cos_full,
+             {sql_cosine_rounded(f'(q.embedding[1:{MRL_DIM}])',
+                                 f'(c.embedding[1:{MRL_DIM}])')} AS cos_pre
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS r_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_pre DESC, neighbor_id) AS r_pre
+      FROM scored)
+    SELECT query_id,
+           CAST({MRL_DIM} AS INT) AS prefix_dim,
+           CAST(SUM(CASE WHEN r_full <= {TOP_K} AND r_pre <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN r_full <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS k,
+           CAST(SUM(CASE WHEN r_full <= {TOP_K} AND r_pre <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN r_full <= {TOP_K} THEN 1 ELSE 0 END)
+             AS recall_at_k
+    FROM ranked GROUP BY query_id
+    """,
+)
+def mrl_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation quality report (MRL — Kusupati et al.,
+    2022): per-query recall@10 of the PREFIX-dimension cosine ranking
+    (first 16 of 64 dims) against the full-dimension ranking — the
+    report that tunes how far an embedding column can be truncated
+    before the cheap first-pass shortlist stops recovering the true
+    neighbors. The production pattern it certifies is
+    shortlist-by-prefix + rerank-by-full (the PQ/ADC shape with
+    dimension slicing instead of codebooks): prefix dims cost 4× less
+    memory bandwidth and FLOPs per candidate here.
+
+    Scale shape: ONE broadcast crossJoin scores BOTH similarities per
+    pair (the corpus never shuffles and is scanned once — unlike
+    scoring full and prefix in separate passes), then both
+    ROW_NUMBERs share the same query_id window partition, so the
+    bounded query set's candidates shuffle once. Cosines are the
+    rounded-exact fold (functions/vectors.py) on both engines, so the
+    oracle hash-checks every ranking decision; recall doubles are
+    small-integer ratios, bit-identical cross-engine."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine_rounded
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    qset = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+    scored = (
+        F.broadcast(qset)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("cos_full"),
+            cosine_rounded(
+                F.slice(F.col("qv"), 1, MRL_DIM),
+                F.slice(F.col("cv"), 1, MRL_DIM),
+            ).alias("cos_pre"),
+        )
+    )
+    w_full = W.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_pre = W.partitionBy("query_id").orderBy(
+        F.desc("cos_pre"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_pre).alias("r_pre"),
+    )
+    hit = F.sum(
+        F.when((F.col("r_full") <= TOP_K) & (F.col("r_pre") <= TOP_K), 1)
+        .otherwise(0)
+    )
+    k = F.sum(F.when(F.col("r_full") <= TOP_K, 1).otherwise(0))
+    return ranked.groupBy("query_id").agg(
+        hit.cast("long").alias("n_hits"),
+        k.cast("long").alias("k"),
+        (hit.cast("double") / k).alias("recall_at_k"),
+    ).withColumn("prefix_dim", F.lit(MRL_DIM).cast("int"))

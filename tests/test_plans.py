@@ -439,3 +439,35 @@ def test_triangle_closure_is_adjacency_intersect(spark):
     # at full parallelism (the AQE byte-coalescing pitfall).
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_r10_codec_rungs_are_map_only_plus_one_repartition(spark):
+    """The r10 entropy rungs (GIF/LZW, IMA ADPCM, MJPEG, from-spec
+    DEFLATE) share the CPU-bound codec contract: Arrow-batched
+    mapInPandas stages with EXACTLY the one deliberate round-robin
+    Exchange that decouples codec parallelism from file layout —
+    nothing else shuffles."""
+    for name in (
+        "multimodal_gif_decode",
+        "multimodal_adpcm_roundtrip",
+        "multimodal_mjpeg_frames",
+        "multimodal_deflate_decode",
+    ):
+        plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
+        assert plan.count("Exchange") == 1, f"{name}: one deliberate repartition"
+        assert "RoundRobinPartitioning" in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_mrl_recall_broadcasts_queries_single_corpus_scan(spark):
+    """mrl_truncation_recall scores full-dim AND prefix-dim cosine in
+    ONE broadcast crossJoin pass: the bounded query set ships as an
+    explicit broadcast (no CartesianProduct), and the embeddings
+    corpus is scanned exactly once — scoring the two rankings in
+    separate passes would double the dominant cost at 100 TB."""
+    plan = executed_plan(Q["mrl_truncation_recall"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # both scans read embeddings; exactly two scans total (query set +
+    # corpus side of the single crossJoin), never four
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
