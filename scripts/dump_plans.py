@@ -183,6 +183,21 @@ SHOWCASE = [
         "one core); both codec stages are Arrow-batched MapInPandas; no "
         "other shuffle.",
     ),
+    (
+        "multimodal_deflate_decode",
+        "From-spec entropy decoder rung (r10, RFC 1951/1950 inflate — "
+        "canonical Huffman over all three block types + Adler-32): same "
+        "one-deliberate-RoundRobin + Arrow-batched MapInPandas codec "
+        "contract; the whole decode is map-only.",
+    ),
+    (
+        "mrl_truncation_recall",
+        "Matryoshka truncation report (r10): full-dim AND prefix-16-dim "
+        "cosine scored in ONE BroadcastNestedLoopJoin pass (corpus "
+        "scanned once, never shuffled), both rankings share a single "
+        "query_id window Exchange — separate passes would double the "
+        "dominant cost at 100 TB.",
+    ),
 ]
 
 
