@@ -106,6 +106,10 @@ HEADLINE = [
     # LZ77 back-references, Adler-32), removing the stdlib-zlib IDAT
     # boundary. Same map-only Arrow-batched codec shape.
     "multimodal_deflate_decode",
+    # r10 fourth wave: the predictive lossless-audio rung — REAL
+    # native-FLAC subset (RFC 9639: fixed predictors + adaptive Rice
+    # coding, CRC-8/CRC-16/MD5 verified). Same map-only codec shape.
+    "multimodal_flac_decode",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

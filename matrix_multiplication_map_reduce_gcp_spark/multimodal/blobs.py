@@ -1837,3 +1837,102 @@ def decode_deflate_payload(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_deflate_blob(docs).mapInPandas(op, DEFLATE_DECODE_SCHEMA)
+
+
+FLAC_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, n_frames int, "
+    "sample_sum long, pos_weighted_sum long, md5_ok boolean"
+)
+
+
+def with_flac_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) with blob a REAL native-FLAC-subset stream
+    (multimodal/flac.py): sample_rate = 8000*(1 + first_byte % 3),
+    n_samples = 1024 + 256*(last_byte % 4) + 377 (a deliberate
+    non-multiple of the 1024 block so every stream has a short tail
+    frame), and sample i = (tri((i*s) mod 4096) - 1024)*8 +
+    byte[i mod n] % 16 - 8 with slope s = 16 + first_byte % 32 —
+    a smooth ramp the FIXED predictors squeeze plus a text-keyed
+    per-sample term that binds content, all SQL-recomputable. Same
+    CPU-bound round-robin repartition rationale as the other entropy
+    rungs."""
+    from .flac import flac_encode
+
+    encode = flac_encode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                sr = 8000 * (1 + b[0] % 3) if n else 8000
+                total = 1024 + 256 * ((b[-1] % 4) if n else 0) + 377
+                s = 16 + (b[0] % 32) if n else 16
+                i = np.arange(total, dtype=np.int64)
+                v = (i * s) % 4096
+                tri = np.where(v < 2048, v, 4095 - v)
+                txt = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+                    if n
+                    else np.zeros(total, dtype=np.int64)
+                )
+                samples = (tri - 1024) * 8 + txt % 16 - 8
+                rows.append((doc_id, encode(sr, samples.tolist())))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, blob binary")
+
+
+def decode_flac_meta(docs: DataFrame) -> DataFrame:
+    """Decode the real FLAC blobs with the from-spec decoder
+    (multimodal/flac.py — frame sync + CRC-8 + CRC-16 + STREAMINFO
+    MD5 all verified) and report EXACT content sums over the decoded
+    samples. FLAC is lossless, so unlike the ADPCM rung every column
+    is SQL-recomputable: a predictor slip, a Rice parameter misread,
+    or a mispacked warm-up sample is a driver-red hash mismatch."""
+    from .flac import flac_decode
+
+    decode = flac_decode
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                sr, n, nf, samples = decode(bytes(blob))
+                arr = np.asarray(samples, dtype=np.int64)
+                pos = np.arange(arr.size, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id, sr, n, nf,
+                        int(arr.sum()),
+                        int((pos * arr).sum()),
+                        True,  # decode() raised otherwise
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_frames",
+                    "sample_sum", "pos_weighted_sum", "md5_ok",
+                ],
+            )
+            rows = []
+
+    return with_flac_blob(docs).mapInPandas(op, FLAC_DECODE_SCHEMA)

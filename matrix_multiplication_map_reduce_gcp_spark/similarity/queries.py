@@ -985,8 +985,8 @@ MRL_DIM = 16  # Matryoshka prefix: first 16 of the 64 dims
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
            CAST(SUM(CASE WHEN r_full <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
              AS k,
-           CAST(SUM(CASE WHEN r_full <= {TOP_K} AND r_pre <= {TOP_K}
-                         THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(SUM(CASE WHEN r_full <= {TOP_K} AND r_pre <= {TOP_K}
+                              THEN 1 ELSE 0 END) AS STRING) AS DOUBLE)
              / SUM(CASE WHEN r_full <= {TOP_K} THEN 1 ELSE 0 END)
              AS recall_at_k
     FROM ranked GROUP BY query_id

@@ -1359,3 +1359,174 @@ def test_deflate_blobs_decode_on_spark(spark):
         assert r["pos_weighted_sum"] == int((pos * arr).sum())
         assert r["adler32"] == adler32_spec(payload)
         assert r["has_all_btypes"] is True
+
+
+def _crc_ref(data, poly, width):
+    """Independent bitwise CRC (MSB-first, init 0) so the FLAC pins
+    don't trust the module's own tables."""
+    crc = 0
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    for b in data:
+        crc ^= b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+            crc &= mask
+    return crc
+
+
+def test_flac_roundtrip_shapes_and_compression():
+    """Lossless round-trip across every subframe/parameter path the
+    encoder can take: empty, single, constant (CONSTANT subframe),
+    linear ramp (order-1/2 predictors), white noise (high Rice
+    parameter / escape / verbatim territory), and the ladder's
+    triangle+text content — which must genuinely compress."""
+    import random
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.flac import (
+        flac_decode,
+        flac_encode,
+    )
+
+    rng = random.Random(9)
+    tri = []
+    for i in range(2777):
+        v = (i * 24) % 4096
+        t = v if v < 2048 else 4095 - v
+        tri.append((t - 1024) * 8 + (i * 7) % 16 - 8)
+    cases = [
+        [],
+        [-32768],
+        [5] * 2000,
+        [rng.randrange(-32768, 32768) for _ in range(3000)],
+        [int(1000 * (i % 50)) - 25000 for i in range(2500)],
+        tri,
+    ]
+    for samples in cases:
+        blob = flac_encode(16000, samples)
+        sr, n, nf, out = flac_decode(blob)
+        assert out == samples and sr == 16000 and n == len(samples)
+        assert nf == (len(samples) + 1023) // 1024
+    assert len(flac_encode(16000, tri)) < 2 * len(tri) // 2  # < raw PCM
+    assert len(flac_encode(16000, [5] * 2000)) < 100  # constant collapses
+
+
+def test_flac_known_constant_frame_is_spec_exact():
+    """Pin the EXACT frame bytes for 4 constant samples (value 7):
+    sync/strategy/codes pack to FF F8 70 08, frame number 00,
+    blocksize-1 as 00 03, CRC-8, then the CONSTANT subframe
+    (00, then 16-bit 7) and the CRC-16 footer — CRCs recomputed by an
+    independent bitwise implementation. A symmetric bit-packing bug in
+    both encoder and decoder would still round-trip; only a
+    hand-derived pin catches it."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.flac import flac_encode
+
+    blob = flac_encode(8000, [7, 7, 7, 7])
+    # container: fLaC + 4-byte metadata header + 34-byte STREAMINFO
+    assert blob[:4] == b"fLaC"
+    assert blob[4] == 0x80 and blob[5:8] == b"\x00\x00\x22"
+    frame = blob[4 + 4 + 34:]
+    head = bytes([0xFF, 0xF8, 0x70, 0x08, 0x00, 0x00, 0x03])
+    assert frame[:7] == head, frame[:8].hex()
+    assert frame[7] == _crc_ref(head, 0x07, 8)
+    sub = bytes([0x00, 0x00, 0x07])  # CONSTANT header + 16-bit value 7
+    assert frame[8:11] == sub
+    crc16 = _crc_ref(frame[:11], 0x8005, 16)
+    assert frame[11:13] == bytes([crc16 >> 8, crc16 & 0xFF])
+    assert len(frame) == 13
+
+
+
+
+def test_flac_rejects_corruption():
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.flac import (
+        flac_decode,
+        flac_encode,
+    )
+
+    samples = [int(100 * (i % 37)) - 1800 for i in range(2300)]
+    good = flac_encode(8000, samples)
+    with pytest.raises(ValueError, match="marker"):
+        flac_decode(b"fLaK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        flac_decode(good[: len(good) - 5])
+    body = 4 + 4 + 34  # frames start here
+    sync = bytearray(good)
+    sync[body] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        flac_decode(bytes(sync))
+    num = bytearray(good)
+    num[body + 4] ^= 0x01  # frame number 0 -> 1: ordering check
+    with pytest.raises(ValueError, match="out of order"):
+        flac_decode(bytes(num))
+    hdr = bytearray(good)
+    hdr[body + 7] ^= 0x01  # the stored CRC-8 byte itself
+    with pytest.raises(ValueError, match="CRC-8"):
+        flac_decode(bytes(hdr))
+    res = bytearray(good)
+    res[body + 20] ^= 0x10  # a residual bit -> CRC-16 mismatch
+    with pytest.raises(ValueError, match="CRC-16"):
+        flac_decode(bytes(res))
+    md5 = bytearray(good)
+    md5[4 + 4 + 18] ^= 0xFF  # STREAMINFO MD5 field
+    with pytest.raises(ValueError, match="MD5"):
+        flac_decode(bytes(md5))
+
+
+def test_flac_escaped_partition_decodes():
+    """White-box: a hand-built FIXED-order-0 subframe whose single
+    partition uses the Rice ESCAPE parameter (0b1111 + 5-bit raw
+    width) must decode to the raw signed residuals — covers the
+    escape path even when the cost model never picks it."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.flac import (
+        _BitReader,
+        _BitWriter,
+        _decode_subframe,
+    )
+
+    vals = [-5, 3, 0, -1]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b001000, 6)  # FIXED order 0
+    bw.write(0, 1)
+    bw.write(0b00, 2)  # Rice method
+    bw.write(0, 4)  # partition order 0
+    bw.write(0b1111, 4)  # ESCAPE
+    bw.write(4, 5)  # 4-bit raw residuals
+    for v in vals:
+        bw.write(v, 4)
+    bw.align()
+    out = _decode_subframe(_BitReader(bw.getvalue()), len(vals), 16)
+    assert out == vals
+
+
+def test_flac_blobs_decode_on_spark(spark):
+    """End-to-end on Spark: blobs are real FLAC streams and the
+    decoded sums match an independent numpy recomputation of the
+    generation rule."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import decode_flac_meta
+
+    docs = [(1, "alpha bravo charlie"), (2, "delta echo!"), (3, "x" * 60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decode_flac_meta(df).collect()}
+    for doc_id, text in docs:
+        b = text.encode()
+        n = len(b)
+        total = 1024 + 256 * (b[-1] % 4) + 377
+        s = 16 + b[0] % 32
+        i = np.arange(total, dtype=np.int64)
+        v = (i * s) % 4096
+        tri = np.where(v < 2048, v, 4095 - v)
+        txt = np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
+        samples = (tri - 1024) * 8 + txt % 16 - 8
+        r = out[doc_id]
+        assert r["sample_rate"] == 8000 * (1 + b[0] % 3)
+        assert r["n_samples"] == total
+        assert r["n_frames"] == (total + 1023) // 1024
+        assert r["sample_sum"] == int(samples.sum())
+        assert r["pos_weighted_sum"] == int((i * samples).sum())
+        assert r["md5_ok"] is True

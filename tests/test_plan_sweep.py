@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "hard_negative_mining",  # broadcast candidate pool, theta join
     "ann_brute_force_topk",  # intentional exact baseline, broadcast queries
     "ann_recall_report",  # ground-truth side = same broadcast-query exact scan
+    "mrl_truncation_recall",  # same bounded broadcast-query exact scan, one pass
     "ann_ivf_cells",  # 16-row centroid table
     "ann_ivf_topk",  # 16-row centroid table
     "ann_ivfpq_topk",  # 16-row centroid table (coarse stage)
