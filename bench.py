@@ -110,6 +110,10 @@ HEADLINE = [
     # native-FLAC subset (RFC 9639: fixed predictors + adaptive Rice
     # coding, CRC-8/CRC-16/MD5 verified). Same map-only codec shape.
     "multimodal_flac_decode",
+    # r10 fifth wave: the adaptive-entropy rung — context-adaptive
+    # binary arithmetic coding (Witten–Neal–Cleary / CABAC class),
+    # completing the ladder's entropy-coding inventory. Same shape.
+    "multimodal_arith_decode",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

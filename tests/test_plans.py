@@ -443,7 +443,7 @@ def test_triangle_closure_is_adjacency_intersect(spark):
 
 def test_r10_codec_rungs_are_map_only_plus_one_repartition(spark):
     """The r10 entropy rungs (GIF/LZW, IMA ADPCM, MJPEG, from-spec
-    DEFLATE, FLAC) share the CPU-bound codec contract: Arrow-batched
+    DEFLATE, FLAC, adaptive-arithmetic) share the CPU-bound codec contract: Arrow-batched
     mapInPandas stages with EXACTLY the one deliberate round-robin
     Exchange that decouples codec parallelism from file layout —
     nothing else shuffles."""
@@ -453,6 +453,7 @@ def test_r10_codec_rungs_are_map_only_plus_one_repartition(spark):
         "multimodal_mjpeg_frames",
         "multimodal_deflate_decode",
         "multimodal_flac_decode",
+        "multimodal_arith_decode",
     ):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
         assert plan.count("Exchange") == 1, f"{name}: one deliberate repartition"
