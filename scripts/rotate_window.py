@@ -62,17 +62,9 @@ WINDOW = 50
 # (VERDICT r7 #3) — re-verified green in CORRECTNESS_r08, drained.
 # r9: the five touched decode queries + cms_heavy_hitters — all six
 # re-verified green in CORRECTNESS_r09, drained.
-# r10: png_decode gained Adam7 interlace support and its de-filter
-# loop moved to the shared _defilter helper (VERDICT r9 #6) —
-# behavior-preserving on interlace-0 files (pinned by the spec
-# round-trip tests), but the three PNG-decoding queries' code paths
-# changed, so their r9 evidence is superseded until a fresh green
-# row lands.
-TOUCHED = (
-    "multimodal_image_meta",
-    "multimodal_image_decode_filtered",
-    "multimodal_image_dup_groups",
-)
+# r10: the three PNG-decoding queries (Adam7/_defilter rework) — all
+# re-verified green in CORRECTNESS_r10, drained.
+TOUCHED = ()
 
 PRIORITY_HINTS = (
     # Round-4 second-wave flagships: verify new capability the same
@@ -95,6 +87,17 @@ PRIORITY_HINTS = (
     "k_core_suppliers", "source_minhash_similarity", "epoch_shuffle_shards",
     "leakage_safe_split",
 )
+
+
+def max_staleness(n_registered: int) -> int:
+    """Staleness bound in rounds for an ``n_registered``-query registry
+    with a ``WINDOW``-slot driver window: the stalest-first fill policy
+    cycles the whole registry every ceil(N / WINDOW) rotations, so no
+    green row's evidence may be older than that many rounds
+    (VERDICT r10 #2 — the bound must GROW with the registry instead of
+    pinning a hardcoded 5 that reddens at 251 queries). Tests derive
+    their bound from this single definition."""
+    return -(-n_registered // WINDOW)
 
 
 def correctness_rounds() -> list[int]:

@@ -161,7 +161,10 @@ def test_touched_queries_reverify_next_window(monkeypatch):
     assert win == ["matmul", "touched_q"]
 
 
-MAX_STALENESS = 5  # rounds — ceil(registry size / 50-slot window)
+# Staleness bound derived from the live registry size (VERDICT r10 #2:
+# the hardcoded 5 was ceil(235/50) and would redden at 251 queries at
+# any rotation policy). Single source of truth: rotate_window.max_staleness.
+MAX_STALENESS = rotate_window.max_staleness(len(registry.canonical_queries()))
 
 
 def test_rotation_bounds_evidence_age(monkeypatch):
@@ -280,16 +283,32 @@ def test_recorded_history_stays_within_staleness_bound():
 
 
 def test_future_correctness_file_cannot_redden_suite(tmp_path, monkeypatch):
-    """VERDICT r9 #2 'done' criterion: drop a HYPOTHETICAL next-round
-    CORRECTNESS fixture (the committed window assumed fully green) on
-    top of the real history and re-run the staleness contract against
-    the regenerated window — it must still hold, proving the contract
-    is a property of the rotation policy, not of commit sequencing."""
+    """VERDICT r9 #2 + r10 #1 'done' criterion: drop a HYPOTHETICAL
+    next-round CORRECTNESS fixture on top of the real history and
+    re-run the staleness contract against the regenerated window — it
+    must still hold, proving the contract is a property of the rotation
+    POLICY, not of commit sequencing.
+
+    r10 defect, fixed structurally: the r10 version greened the
+    COMMITTED window.PRIORITY_PREFIX, which races the driver — the
+    moment a new CORRECTNESS file lands that the committed rotation has
+    not consumed, the committed window is one rotation behind and the
+    simulation reddens (27 at-bound queries in the r10 judge run). The
+    round protocol is "rotate consuming the new file as the round's
+    first act", so the faithful simulation of the next round greens the
+    window PROPOSED by the policy over ALL files on disk — which is
+    what the driver would actually verify."""
     import json
     import shutil
 
     rounds = rotate_window.correctness_rounds()
     nxt = max(rounds) + 1
+    q = registry.canonical_queries()
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    # The window the protocol would hand the driver for round `nxt`:
+    # rotated from every CORRECTNESS file on disk (NOT the committed
+    # PRIORITY_PREFIX, which may predate the newest file).
+    policy_win, _ = rotate_window.propose_window(list(q), modules, rounds)
     for rnd in rounds:
         shutil.copy(
             REPO / f"CORRECTNESS_r{rnd:02d}.json",
@@ -297,7 +316,7 @@ def test_future_correctness_file_cannot_redden_suite(tmp_path, monkeypatch):
         )
     green_row = {"rows_match": True, "schema_match": True, "hash_match": True}
     (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
-        json.dumps({n: green_row for n in window.PRIORITY_PREFIX})
+        json.dumps({n: green_row for n in policy_win})
     )
     monkeypatch.setattr(rotate_window, "REPO", str(tmp_path))
     sim_rounds = rotate_window.correctness_rounds()
@@ -309,10 +328,46 @@ def test_future_correctness_file_cannot_redden_suite(tmp_path, monkeypatch):
     at_bound = [n for n, r in ages.items() if nxt - r == MAX_STALENESS]
     over = [n for n, r in ages.items() if nxt - r > MAX_STALENESS]
     assert not over, f"hypothetical round already past bound: {over}"
-    q = registry.canonical_queries()
-    modules = {n: qd.fn.__module__ for n, qd in q.items()}
     regen, _ = rotate_window.propose_window(list(q), modules, sim_rounds)
     missed = [n for n in at_bound if n not in regen]
     assert not missed, (
         f"rotation policy would let these age past the bound: {missed}"
     )
+
+
+def test_staleness_bound_satisfiable_with_registry_growth(monkeypatch):
+    """VERDICT r10 #2 'done' criterion: the invariant must stay
+    satisfiable with +25 hypothetical queries. The bound derives from
+    the registry size (max_staleness), so growth relaxes it instead of
+    reddening it; this simulates rotations over the GROWN registry from
+    the actual committed evidence and asserts the policy really cycles
+    everything within the derived bound once the backlog drains."""
+    q = registry.canonical_queries()
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    registered = list(q)
+    for i in range(25):
+        name = f"hypothetical_growth_q{i:02d}"
+        registered.append(name)
+        modules[name] = next(iter(modules.values()))
+    bound = rotate_window.max_staleness(len(registered))
+    assert bound >= MAX_STALENESS, "growth must never tighten the bound"
+    last_green = dict(
+        rotate_window.green_by_round(list(window.CONSUMED_ROUNDS))
+    )
+    cur = max(window.CONSUMED_ROUNDS)
+    win = list(window.PRIORITY_PREFIX)
+    drained = False
+    for step in range(1, 2 * bound + 13):
+        rnd = cur + step
+        for n in win:
+            last_green[n] = rnd
+        if set(registered) <= set(last_green):
+            drained = True
+            stale = {n: rnd - last_green[n] for n in registered
+                     if rnd - last_green[n] > bound}
+            assert not stale, f"round {rnd}: evidence older than {bound}: {stale}"
+        monkeypatch.setattr(
+            rotate_window, "green_by_round", lambda rounds, lg=dict(last_green): lg
+        )
+        win, _ = rotate_window.propose_window(registered, modules, [rnd])
+    assert drained, "simulation never drained the grown backlog"
