@@ -1780,7 +1780,18 @@ def with_deflate_blob(docs: DataFrame) -> DataFrame:
                         "byte-indexed blob generation requires the "
                         "ASCII corpus contract"
                     )
-                k = 6 + (b[0] % 5) if b else 6
+                if not b:
+                    # UNNEST(range(0, n_bytes)) oracles emit ZERO rows
+                    # for an empty payload while the decode side emits
+                    # one — enforce the non-empty corpus contract at
+                    # generation (ADVICE r10) so the asymmetry can
+                    # never reach the driver compare.
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                k = 6 + (b[0] % 5)
                 rows.append((doc_id, encode(b * k)))
             yield pd.DataFrame(rows, columns=["doc_id", "blob"])
             rows = []
@@ -1875,17 +1886,19 @@ def with_flac_blob(docs: DataFrame) -> DataFrame:
                         "ASCII corpus contract"
                     )
                 n = len(b)
-                sr = 8000 * (1 + b[0] % 3) if n else 8000
-                total = 1024 + 256 * ((b[-1] % 4) if n else 0) + 377
-                s = 16 + (b[0] % 32) if n else 16
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                sr = 8000 * (1 + b[0] % 3)
+                total = 1024 + 256 * (b[-1] % 4) + 377
+                s = 16 + (b[0] % 32)
                 i = np.arange(total, dtype=np.int64)
                 v = (i * s) % 4096
                 tri = np.where(v < 2048, v, 4095 - v)
-                txt = (
-                    np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
-                    if n
-                    else np.zeros(total, dtype=np.int64)
-                )
+                txt = np.frombuffer(b, dtype=np.uint8).astype(np.int64)[i % n]
                 samples = (tri - 1024) * 8 + txt % 16 - 8
                 rows.append((doc_id, encode(sr, samples.tolist())))
             yield pd.DataFrame(rows, columns=["doc_id", "blob"])
@@ -1969,7 +1982,25 @@ def with_rc_blob(docs: DataFrame) -> DataFrame:
                         "byte-indexed blob generation requires the "
                         "ASCII corpus contract"
                     )
-                rows.append((doc_id, encode(b * 2)))
+                if not b:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                blob = encode(b * 2)
+                # The multimodal_arith_decode oracle hardcodes
+                # `compressed` TRUE — enforce it where the blob is
+                # MADE (ADVICE r10): a doc too short/high-entropy to
+                # beat 8 bits/byte under the fresh adaptive model
+                # must fail loudly here, not as an oracle mismatch.
+                if len(blob) - 12 >= 2 * len(b):
+                    raise ValueError(
+                        f"RC01 corpus contract violated (doc_id="
+                        f"{doc_id}): code {len(blob) - 12} B did not "
+                        f"compress payload {2 * len(b)} B"
+                    )
+                rows.append((doc_id, blob))
             yield pd.DataFrame(rows, columns=["doc_id", "blob"])
             rows = []
 

@@ -353,9 +353,14 @@ def flac_encode(sample_rate: int, samples) -> bytes:
     streaminfo = _BitWriter()
     sizes = [len(f) for f in frames] or [0]
     # RFC 9639: min/max block size EXCLUDE the (possibly short) last
-    # block — every non-last block here is exactly BLOCK_SIZE.
-    streaminfo.write(BLOCK_SIZE, 16)
-    streaminfo.write(BLOCK_SIZE, 16)
+    # block — every non-last block here is exactly BLOCK_SIZE. For an
+    # input shorter than one block the ONLY frame is the short one, so
+    # the fields carry its size, floored at the spec minimum of 16
+    # (ADVICE r10 — the unconditional BLOCK_SIZE was spec-inaccurate
+    # for sub-block inputs; ladder blobs are always >= 1401 samples).
+    blk = BLOCK_SIZE if n >= BLOCK_SIZE else max(16, n)
+    streaminfo.write(blk, 16)
+    streaminfo.write(blk, 16)
     streaminfo.write(min(sizes), 24)
     streaminfo.write(max(sizes), 24)
     streaminfo.write(sample_rate, 20)

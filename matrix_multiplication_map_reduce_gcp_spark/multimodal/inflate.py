@@ -364,9 +364,23 @@ def zlib_multiblock_compress(payload: bytes, fixed_tail: int = 96) -> bytes:
     part2 = tail.compress(payload[cut:]) + tail.flush(zlib.Z_FINISH)
     cmf = 0x78  # method 8, 32K window
     flg = (31 - (cmf << 8) % 31) % 31  # FLEVEL 0, FDICT 0, valid FCHECK
-    return (
+    stream = (
         bytes((cmf, flg))
         + part1
         + part2
         + struct.pack(">I", zlib.adler32(payload) & 0xFFFFFFFF)
     )
+    # The multimodal_deflate_decode oracle hardcodes has_all_btypes
+    # TRUE, which holds only if zlib's internal choices (dynamic must
+    # beat fixed under Z_HUFFMAN_ONLY; the payload must exceed the
+    # fixed tail) really produced all three BTYPEs. Enforce the
+    # contract HERE so corpus drift or a differently-tuned zlib build
+    # (e.g. zlib-ng) fails loudly at encode time instead of as a
+    # driver-red oracle hash mismatch (ADVICE r10).
+    decoded, btypes = zlib_inflate(stream)
+    if decoded != payload or set(btypes) != {0, 1, 2}:
+        raise ValueError(
+            f"zlib_multiblock_compress contract violated: btypes="
+            f"{sorted(set(btypes))} (need {{0,1,2}}), len={len(payload)}"
+        )
+    return stream

@@ -1209,11 +1209,23 @@ def test_inflate_matches_stdlib_both_directions():
             assert out == data, (lvl, len(data))
             if lvl == 0 and data:
                 assert set(btypes) == {0}
+    # The multiblock encoder now ENFORCES its all-three-btypes contract
+    # at encode time (ADVICE r10): payloads too short/uniform to yield
+    # stored+fixed+dynamic blocks raise instead of silently producing a
+    # stream the oracle's hardcoded TRUE would mismatch.
+    import pytest
+
     for data in payloads:
-        stream = zlib_multiblock_compress(data)
+        try:
+            stream = zlib_multiblock_compress(data)
+        except ValueError:
+            with pytest.raises(ValueError, match="contract violated"):
+                zlib_multiblock_compress(data)
+            continue
         assert zlib.decompress(stream) == data
-        out, _ = zlib_inflate(stream)
+        out, btypes = zlib_inflate(stream)
         assert out == data
+        assert set(btypes) == {0, 1, 2}
 
 
 def test_inflate_multiblock_encoder_guarantees_all_btypes():
@@ -1500,6 +1512,29 @@ def test_flac_escaped_partition_decodes():
     bw.align()
     out = _decode_subframe(_BitReader(bw.getvalue()), len(vals), 16)
     assert out == vals
+
+
+def test_flac_subblock_streaminfo_geometry():
+    """ADVICE r10: inputs shorter than one block must round-trip AND
+    carry spec-accurate STREAMINFO min/max block size — the short only
+    frame's size (floored at the spec minimum of 16), not the encoder's
+    nominal BLOCK_SIZE."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.flac import (
+        BLOCK_SIZE,
+        flac_decode,
+        flac_encode,
+    )
+
+    for n, want in ((5, 16), (16, 16), (100, 100), (1023, 1023),
+                    (BLOCK_SIZE, BLOCK_SIZE), (BLOCK_SIZE + 7, BLOCK_SIZE)):
+        samples = [((i * 37) % 2000) - 1000 for i in range(n)]
+        blob = flac_encode(8000, samples)
+        sr, total, n_frames, out = flac_decode(blob)
+        assert (sr, total, out) == (8000, n, samples)
+        body = blob[8:]  # STREAMINFO body after fLaC + block header
+        mn = (body[0] << 8) | body[1]
+        mx = (body[2] << 8) | body[3]
+        assert (mn, mx) == (want, want), n
 
 
 def test_flac_blobs_decode_on_spark(spark):
