@@ -114,6 +114,11 @@ HEADLINE = [
     # binary arithmetic coding (Witten–Neal–Cleary / CABAC class),
     # completing the ladder's entropy-coding inventory. Same shape.
     "multimodal_arith_decode",
+    # r11: the MOTION-COMPENSATED video rung — simplified MPEG-1-style
+    # MPV1 (intra DCT frame + full-search motion vectors + coded
+    # residuals, Exp-Golomb MV coding), crossing the lossy
+    # motion-modeling boundary. Same map-only codec shape.
+    "multimodal_mpeg_motion",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

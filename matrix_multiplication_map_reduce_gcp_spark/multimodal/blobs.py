@@ -2053,3 +2053,199 @@ def decode_rc_payload(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_rc_blob(docs).mapInPandas(op, RC_DECODE_SCHEMA)
+
+
+MPEG_SCHEMA = (
+    "doc_id long, frame_idx int, frame_type string, width int, "
+    "height int, n_frames int, n_mb int, n_interior int, "
+    "mv_dx int, mv_dy int, within_tolerance boolean"
+)
+
+
+def with_mpeg_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a motion-compensated MPV1 stream
+    (multimodal/mpeg.py — intra DCT frame + P-frames with full-search
+    motion vectors and coded residuals). Content is a TRANSLATING
+    texture so the motion field is SQL-predictable: width =
+    32 + 16*(first_byte % 2), height = 32 + 16*(last_byte % 2),
+    n_frames = 3 + (first_byte + last_byte) % 2, per-frame shift
+    (sx, sy) = (1 + first_byte % 3, 1 + last_byte % 3), fps =
+    5 * (1 + byte_length % 4), base pixel p = (byte[p mod n]*131 +
+    p*7919) % 256, and frame f pixel (y, x) = base[(y + f*sy) mod h,
+    (x + f*sx) mod w]. Every INTERIOR macroblock of a P-frame (one
+    whose 16x16 window still fits after the shift: y0+16+sy <= h and
+    x0+16+sx <= w) is then an EXACT translation of the previous frame,
+    so its best motion vector is exactly (sy, sx) — enforced HERE at
+    generation (ADVICE r10 discipline: corpus contracts fail loudly at
+    the blob maker, not as driver-red oracle mismatches) along with
+    the MPEG_TOL reconstruction bound. ``text`` rides along for the
+    decode stage's source regeneration."""
+    from .mpeg import MB, MPEG_TOL, mpeg_decode, mpeg_encode
+
+    encode = mpeg_encode
+    decode = mpeg_decode
+    mb = MB
+    tol = MPEG_TOL
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                w = 32 + 16 * int(bb[0] % 2)
+                h = 32 + 16 * int(bb[-1] % 2)
+                nf = 3 + int((bb[0] + bb[-1]) % 2)
+                sx = 1 + int(bb[0] % 3)
+                sy = 1 + int(bb[-1] % 3)
+                fps = 5 * (1 + n % 4)
+                p = np.arange(h * w, dtype=np.int64)
+                base = ((bb[p % n] * 131 + p * 7919) % 256).reshape(h, w)
+                frames = []
+                for f in range(nf):
+                    yy = (np.arange(h)[:, None] + f * sy) % h
+                    xx = (np.arange(w)[None, :] + f * sx) % w
+                    frames.append(base[yy, xx].astype(np.uint8).tobytes())
+                blob = encode(w, h, fps, frames)
+                # Generation-time corpus contract: decode back and
+                # require (a) every interior P-frame macroblock carries
+                # the designed motion vector (a SAD tie or search bug
+                # must fail HERE, loudly), (b) reconstruction within
+                # MPEG_TOL of the source.
+                _, _, _, _, out, mvs = decode(blob)
+                for f in range(1, nf):
+                    k = 0
+                    for y0 in range(0, h, mb):
+                        for x0 in range(0, w, mb):
+                            if y0 + mb + sy <= h and x0 + mb + sx <= w:
+                                if mvs[f][k] != (sy, sx):
+                                    raise ValueError(
+                                        "MPV1 corpus contract violated "
+                                        f"(doc_id={doc_id}, frame {f}, "
+                                        f"mb ({y0},{x0})): mv "
+                                        f"{mvs[f][k]} != designed "
+                                        f"({sy}, {sx})"
+                                    )
+                            k += 1
+                for f in range(nf):
+                    err = int(
+                        np.abs(
+                            np.frombuffer(out[f], dtype=np.uint8).astype(
+                                np.int64
+                            )
+                            - np.frombuffer(
+                                frames[f], dtype=np.uint8
+                            ).astype(np.int64)
+                        ).max()
+                    )
+                    if err > tol:
+                        raise ValueError(
+                            "MPV1 corpus contract violated (doc_id="
+                            f"{doc_id}, frame {f}): max abs err {err} "
+                            f"> MPEG_TOL {tol}"
+                        )
+                rows.append((doc_id, text, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
+    """Decode the MPV1 streams and emit one row per FRAME binding the
+    bitstream-decoded MOTION FIELD and geometry to SQL-exact values:
+    frame_type from the stream's frame headers, (mv_dy, mv_dx) = the
+    decoded vector of the frame's FIRST interior macroblock (0 for the
+    intra frame), n_interior = the count of interior-position
+    macroblocks whose DECODED vector equals the doc's designed shift —
+    a misparsed Exp-Golomb bit, swapped components, or wrong
+    macroblock order changes these columns and reds the driver hash.
+    within_tolerance bounds the motion-compensated reconstruction
+    against the regenerated source (closed-loop: error must NOT
+    accumulate across P-frames)."""
+    from .mpeg import MB, MPEG_TOL, mpeg_decode
+
+    decode = mpeg_decode
+    mb = MB
+    tol = MPEG_TOL
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                w, h, fps, nf, out, mvs = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                sx = 1 + int(bb[0] % 3)
+                sy = 1 + int(bb[-1] % 3)
+                p = np.arange(h * w, dtype=np.int64)
+                base = ((bb[p % n] * 131 + p * 7919) % 256).reshape(h, w)
+                n_mb = (w // mb) * (h // mb)
+                for f in range(nf):
+                    yy = (np.arange(h)[:, None] + f * sy) % h
+                    xx = (np.arange(w)[None, :] + f * sx) % w
+                    src_f = base[yy, xx].astype(np.int64)
+                    got = np.frombuffer(out[f], dtype=np.uint8).astype(
+                        np.int64
+                    ).reshape(h, w)
+                    max_err = int(np.abs(got - src_f).max())
+                    if f == 0:
+                        ftype, mv_dx, mv_dy, n_int = "I", 0, 0, 0
+                    else:
+                        ftype = "P"
+                        mv_dx = mv_dy = 0
+                        n_int = 0
+                        first = True
+                        k = 0
+                        for y0 in range(0, h, mb):
+                            for x0 in range(0, w, mb):
+                                if y0 + mb + sy <= h and x0 + mb + sx <= w:
+                                    dy, dx = mvs[f][k]
+                                    if first:
+                                        mv_dy, mv_dx = dy, dx
+                                        first = False
+                                    if (dy, dx) == (sy, sx):
+                                        n_int += 1
+                                k += 1
+                    rows.append(
+                        (
+                            doc_id, f, ftype, w, h, nf, n_mb, n_int,
+                            mv_dx, mv_dy, bool(max_err <= tol),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_type", "width",
+                    "height", "n_frames", "n_mb", "n_interior",
+                    "mv_dx", "mv_dy", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_mpeg_blob(docs).mapInPandas(op, MPEG_SCHEMA)

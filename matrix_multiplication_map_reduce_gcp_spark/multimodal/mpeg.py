@@ -1,0 +1,480 @@
+"""Simplified MPEG-1-style motion-compensated video codec ("MPV1"),
+stdlib + numpy only — the rung that crosses the ladder's long-documented
+LOSSY MOTION-MODELING boundary (SCALING.md: after r10 the remaining
+codec gap was "perceptual/motion modeling only").
+
+The reference repo contains no codec code at all (it moves JSON
+matrices through GCS, reference orchestrator/main.py:54-64); this rung
+exists for the engine's multimodal north star. It implements the core
+MPEG-1 video toolchain (ISO/IEC 11172-2 concepts) in simplified form:
+
+* GOP of one INTRA frame + P-frames (no B-frames).
+* I-frame: 8x8 orthonormal FDCT + flat near-lossless quantization +
+  zigzag + DC prediction + run/size AC coding — the exact JPEG
+  machinery (multimodal/jpeg.py's DCT matrix, zigzag order, Annex-K
+  luma Huffman tables), per the "intra frames reuse the JPEG DCT path"
+  design MPEG-1 itself follows.
+* P-frame: per 16x16 macroblock, FULL-SEARCH block motion estimation
+  (+-SEARCH_RANGE, SAD metric, closed-loop: the search reference is
+  the RECONSTRUCTED previous frame, so encoder and decoder prediction
+  states are bit-identical and error never accumulates across frames);
+  motion vectors entropy-coded with signed Exp-Golomb (the se(v) code
+  of H.264/ITU-T H.264 9.1); the motion-compensated RESIDUAL coded
+  through the same DCT/quant/Huffman path as intra blocks.
+* Ties in the motion search resolve to the candidate closest to the
+  zero vector (then raster order) — deterministic, and uniform content
+  yields the zero MV like a real encoder.
+
+Luma-only (single 8-bit plane): motion estimation and compensation in
+MPEG-1 operate on Y; chroma adds plumbing, not modeling. Anything the
+decoder cannot represent raises ValueError — a documented envelope,
+checked, never silently wrong.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+# Workers do not have this package on sys.path: ship the codec BY
+# VALUE inside pickled closures (same opt-in as jpeg.py / blobs.py).
+from pyspark import cloudpickle
+
+from .jpeg import AC_LUMA, DC_LUMA, ZIGZAG, _A, _csize, _huff_codes, _huff_lut_cached
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+MAGIC = b"MPV1"
+MB = 16  # macroblock size (4 8x8 DCT blocks, MPEG-1 luma geometry)
+SEARCH_RANGE = 4  # full-search window: dy, dx in [-4, 4]
+
+# Reconstruction tolerance with the flat all-ones quant table: the
+# closed-loop design bounds per-frame error to one DCT/round trip
+# (measured max abs err over the corpus geometry <= 2); pinned with
+# margin. The registered query emits within_tolerance =
+# (max_abs_err <= MPEG_TOL) and its oracle expects TRUE for every
+# frame, so a tolerance breach is a driver-red hash mismatch.
+MPEG_TOL = 4
+
+
+class _BitWriter:
+    """MSB-first bit packer WITHOUT JPEG byte stuffing (MPV1 frames
+    are length-prefixed, so no marker emulation is needed)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.acc = 0
+        self.nb = 0
+        self.pos = 0
+        self.consumed = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nb < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # zero-pad past the end; overrun checked
+            self.nb += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill(length)
+        self.nb -= length
+        self.consumed += length
+        v = (self.acc >> self.nb) & ((1 << length) - 1)
+        self.acc &= (1 << self.nb) - 1
+        return v
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.nb - 16)) & 0xFFFF
+
+    def skip(self, length: int) -> None:
+        self.nb -= length
+        self.consumed += length
+        self.acc &= (1 << self.nb) - 1
+
+    def overrun(self) -> bool:
+        return self.consumed > 8 * len(self.data)
+
+
+def se_encode(bw: _BitWriter, v: int) -> None:
+    """Signed Exp-Golomb (H.264 se(v)): v -> codeNum 2|v|-1 if v>0
+    else 2|v|; codeNum -> (leading zeros, 1, info bits)."""
+    code = 2 * v - 1 if v > 0 else -2 * v
+    n = code + 1
+    length = n.bit_length()
+    bw.write(0, length - 1)
+    bw.write(n, length)
+
+
+def se_decode(br: _BitReader) -> int:
+    zeros = 0
+    while br.read(1) == 0:
+        zeros += 1
+        if zeros > 32 or br.overrun():
+            raise ValueError("corrupt MPV1: bad Exp-Golomb code")
+    n = (1 << zeros) | br.read(zeros)
+    code = n - 1
+    return (code + 1) // 2 if code % 2 else -(code // 2)
+
+
+_DC_CODES = _huff_codes(*DC_LUMA)
+_AC_CODES = _huff_codes(*AC_LUMA)
+
+
+def _code_block(bw: _BitWriter, zz: list, pred: int) -> int:
+    """One 8x8 block through the JPEG run/size entropy path (DC
+    predicted against ``pred``; returns the new predictor)."""
+    diff = zz[0] - pred
+    size = _csize(diff)
+    code, length = _DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _csize(v)
+        code, length = _AC_CODES[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        code, length = _AC_CODES[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def _decode_block(br: _BitReader, pred: int) -> tuple[np.ndarray, int]:
+    """Inverse of _code_block: one zigzag coefficient vector."""
+    dc_sym, dc_len = _huff_lut_cached(*DC_LUMA)
+    ac_sym, ac_len = _huff_lut_cached(*AC_LUMA)
+    zz = np.zeros(64, dtype=np.int64)
+    idx = br.peek16()
+    size, length = dc_sym[idx], dc_len[idx]
+    if length == 0:
+        raise ValueError("corrupt MPV1: invalid DC Huffman code")
+    br.skip(length)
+    if size:
+        v = br.read(size)
+        if v < (1 << (size - 1)):
+            v += 1 - (1 << size)
+    else:
+        v = 0
+    pred += v
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        idx = br.peek16()
+        rs, length = ac_sym[idx], ac_len[idx]
+        if length == 0:
+            raise ValueError("corrupt MPV1: invalid AC Huffman code")
+        br.skip(length)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                if k > 64:
+                    raise ValueError("corrupt MPV1: AC run overflow")
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("corrupt MPV1: AC run overflow")
+        v = br.read(size)
+        if v < (1 << (size - 1)):
+            v += 1 - (1 << size)
+        zz[k] = v
+        k += 1
+    if br.overrun():
+        raise ValueError("corrupt MPV1: entropy stream truncated")
+    return zz, pred
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H/8 * W/8, 8, 8) raster-ordered 8x8 blocks of an 8-multiple
+    plane."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _plane_of(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _quantize(plane: np.ndarray) -> list:
+    """FDCT + quantize (flat 1) + zigzag every 8x8 block of ``plane``
+    (float64): list of 64-int zigzag vectors in block raster order."""
+    coef = np.einsum("ij,njk,lk->nil", _A, _blocks_of(plane), _A)
+    return np.round(coef.reshape(-1, 64)).astype(np.int64)[:, ZIGZAG].tolist()
+
+
+def _dequant_plane(qzz: list, h: int, w: int) -> np.ndarray:
+    """Inverse of _quantize: (h, w) float64 plane from the quantized
+    zigzag integers — the EXACT array the decoder computes, so the
+    encoder's closed-loop reconstruction is bit-identical to decode."""
+    arr = np.asarray(qzz, dtype=np.int64)
+    coef = np.zeros((arr.shape[0], 64), dtype=np.float64)
+    coef[:, ZIGZAG] = arr
+    blocks = np.einsum("ij,njk,kl->nil", _A.T, coef.reshape(-1, 8, 8), _A)
+    return _plane_of(blocks, h, w)
+
+
+def _entropy_code(bw: _BitWriter, qzz: list, pred: int) -> int:
+    for zz in qzz:
+        pred = _code_block(bw, zz, pred)
+    return pred
+
+
+def _transform_decode(
+    br: _BitReader, h: int, w: int, pred: int
+) -> tuple[np.ndarray, int]:
+    """Inverse of _transform_code: (h, w) float64 plane (still
+    level-shifted), new DC predictor."""
+    n = (h // 8) * (w // 8)
+    zz_all = np.zeros((n, 64), dtype=np.int64)
+    for b in range(n):
+        zz_all[b], pred = _decode_block(br, pred)
+    coef = np.zeros((n, 64), dtype=np.float64)
+    coef[:, ZIGZAG] = zz_all
+    blocks = np.einsum("ij,njk,kl->nil", _A.T, coef.reshape(-1, 8, 8), _A)
+    return _plane_of(blocks, h, w), pred
+
+
+def _motion_search(
+    ref: np.ndarray, cur: np.ndarray, y0: int, x0: int, r: int
+) -> tuple[int, int]:
+    """Full-search SAD over dy, dx in [-r, r] (clamped to the frame)
+    for the 16x16 block at (y0, x0). Candidates are scanned closest-
+    to-zero first ((dy*dy+dx*dx, dy, dx) order) with strict-improvement
+    replacement, so ties resolve toward the zero vector and the result
+    is deterministic."""
+    h, w = ref.shape
+    blk = cur[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+    cands = sorted(
+        (
+            (dy * dy + dx * dx, dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+            if 0 <= y0 + dy <= h - MB and 0 <= x0 + dx <= w - MB
+        )
+    )
+    best = None
+    best_sad = None
+    for _, dy, dx in cands:
+        pred = ref[y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB]
+        sad = int(np.abs(blk - pred.astype(np.int64)).sum())
+        if best_sad is None or sad < best_sad:
+            best_sad = sad
+            best = (dy, dx)
+    return best
+
+
+def _motion_search_frame(ref: np.ndarray, cur: np.ndarray, r: int) -> np.ndarray:
+    """Vectorized full search for EVERY macroblock of a frame at once:
+    per candidate (dy, dx), one shifted-array |diff| over the frame and
+    a reshape-sum gives the SAD of all in-bounds macroblocks together
+    — 81 numpy ops per frame instead of 81 per macroblock. Semantics
+    are pinned equal to _motion_search (same candidate order via
+    strict-improvement updates in closest-to-zero-first order).
+    Returns (n_mb_y, n_mb_x, 2) int64 of (dy, dx)."""
+    h, w = ref.shape
+    nby, nbx = h // MB, w // MB
+    best_sad = np.full((nby, nbx), np.inf)
+    best = np.zeros((nby, nbx, 2), dtype=np.int64)
+    cur_i = cur.astype(np.int64)
+    ref_i = ref.astype(np.int64)
+    cands = sorted(
+        (dy * dy + dx * dx, dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+    )
+    for _, dy, dx in cands:
+        ys, ye = max(0, -dy), min(h, h - dy)
+        xs, xe = max(0, -dx), min(w, w - dx)
+        by0, by1 = (ys + MB - 1) // MB, ye // MB
+        bx0, bx1 = (xs + MB - 1) // MB, xe // MB
+        if by0 >= by1 or bx0 >= bx1:
+            continue
+        diff = np.abs(
+            cur_i[by0 * MB : by1 * MB, bx0 * MB : bx1 * MB]
+            - ref_i[by0 * MB + dy : by1 * MB + dy, bx0 * MB + dx : bx1 * MB + dx]
+        )
+        sad = diff.reshape(by1 - by0, MB, bx1 - bx0, MB).sum(axis=(1, 3))
+        region = best_sad[by0:by1, bx0:bx1]
+        upd = sad < region
+        region[upd] = sad[upd]
+        best[by0:by1, bx0:bx1][upd] = (dy, dx)
+    return best
+
+
+def mpeg_encode(
+    width: int, height: int, fps: int, frames: list, search: int = SEARCH_RANGE
+) -> bytes:
+    """Encode 8-bit luma planes (list of ``bytes``, each width*height)
+    as an MPV1 stream: frame 0 intra, the rest P-frames. Dimensions
+    must be multiples of 16 (MPEG-1 coded size is macroblock-aligned;
+    this simplified profile requires it instead of padding)."""
+    if width % MB or height % MB or width < MB or height < MB:
+        raise ValueError("MPV1 requires macroblock-aligned dimensions")
+    if not 1 <= search <= 15:
+        raise ValueError("search range must be 1..15")
+    if not frames:
+        raise ValueError("need at least one frame")
+    out = bytearray(
+        MAGIC
+        + struct.pack(
+            ">HHBBB", width, height, len(frames), fps, search
+        )
+    )
+    recon_prev = None
+    for f, raw in enumerate(frames):
+        cur = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+        bw = _BitWriter()
+        if f == 0:
+            qzz = _quantize(cur.astype(np.float64) - 128.0)
+            _entropy_code(bw, qzz, 0)
+            # Closed loop: reconstruct from the SAME quantized ints the
+            # decoder will recover (entropy coding is lossless), with
+            # the decoder's exact rounding/clip.
+            recon = np.clip(
+                np.round(_dequant_plane(qzz, height, width) + 128.0), 0, 255
+            ).astype(np.uint8)
+            ftype = 0
+        else:
+            recon = np.empty_like(cur)
+            pred_dc = 0
+            mv_grid = _motion_search_frame(recon_prev, cur, search)
+            for y0 in range(0, height, MB):
+                for x0 in range(0, width, MB):
+                    dy, dx = (int(v) for v in mv_grid[y0 // MB, x0 // MB])
+                    se_encode(bw, dy)
+                    se_encode(bw, dx)
+                    pred = recon_prev[
+                        y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB
+                    ].astype(np.float64)
+                    resid = (
+                        cur[y0 : y0 + MB, x0 : x0 + MB].astype(np.float64)
+                        - pred
+                    )
+                    qzz = _quantize(resid)
+                    pred_dc = _entropy_code(bw, qzz, pred_dc)
+                    recon[y0 : y0 + MB, x0 : x0 + MB] = np.clip(
+                        np.round(pred + _dequant_plane(qzz, MB, MB)), 0, 255
+                    ).astype(np.uint8)
+            ftype = 1
+        payload = bw.flush()
+        out += struct.pack(">BI", ftype, len(payload)) + payload
+        recon_prev = recon
+    return bytes(out)
+
+
+def mpeg_decode(data: bytes):
+    """Decode an MPV1 stream.
+
+    Returns (width, height, fps, n_frames, frames, mvs): ``frames`` a
+    list of reconstructed luma planes (bytes), ``mvs`` a list per
+    frame — [] for the intra frame, else [(dy, dx), ...] in macroblock
+    raster order."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an MPV1 stream: bad magic")
+    if len(data) < 11:
+        raise ValueError("truncated MPV1 header")
+    width, height, n_frames, fps, search = struct.unpack(">HHBBB", data[4:11])
+    if width % MB or height % MB or not n_frames:
+        raise ValueError("corrupt MPV1: bad geometry")
+    pos = 11
+    frames = []
+    mvs = []
+    recon_prev = None
+    for f in range(n_frames):
+        if pos + 5 > len(data):
+            raise ValueError("truncated MPV1: missing frame header")
+        ftype, plen = struct.unpack(">BI", data[pos : pos + 5])
+        pos += 5
+        if pos + plen > len(data):
+            raise ValueError("truncated MPV1: frame payload")
+        br = _BitReader(data[pos : pos + plen])
+        pos += plen
+        if ftype == 0:
+            if f != 0:
+                raise ValueError("corrupt MPV1: intra frame after frame 0")
+            plane, _ = _transform_decode(br, height, width, 0)
+            recon = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+            mvs.append([])
+        elif ftype == 1:
+            if f == 0:
+                raise ValueError("corrupt MPV1: P-frame without reference")
+            recon = np.empty((height, width), dtype=np.uint8)
+            fmvs = []
+            pred_dc = 0
+            for y0 in range(0, height, MB):
+                for x0 in range(0, width, MB):
+                    dy = se_decode(br)
+                    dx = se_decode(br)
+                    if (
+                        abs(dy) > search
+                        or abs(dx) > search
+                        or not 0 <= y0 + dy <= height - MB
+                        or not 0 <= x0 + dx <= width - MB
+                    ):
+                        raise ValueError("corrupt MPV1: motion vector out of range")
+                    fmvs.append((dy, dx))
+                    pred = recon_prev[
+                        y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB
+                    ].astype(np.float64)
+                    rplane, pred_dc = _transform_decode(br, MB, MB, pred_dc)
+                    recon[y0 : y0 + MB, x0 : x0 + MB] = np.clip(
+                        np.round(pred + rplane), 0, 255
+                    ).astype(np.uint8)
+            mvs.append(fmvs)
+        else:
+            raise ValueError(f"corrupt MPV1: unknown frame type {ftype}")
+        frames.append(recon.tobytes())
+        recon_prev = recon
+    if pos != len(data):
+        raise ValueError("corrupt MPV1: trailing bytes")
+    return width, height, fps, n_frames, frames, mvs

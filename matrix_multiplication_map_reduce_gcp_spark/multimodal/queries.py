@@ -973,3 +973,77 @@ def multimodal_arith_decode(spark, sf_dir):
         "doc_id", "n_bytes", "byte_sum", "pos_weighted_sum",
         "adler32", "compressed",
     )
+
+
+@query(
+    "multimodal_mpeg_motion",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             32 + 16 * (ascii(substr(text, 1, 1)) % 2) AS width,
+             32 + 16 * (ascii(substr(text, length(text), 1)) % 2) AS height,
+             3 + (ascii(substr(text, 1, 1))
+                  + ascii(substr(text, length(text), 1))) % 2 AS n_frames,
+             1 + ascii(substr(text, 1, 1)) % 3 AS sx,
+             1 + ascii(substr(text, length(text), 1)) % 3 AS sy
+      FROM documents)
+    SELECT doc_id,
+           CAST(r.f AS INT) AS frame_idx,
+           CASE WHEN r.f = 0 THEN 'I' ELSE 'P' END AS frame_type,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST((width // 16) * (height // 16) AS INT) AS n_mb,
+           CAST(CASE WHEN r.f = 0 THEN 0
+                ELSE ((width - 16 - sx) // 16 + 1)
+                     * ((height - 16 - sy) // 16 + 1) END AS INT)
+             AS n_interior,
+           CAST(CASE WHEN r.f = 0 THEN 0 ELSE sx END AS INT) AS mv_dx,
+           CAST(CASE WHEN r.f = 0 THEN 0 ELSE sy END AS INT) AS mv_dy,
+           TRUE AS within_tolerance
+    FROM params, UNNEST(range(0, CAST(n_frames AS BIGINT))) AS r(f)
+    """,
+)
+def multimodal_mpeg_motion(spark, sf_dir):
+    """The MOTION-COMPENSATED video rung — the ladder's first step
+    across its last documented codec boundary (lossy perceptual/motion
+    MODELING; the entropy inventory closed in r10): a simplified
+    MPEG-1-style codec (multimodal/mpeg.py, "MPV1") with an intra
+    frame on the JPEG DCT path (8x8 FDCT + flat near-lossless quant +
+    zigzag + DC prediction + Annex-K Huffman run/size coding) and
+    P-frames that carry a FULL-SEARCH motion vector per 16x16
+    macroblock (SAD over +-4, ties to the zero vector — closed-loop
+    against the RECONSTRUCTED reference, so encoder/decoder prediction
+    states match bit-for-bit and error never accumulates) plus the
+    motion-compensated residual through the same transform path;
+    motion vectors entropy-coded with signed Exp-Golomb (H.264 se(v)).
+
+    The blob content is a translating texture, which makes the motion
+    FIELD itself SQL-exact: every interior macroblock's vector is the
+    designed per-frame shift (enforced at generation — ADVICE r10
+    discipline), so the oracle predicts (mv_dx, mv_dy), the count of
+    matching interior vectors, frame types, and geometry, while
+    within_tolerance bounds the lossy reconstruction at MPEG_TOL. A
+    misparsed Exp-Golomb bit, swapped vector components, wrong
+    macroblock raster order, or drifting P-frame reconstruction is a
+    driver-red hash mismatch. Same Arrow-batched two-stage mapInPandas
+    + one deliberate round-robin Exchange shape as the other CPU-bound
+    rungs; map-only at 100 TB — no shuffle, parallelism = input
+    splits."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_mpeg_frames
+
+    out = decode_mpeg_frames(d)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "frame_type",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("n_mb").cast("int").alias("n_mb"),
+        F.col("n_interior").cast("int").alias("n_interior"),
+        F.col("mv_dx").cast("int").alias("mv_dx"),
+        F.col("mv_dy").cast("int").alias("mv_dy"),
+        "within_tolerance",
+    )

@@ -146,6 +146,13 @@ def test_media_decode_queries_are_map_only(spark):
     assert jpg.count("Exchange") == 1, "jpeg roundtrip: one deliberate repartition"
     assert "RoundRobinPartitioning" in jpg
     assert "MapInPandas" in jpg
+    # Motion-compensated MPV1 rung (r11): encode (with generation-time
+    # contract decode) + decode are the same CPU-bound codec shape —
+    # exactly the one deliberate round-robin Exchange, nothing else.
+    mpg = executed_plan(Q["multimodal_mpeg_motion"].fn(spark, SF_SMOKE))
+    assert mpg.count("Exchange") == 1, "mpeg motion: one deliberate repartition"
+    assert "RoundRobinPartitioning" in mpg
+    assert "MapInPandas" in mpg
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
