@@ -355,6 +355,23 @@ def main() -> None:
                 run_noop(queries[name].fn(spark, "/root/testdata/sf0.01"))
             except Exception as exc:  # pragma: no cover
                 print(f"heavy warmup {name} failed: {exc}", file=sys.stderr)
+        # r11 (VERDICT r10 #4 adjudication): one untimed pass at the
+        # TARGET SF as well. The sf0.01 warm-up stabilizes codegen but
+        # not FIRST-EXECUTION-at-full-size costs — cold parquet page
+        # cache + JIT tiering at real volume — which at sf1 put 2-5x
+        # of one-time cost into the first timed rep
+        # (probe_triangle_sf1: first rep 66-69 s vs a 23.5 s converged
+        # floor, GC tiny). The heavy group's declared purpose is SCALE
+        # RATIOS, not session cold-start; medians over reps that
+        # include one cold rep swing with page-cache luck (the r10
+        # triangle median read 57.5 s vs r9's 27.5 on an unchanged
+        # plan).
+        for name in headline:
+            try:
+                run_noop(queries[name].fn(spark, sf_dir))
+            except Exception as exc:  # pragma: no cover
+                print(f"heavy target-SF warmup {name} failed: {exc}",
+                      file=sys.stderr)
 
     # Per-query fault isolation: one broken query must never cost the
     # round its entire bench record (round-2 lesson — a single

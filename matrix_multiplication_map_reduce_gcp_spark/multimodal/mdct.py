@@ -1,0 +1,225 @@
+"""Simplified MPEG-1-Layer-I-style perceptual audio codec ("MAU1"),
+stdlib + numpy only — the AUDIO side of the ladder's last documented
+codec boundary (lossy perceptual modeling), the companion of the MPV1
+motion rung (multimodal/mpeg.py) on the video side.
+
+The reference repo contains no codec code at all (it moves JSON
+matrices through GCS, reference orchestrator/main.py:54-64). This rung
+implements the transform-audio toolchain every perceptual codec is
+built on:
+
+* MDCT analysis/synthesis (Princen–Bradley TDAC, the transform of
+  AAC/Vorbis/Opus): N=128 coefficients per frame from 2N-sample
+  50%-overlapped windows, sine window w[n] = sin(pi/(2N_w)(n+0.5))
+  which satisfies the perfect-reconstruction condition
+  w[n]^2 + w[n+N]^2 = 1; forward and inverse as explicit cosine-matrix
+  products, overlap-add synthesis. A no-quantization round-trip is
+  EXACT to float precision (pinned in tests) — every loss below comes
+  from quantization alone.
+* Per-band SCALEFACTOR quantization, the MPEG-1 Audio Layer I scheme
+  (ISO/IEC 11172-3 uses linear quantization with per-subband
+  scalefactors and bit allocation — NO entropy coding, so fixed-width
+  packing here is spec-faithful, not a simplification): 16 bands x 8
+  coefficients, each band carries a float32 scalefactor = its max
+  |coefficient| and B(band)-bit two's-complement codes.
+* A STATIC bit-allocation curve standing in for the psychoacoustic
+  model (12 bits for the 4 lowest bands down to 6 for the top 4 —
+  more resolution where hearing is most sensitive). This is the
+  documented simplification: the remaining unimplemented codec
+  surface is the psychoacoustic MODEL (masking thresholds driving
+  DYNAMIC allocation), not any transform/quantization/framing
+  machinery.
+
+Frame geometry, sample counts, and the raw first sample ride in the
+header (like IMA ADPCM block headers), so they are SQL-exact decode
+outputs; reconstruction is lossy and pinned by MAU_TOL.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+# Workers do not have this package on sys.path: ship the codec BY
+# VALUE inside pickled closures (same opt-in as jpeg.py / blobs.py).
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+MAGIC = b"MAU1"
+N = 128  # MDCT coefficients per frame (window 2N, hop N)
+N_BANDS = 16
+BAND = N // N_BANDS  # 8 coefficients per band
+# Static allocation: bits per band, low -> high frequency.
+BITS = (12, 12, 12, 12, 10, 10, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6)
+
+# Max abs int16-sample reconstruction error with the static allocation
+# over the corpus signal family (measured <= 24; quant step of the
+# worst band ~ scale/31 with scale <= ~2^15 only if energy reaches the
+# top bands, which the smooth corpus ramps don't). Pinned with margin;
+# the registered query emits within_tolerance = (max_abs_err <=
+# MAU_TOL) and its oracle expects TRUE, so a breach is a driver-red
+# hash mismatch.
+MAU_TOL = 64
+
+
+def _mdct_matrix() -> np.ndarray:
+    """(N, 2N) forward MDCT matrix including the sine window:
+    X = M @ x_frame."""
+    n = np.arange(2 * N)
+    k = np.arange(N)[:, None]
+    w = np.sin(np.pi / (2 * N) * (n + 0.5))
+    cos = np.cos(np.pi / N * (n + 0.5 + N / 2.0) * (k + 0.5))
+    return cos * w
+
+
+_M = _mdct_matrix()
+# Synthesis: y_frame = (2/N) * M.T @ X, then overlap-add.
+_MT = (2.0 / N) * _M.T
+
+
+def mdct_frames(x: np.ndarray) -> np.ndarray:
+    """(n_frames, N) MDCT of a 1-D float signal: front-padded with N
+    zeros, back-padded with zeros to cover the final samples, frames
+    at hop N. n_frames = ceil(len(x)/N) + 1 (TDAC needs one frame of
+    lookahead to reconstruct the tail)."""
+    n = len(x)
+    nf = -(-n // N) + 1
+    padded = np.zeros(N + (nf) * N, dtype=np.float64)
+    padded[N : N + n] = x
+    idx = np.arange(2 * N)[None, :] + N * np.arange(nf)[:, None]
+    return padded[idx] @ _M.T
+
+
+def imdct_overlap_add(coef: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of mdct_frames: windowed IMDCT of every frame,
+    overlap-add at hop N, drop the N-sample front pad, crop to n."""
+    nf = coef.shape[0]
+    out = np.zeros(N + nf * N + N, dtype=np.float64)
+    frames = coef @ _MT.T  # (nf, 2N), window already inside _MT
+    for f in range(nf):
+        out[f * N : f * N + 2 * N] += frames[f]
+    return out[N : N + n]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(0, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.acc = 0
+        self.nb = 0
+        self.pos = 0
+        self.read_bits = 0
+
+    def read(self, length: int) -> int:
+        while self.nb < length:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated MAU1: bit stream underrun")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nb += 8
+        self.nb -= length
+        self.read_bits += length
+        v = (self.acc >> self.nb) & ((1 << length) - 1)
+        self.acc &= (1 << self.nb) - 1
+        return v
+
+
+def mau_encode(sample_rate: int, samples) -> bytes:
+    """Encode 16-bit mono PCM into a MAU1 stream: header (magic,
+    sample rate, n_samples, raw first sample) + per frame, per band: a
+    float32 scalefactor and 8 BITS(band)-bit signed codes."""
+    x = np.asarray([int(s) for s in samples], dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    if not (x >= -32768).all() or not (x <= 32767).all():
+        raise ValueError("samples must be 16-bit signed PCM")
+    coef = mdct_frames(x)
+    nf = coef.shape[0]
+    bw = _BitWriter()
+    scales = np.empty((nf, N_BANDS), dtype=np.float32)
+    for f in range(nf):
+        for bnd in range(N_BANDS):
+            seg = coef[f, bnd * BAND : (bnd + 1) * BAND]
+            scale = np.float32(np.abs(seg).max())
+            scales[f, bnd] = scale
+            bits = BITS[bnd]
+            top = (1 << (bits - 1)) - 1
+            if scale > 0:
+                q = np.round(seg / np.float64(scale) * top).astype(np.int64)
+                q = np.clip(q, -top, top)
+            else:
+                q = np.zeros(BAND, dtype=np.int64)
+            for v in q:
+                bw.write(int(v), bits)
+    body = bw.flush()
+    header = MAGIC + struct.pack(
+        ">IIhH", sample_rate, n, int(x[0]), nf
+    )
+    return header + scales.tobytes() + body
+
+
+def mau_decode(data: bytes):
+    """Decode a MAU1 stream.
+
+    Returns (sample_rate, n_samples, n_frames, first_sample, samples)
+    with ``samples`` the reconstructed int16 list (clipped)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not a MAU1 stream: bad magic")
+    if len(data) < 16:
+        raise ValueError("truncated MAU1 header")
+    sample_rate, n, first, nf = struct.unpack(">IIhH", data[4:16])
+    want_nf = -(-n // N) + 1
+    if nf != want_nf:
+        raise ValueError("corrupt MAU1: frame count mismatch")
+    sc_bytes = nf * N_BANDS * 4
+    if len(data) < 16 + sc_bytes:
+        raise ValueError("truncated MAU1: scalefactors")
+    scales = np.frombuffer(
+        data[16 : 16 + sc_bytes], dtype=np.float32
+    ).reshape(nf, N_BANDS)
+    br = _BitReader(data[16 + sc_bytes :])
+    coef = np.zeros((nf, N), dtype=np.float64)
+    for f in range(nf):
+        for bnd in range(N_BANDS):
+            bits = BITS[bnd]
+            top = (1 << (bits - 1)) - 1
+            scale = float(scales[f, bnd])
+            for i in range(BAND):
+                v = br.read(bits)
+                if v >= 1 << (bits - 1):
+                    v -= 1 << bits
+                coef[f, bnd * BAND + i] = v / top * scale
+    y = imdct_overlap_add(coef, n)
+    out = np.clip(np.round(y), -32768, 32767).astype(np.int64)
+    if n and int(out[0]) != first:
+        # The header carries sample 0 raw; a reconstruction that
+        # cannot reproduce it within rounding means a desynced stream.
+        if abs(int(out[0]) - first) > MAU_TOL:
+            raise ValueError("corrupt MAU1: first-sample check failed")
+    return sample_rate, n, nf, first, out.tolist()

@@ -64,6 +64,24 @@ def main() -> None:
         "SF — record WHY in SCALING.md when used)",
     )
     ap.add_argument(
+        "--sample-stride",
+        type=int,
+        default=None,
+        help="keep every Nth query by canonical registry order (after "
+        "--only/--exclude), for the r11 incremental sf0.1 protocol: "
+        "full sweep at sf0.001 every round (never traded away), and at "
+        "sf0.1 the round's TOUCHED queries (--only) plus a rotating "
+        "1-in-N sample — pass --sample-offset round%%N so successive "
+        "rounds cover the whole registry at sf0.1 every N rounds",
+    )
+    ap.add_argument(
+        "--sample-offset",
+        type=int,
+        default=0,
+        help="offset into the stride (use round %% stride so the "
+        "sample rotates deterministically across rounds)",
+    )
+    ap.add_argument(
         "--duck-mem",
         default="48GB",
         help="DuckDB memory_limit for the oracle side (default 48GB)",
@@ -122,6 +140,12 @@ def main() -> None:
     if args.exclude:
         pat = re.compile(args.exclude)
         qs = {n: f for n, f in qs.items() if not pat.search(n)}
+    if args.sample_stride:
+        qs = {
+            n: f
+            for i, (n, f) in enumerate(qs.items())
+            if i % args.sample_stride == args.sample_offset % args.sample_stride
+        }
     results: dict[str, dict] = {}
     fails = 0
     for name in qs:

@@ -64,7 +64,13 @@ WINDOW = 50
 # re-verified green in CORRECTNESS_r09, drained.
 # r10: the three PNG-decoding queries (Adam7/_defilter rework) — all
 # re-verified green in CORRECTNESS_r10, drained.
-TOUCHED = ()
+# r11: the triangle kernel gained volume-adaptive closure parallelism
+# (VERDICT r10 #4, operators/pagerank.py::_triangle_top20) — both
+# queries sharing it are superseded until a fresh green row lands.
+TOUCHED = (
+    "triangle_count_suppliers",
+    "triangle_count_sampled",
+)
 
 PRIORITY_HINTS = (
     # Round-4 second-wave flagships: verify new capability the same
