@@ -119,6 +119,10 @@ HEADLINE = [
     # residuals, Exp-Golomb MV coding), crossing the lossy
     # motion-modeling boundary. Same map-only codec shape.
     "multimodal_mpeg_motion",
+    # r11 wave 2: the PERCEPTUAL-AUDIO rung — MDCT (Princen–Bradley
+    # TDAC) + per-band scalefactor quantization with a static
+    # allocation curve, MPEG-1-Layer-I-style. Same shape.
+    "multimodal_mdct_audio",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

@@ -2249,3 +2249,125 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_mpeg_blob(docs).mapInPandas(op, MPEG_SCHEMA)
+
+
+MAU_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, n_frames int, "
+    "first_sample int, within_tolerance boolean"
+)
+
+
+def _mau_samples(bb, n):
+    """The MAU1 corpus signal family (SQL-recomputable): sample i =
+    (tri((i*s) mod 4096) - 1024)*8 + byte[i mod n] % 16 - 8 with slope
+    s = 12 + first_byte % 24 — a smooth ramp (energy in the low MDCT
+    bands, where the static allocation spends its bits) plus a
+    text-keyed broadband term that binds content."""
+    import numpy as np
+
+    total = 1024 + 128 * int(bb[-1] % 4) + 193
+    s = 12 + int(bb[0] % 24)
+    i = np.arange(total, dtype=np.int64)
+    v = (i * s) % 4096
+    tri = np.where(v < 2048, v, 4095 - v)
+    txt = bb[i % n]
+    return (tri - 1024) * 8 + txt % 16 - 8
+
+
+def with_mau_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a MAU1 perceptual-audio stream
+    (multimodal/mdct.py — MDCT + per-band scalefactor quantization,
+    MPEG-1-Layer-I-style): sample_rate = 8000*(1 + first_byte % 3),
+    n_samples = 1024 + 128*(last_byte % 4) + 193 (never a multiple of
+    the 128-sample hop, so every stream has a partial tail frame).
+    The MAU_TOL reconstruction bound is enforced HERE at generation
+    (ADVICE r10 discipline: the oracle hardcodes within_tolerance
+    TRUE, so the corpus contract must fail loudly at the blob maker,
+    not as a driver-red mismatch)."""
+    from .mdct import MAU_TOL, mau_decode, mau_encode
+
+    encode = mau_encode
+    decode = mau_decode
+    tol = MAU_TOL
+    gen = _mau_samples
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                sr = 8000 * (1 + int(bb[0] % 3))
+                samples = gen(bb, n)
+                blob = encode(sr, samples.tolist())
+                _, _, _, _, out = decode(blob)
+                err = int(np.abs(np.asarray(out) - samples).max())
+                if err > tol:
+                    raise ValueError(
+                        "MAU1 corpus contract violated (doc_id="
+                        f"{doc_id}): max abs err {err} > MAU_TOL {tol}"
+                    )
+                rows.append((doc_id, text, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_mau_meta(docs: DataFrame) -> DataFrame:
+    """Decode the MAU1 streams: geometry + the raw header first sample
+    are exact decode outputs (a desynced scalefactor table or bit
+    layout breaks them), within_tolerance re-bounds the lossy MDCT
+    reconstruction against the regenerated source."""
+    from .mdct import MAU_TOL, mau_decode
+
+    decode = mau_decode
+    tol = MAU_TOL
+    gen = _mau_samples
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                sr, n_samples, nf, first, out = decode(bytes(blob))
+                b = text.encode("utf-8")
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                expected = gen(bb, len(b))
+                err = int(np.abs(np.asarray(out) - expected).max())
+                rows.append(
+                    (doc_id, sr, n_samples, nf, first, bool(err <= tol))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_frames",
+                    "first_sample", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_mau_blob(docs).mapInPandas(op, MAU_SCHEMA)

@@ -56,13 +56,14 @@ BAND = N // N_BANDS  # 8 coefficients per band
 BITS = (12, 12, 12, 12, 10, 10, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6)
 
 # Max abs int16-sample reconstruction error with the static allocation
-# over the corpus signal family (measured <= 24; quant step of the
-# worst band ~ scale/31 with scale <= ~2^15 only if energy reaches the
-# top bands, which the smooth corpus ramps don't). Pinned with margin;
-# the registered query emits within_tolerance = (max_abs_err <=
-# MAU_TOL) and its oracle expects TRUE, so a breach is a driver-red
-# hash mismatch.
-MAU_TOL = 64
+# over the corpus signal family (measured = 8 across all sf0.01 docs;
+# the smooth ramps keep their energy in the 12-bit low bands and the
+# broadband text term is only +-8, so the 6-bit top-band step stays
+# tiny). Pinned at 3x margin; the registered query emits
+# within_tolerance = (max_abs_err <= MAU_TOL) and its oracle expects
+# TRUE, so a breach is a driver-red hash mismatch — and the bound is
+# ALSO enforced at blob generation (ADVICE r10 discipline).
+MAU_TOL = 24
 
 
 def _mdct_matrix() -> np.ndarray:

@@ -1047,3 +1047,58 @@ def multimodal_mpeg_motion(spark, sf_dir):
         F.col("mv_dy").cast("int").alias("mv_dy"),
         "within_tolerance",
     )
+
+
+@query(
+    "multimodal_mdct_audio",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
+             1024 + 128 * (ascii(substr(text, length(text), 1)) % 4) + 193
+               AS n_samples,
+             ascii(substr(text, 1, 1)) AS b0
+      FROM documents)
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples + 127) // 128 + 1 AS INT) AS n_frames,
+           CAST(-8192 + b0 % 16 - 8 AS INT) AS first_sample,
+           TRUE AS within_tolerance
+    FROM params
+    """,
+)
+def multimodal_mdct_audio(spark, sf_dir):
+    """The PERCEPTUAL-AUDIO rung — the audio side of the ladder's last
+    documented codec boundary, the companion of the MPV1 motion rung:
+    a simplified MPEG-1-Layer-I-style transform coder
+    (multimodal/mdct.py, "MAU1"). MDCT analysis/synthesis
+    (Princen–Bradley TDAC with the sine window — the transform of
+    AAC/Vorbis/Opus; the no-quantization round-trip is pinned exact to
+    float precision in pytest, so every loss is quantization), per-band
+    SCALEFACTOR quantization with fixed-width codes (spec-faithful to
+    Layer I, which uses linear quantization and NO entropy coding),
+    and a static low-band-weighted bit-allocation curve standing in
+    for the psychoacoustic model — the documented remaining surface is
+    the masking MODEL driving dynamic allocation, not any transform /
+    quantization / framing machinery.
+
+    Geometry and the raw header first sample are exact decode outputs
+    (the oracle recomputes them from the generation rule, including
+    the partial-tail-frame count ceil(n/128)+1); within_tolerance
+    re-bounds the lossy reconstruction at MAU_TOL, enforced at blob
+    generation per the ADVICE r10 discipline. Same Arrow-batched
+    two-stage mapInPandas + one deliberate round-robin Exchange shape;
+    map-only at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_mau_meta
+
+    out = decode_mau_meta(d)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "n_samples",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("first_sample").cast("int").alias("first_sample"),
+        "within_tolerance",
+    )

@@ -1,8 +1,8 @@
-"""Round-10 wave-5 scale probe: the new MPV1 motion rung's
+"""Round-10 wave-5 scale probe: the new MPV1 motion + MAU1 audio rungs'
 sf0.1 -> sf1 wall ratios (same-round rule — new capability gets its
 10x-data number the round it ships).
 
-Query: the motion-compensated MPV1 video rung. A map-only
+Queries: the motion-compensated MPV1 video rung and the MDCT/scalefactor MAU1 perceptual-audio rung. A map-only
 Arrow-batched codec shape, so the expectation is
 compute-bound ~linear (ratio ~<= 10 for 10x data, well under on a
 32-core box because sf0.1 underfills the cores). Median-of-3 after an
@@ -26,6 +26,7 @@ from bench import run_noop  # noqa: E402
 
 QUERIES = (
     "multimodal_mpeg_motion",
+    "multimodal_mdct_audio",
 )
 SFS = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/tmp/bench_sf1/sf1.0"}
 

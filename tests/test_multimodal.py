@@ -1848,3 +1848,113 @@ def test_mpeg_blobs_decode_on_spark(spark):
                 assert r.frame_type == "P"
                 assert r.n_interior >= 1
                 assert 1 <= r.mv_dx <= 3 and 1 <= r.mv_dy <= 3
+
+
+# ---------------------------------------------------------------- MAU1
+
+
+def test_mdct_perfect_reconstruction():
+    """Princen–Bradley TDAC: with the sine window and no quantization
+    the MDCT/IMDCT overlap-add round-trip is EXACT to float precision
+    at every length class (sub-frame, exact multiple, partial tail) —
+    so every loss in the codec is attributable to quantization."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        imdct_overlap_add,
+        mdct_frames,
+    )
+
+    rng = np.random.RandomState(4)
+    for n in (1, 100, 128, 129, 256, 1500):
+        x = rng.uniform(-32768, 32767, n)
+        y = imdct_overlap_add(mdct_frames(x), n)
+        assert np.abs(y - x).max() < 1e-6, n
+
+
+def test_mau_header_and_silence_roundtrip():
+    """Header layout pinned by hand (magic + >IIhH), and digital
+    silence round-trips EXACTLY (zero scalefactors decode to zero)."""
+    import struct
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        mau_decode,
+        mau_encode,
+    )
+
+    blob = mau_encode(16000, [0] * 300)
+    assert blob[:4] == b"MAU1"
+    sr, n, first, nf = struct.unpack(">IIhH", blob[4:16])
+    assert (sr, n, first) == (16000, 300, 0)
+    assert nf == -(-300 // 128) + 1  # ceil(n/128) + 1 for the TDAC tail
+    sr2, n2, nf2, first2, out = mau_decode(blob)
+    assert (sr2, n2, nf2, first2) == (16000, 300, nf, 0)
+    assert out == [0] * 300
+
+
+def test_mau_corpus_family_tolerance_and_determinism():
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        _mau_samples,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        MAU_TOL,
+        mau_decode,
+        mau_encode,
+    )
+
+    for text in (b"The quick brown fox jumps over the lazy dog again.",
+                 b"supplier #42 shipped 17 crates of part 9931 today ok"):
+        bb = np.frombuffer(text, dtype=np.uint8).astype(np.int64)
+        samples = _mau_samples(bb, len(text))
+        sr = 8000 * (1 + int(bb[0] % 3))
+        blob = mau_encode(sr, samples.tolist())
+        assert blob == mau_encode(sr, samples.tolist())
+        sr2, n2, nf, first, out = mau_decode(blob)
+        assert (sr2, n2, first) == (sr, len(samples), int(samples[0]))
+        assert int(np.abs(np.asarray(out) - samples).max()) <= MAU_TOL
+
+
+def test_mau_rejects_corruption():
+    import struct
+
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        mau_decode,
+        mau_encode,
+    )
+
+    blob = mau_encode(8000, list(range(-100, 100)))
+    with pytest.raises(ValueError, match="bad magic"):
+        mau_decode(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        mau_decode(blob[:10])
+    with pytest.raises(ValueError, match="truncated"):
+        mau_decode(blob[:20])
+    bad = bytearray(blob)
+    bad[14:16] = struct.pack(">H", 99)  # frame count
+    with pytest.raises(ValueError, match="frame count"):
+        mau_decode(bytes(bad))
+    with pytest.raises(ValueError, match="underrun"):
+        mau_decode(blob[:-8])
+    with pytest.raises(ValueError):
+        mau_encode(8000, [])
+    with pytest.raises(ValueError, match="16-bit"):
+        mau_encode(8000, [40000])
+
+
+def test_mau_blobs_decode_on_spark(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_mau_meta,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = decode_mau_meta(d).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tolerance, r.doc_id
+        assert r.n_frames == -(-r.n_samples // 128) + 1
+        assert r.sample_rate in (8000, 16000, 24000)

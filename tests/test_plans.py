@@ -153,6 +153,11 @@ def test_media_decode_queries_are_map_only(spark):
     assert mpg.count("Exchange") == 1, "mpeg motion: one deliberate repartition"
     assert "RoundRobinPartitioning" in mpg
     assert "MapInPandas" in mpg
+    # Perceptual-audio MAU1 rung (r11): same shape.
+    mau = executed_plan(Q["multimodal_mdct_audio"].fn(spark, SF_SMOKE))
+    assert mau.count("Exchange") == 1, "mdct audio: one deliberate repartition"
+    assert "RoundRobinPartitioning" in mau
+    assert "MapInPandas" in mau
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
