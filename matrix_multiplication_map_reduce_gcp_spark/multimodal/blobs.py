@@ -2080,10 +2080,9 @@ def with_mpeg_blob(docs: DataFrame) -> DataFrame:
     the blob maker, not as driver-red oracle mismatches) along with
     the MPEG_TOL reconstruction bound. ``text`` rides along for the
     decode stage's source regeneration."""
-    from .mpeg import MB, MPEG_TOL, mpeg_decode, mpeg_encode
+    from .mpeg import MB, MPEG_TOL, mpeg_encode_stats
 
-    encode = mpeg_encode
-    decode = mpeg_decode
+    encode = mpeg_encode_stats
     mb = MB
     tol = MPEG_TOL
 
@@ -2122,13 +2121,14 @@ def with_mpeg_blob(docs: DataFrame) -> DataFrame:
                     yy = (np.arange(h)[:, None] + f * sy) % h
                     xx = (np.arange(w)[None, :] + f * sx) % w
                     frames.append(base[yy, xx].astype(np.uint8).tobytes())
-                blob = encode(w, h, fps, frames)
-                # Generation-time corpus contract: decode back and
-                # require (a) every interior P-frame macroblock carries
-                # the designed motion vector (a SAD tie or search bug
-                # must fail HERE, loudly), (b) reconstruction within
-                # MPEG_TOL of the source.
-                _, _, _, _, out, mvs = decode(blob)
+                # Generation-time corpus contract from the ENCODER's
+                # closed-loop state (bit-identical to decode by
+                # construction — the query stage still does the real
+                # bitstream decode): (a) every interior P-frame
+                # macroblock carries the designed motion vector (a SAD
+                # tie or search bug must fail HERE, loudly), (b)
+                # reconstruction within MPEG_TOL of the source.
+                blob, mvs, errs = encode(w, h, fps, frames)
                 for f in range(1, nf):
                     k = 0
                     for y0 in range(0, h, mb):
@@ -2143,17 +2143,7 @@ def with_mpeg_blob(docs: DataFrame) -> DataFrame:
                                         f"({sy}, {sx})"
                                     )
                             k += 1
-                for f in range(nf):
-                    err = int(
-                        np.abs(
-                            np.frombuffer(out[f], dtype=np.uint8).astype(
-                                np.int64
-                            )
-                            - np.frombuffer(
-                                frames[f], dtype=np.uint8
-                            ).astype(np.int64)
-                        ).max()
-                    )
+                for f, err in enumerate(errs):
                     if err > tol:
                         raise ValueError(
                             "MPV1 corpus contract violated (doc_id="

@@ -358,6 +358,20 @@ def mpeg_encode(
     as an MPV1 stream: frame 0 intra, the rest P-frames. Dimensions
     must be multiples of 16 (MPEG-1 coded size is macroblock-aligned;
     this simplified profile requires it instead of padding)."""
+    return mpeg_encode_stats(width, height, fps, frames, search)[0]
+
+
+def mpeg_encode_stats(
+    width: int, height: int, fps: int, frames: list, search: int = SEARCH_RANGE
+):
+    """mpeg_encode plus encoder-side stats: (blob, mvs, errs) with
+    ``mvs`` per frame ([] for intra, else macroblock-raster (dy, dx))
+    and ``errs`` the per-frame max abs reconstruction error. The stats
+    come from the encoder's CLOSED-LOOP state, which is bit-identical
+    to the decoder's by construction (both reconstruct from the same
+    quantized integers with the same rounding/clip — pinned by
+    tests/test_multimodal.py round-trips), so blob generators can
+    enforce corpus contracts without paying a second full decode."""
     if width % MB or height % MB or width < MB or height < MB:
         raise ValueError("MPV1 requires macroblock-aligned dimensions")
     if not 1 <= search <= 15:
@@ -371,6 +385,8 @@ def mpeg_encode(
         )
     )
     recon_prev = None
+    mvs = []
+    errs = []
     for f, raw in enumerate(frames):
         cur = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
         bw = _BitWriter()
@@ -384,13 +400,16 @@ def mpeg_encode(
                 np.round(_dequant_plane(qzz, height, width) + 128.0), 0, 255
             ).astype(np.uint8)
             ftype = 0
+            mvs.append([])
         else:
             recon = np.empty_like(cur)
             pred_dc = 0
             mv_grid = _motion_search_frame(recon_prev, cur, search)
+            fmvs = []
             for y0 in range(0, height, MB):
                 for x0 in range(0, width, MB):
                     dy, dx = (int(v) for v in mv_grid[y0 // MB, x0 // MB])
+                    fmvs.append((dy, dx))
                     se_encode(bw, dy)
                     se_encode(bw, dx)
                     pred = recon_prev[
@@ -406,10 +425,14 @@ def mpeg_encode(
                         np.round(pred + _dequant_plane(qzz, MB, MB)), 0, 255
                     ).astype(np.uint8)
             ftype = 1
+            mvs.append(fmvs)
+        errs.append(
+            int(np.abs(recon.astype(np.int64) - cur.astype(np.int64)).max())
+        )
         payload = bw.flush()
         out += struct.pack(">BI", ftype, len(payload)) + payload
         recon_prev = recon
-    return bytes(out)
+    return bytes(out), mvs, errs
 
 
 def mpeg_decode(data: bytes):

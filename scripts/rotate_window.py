@@ -67,9 +67,15 @@ WINDOW = 50
 # r11: the triangle kernel gained volume-adaptive closure parallelism
 # (VERDICT r10 #4, operators/pagerank.py::_triangle_top20) — both
 # queries sharing it are superseded until a fresh green row lands.
+# r11: the three entropy-rung blob generators gained encode-time
+# corpus-contract asserts (ADVICE r10) — generation code paths
+# changed, so their r10 evidence is superseded.
 TOUCHED = (
     "triangle_count_suppliers",
     "triangle_count_sampled",
+    "multimodal_deflate_decode",
+    "multimodal_flac_decode",
+    "multimodal_arith_decode",
 )
 
 PRIORITY_HINTS = (

@@ -1958,3 +1958,31 @@ def test_mau_blobs_decode_on_spark(spark):
         assert r.within_tolerance, r.doc_id
         assert r.n_frames == -(-r.n_samples // 128) + 1
         assert r.sample_rate in (8000, 16000, 24000)
+
+
+def test_mpeg_encoder_stats_match_decode():
+    """The closed-loop claim behind the generation-time contract:
+    mpeg_encode_stats' reconstruction errors and motion vectors are
+    BIT-IDENTICAL to what the decoder recovers from the stream."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mpeg import (
+        mpeg_decode,
+        mpeg_encode_stats,
+    )
+
+    rng = np.random.RandomState(13)
+    h, w, nf = 48, 32, 4
+    base = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    frames = []
+    for f in range(nf):
+        yy = (np.arange(h)[:, None] + f * 2) % h
+        xx = (np.arange(w)[None, :] + f * 3) % w
+        frames.append(base[yy, xx].tobytes())
+    blob, enc_mvs, enc_errs = mpeg_encode_stats(w, h, 10, frames)
+    _, _, _, _, out, dec_mvs = mpeg_decode(blob)
+    assert enc_mvs == dec_mvs
+    for f in range(nf):
+        got = np.frombuffer(out[f], dtype=np.uint8).astype(int)
+        src = np.frombuffer(frames[f], dtype=np.uint8).astype(int)
+        assert int(np.abs(got - src).max()) == enc_errs[f], f
