@@ -221,13 +221,26 @@ def propose_window(
     # window with greens for re-verification, STALEST EVIDENCE FIRST
     # (VERDICT r6 #4): a green row certifies the code as of its round,
     # and 170/220 rows were ≥2 rounds old entering r7 while the code
-    # kept evolving. Age key = (last green round asc, registration
-    # order) — so each rotation re-verifies the oldest-evidence ~45
-    # and, with ties broken deterministically, cycles the whole
-    # registry on a fixed cadence. Module anchors use the same key, so
-    # the anchor slot itself refreshes the module's stalest query.
+    # kept evolving. Age key = (must-go tier, last green round asc,
+    # registration order). The must-go tier (r11): a query whose
+    # RECORDED evidence age reaches the staleness bound must be
+    # scheduled THIS rotation — that is the hard invariant
+    # (tests/test_registry_window.py) — so it outranks even the
+    # TOUCHED fake-age-0 priority, which is a soft re-verification
+    # preference that can yield a slot for one round (observed r11:
+    # 27 at-bound + 5 touched + 2 never-green + 16 module anchors +
+    # matmul = 51 demands on 50 slots; without the tier the policy
+    # dropped an at-bound query instead of a freshly-green touched
+    # one). Module anchors use the same key, so the anchor slot
+    # itself refreshes the module's most urgent query.
     if not deferred:
-        age_key = lambda n: (last_green.get(n, -1), reg_rank[n])  # noqa: E731
+        latest = max(rounds) if rounds else 0
+        bound = max_staleness(len(registered))
+
+        def age_key(n):
+            lg = last_green.get(n, -1)
+            must = 0 if 0 < lg <= latest - bound else 1
+            return (must, lg, reg_rank[n])
         for mod in mod_order:
             if len(window) >= WINDOW:
                 break

@@ -178,9 +178,10 @@ def test_rotation_bounds_evidence_age(monkeypatch):
     pin included. Never-green queries are the drain test's job."""
     q = registry.canonical_queries()
     modules = {n: qd.fn.__module__ for n, qd in q.items()}
-    last_green = dict(
-        rotate_window.green_by_round(list(window.CONSUMED_ROUNDS))
-    )
+    # Seed from RAW recorded evidence: green_by_round's TOUCHED
+    # fake-age-0 is a scheduling priority, not history, and must not
+    # read as "12 rounds stale" inside the simulation.
+    last_green = _raw_latest_green(list(window.CONSUMED_ROUNDS))
     cur = max(window.CONSUMED_ROUNDS)
     win = list(window.PRIORITY_PREFIX)  # the committed next window
     for step in range(1, 13):
@@ -351,9 +352,9 @@ def test_staleness_bound_satisfiable_with_registry_growth(monkeypatch):
         modules[name] = next(iter(modules.values()))
     bound = rotate_window.max_staleness(len(registered))
     assert bound >= MAX_STALENESS, "growth must never tighten the bound"
-    last_green = dict(
-        rotate_window.green_by_round(list(window.CONSUMED_ROUNDS))
-    )
+    # RAW recorded evidence, not the TOUCHED fake-age-0 device (see
+    # test_rotation_bounds_evidence_age).
+    last_green = dict(_raw_latest_green(list(window.CONSUMED_ROUNDS)))
     cur = max(window.CONSUMED_ROUNDS)
     win = list(window.PRIORITY_PREFIX)
     drained = False
