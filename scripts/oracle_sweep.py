@@ -82,6 +82,13 @@ def main() -> None:
         "sample rotates deterministically across rounds)",
     )
     ap.add_argument(
+        "--extra",
+        default=None,
+        help="regex: UNION matching queries back in AFTER sampling — "
+        "the r11 protocol's 'touched/new queries always sweep at "
+        "sf0.1 the round they ship' guarantee rides this flag",
+    )
+    ap.add_argument(
         "--duck-mem",
         default="48GB",
         help="DuckDB memory_limit for the oracle side (default 48GB)",
@@ -141,10 +148,12 @@ def main() -> None:
         pat = re.compile(args.exclude)
         qs = {n: f for n, f in qs.items() if not pat.search(n)}
     if args.sample_stride:
+        extra_pat = re.compile(args.extra) if args.extra else None
         qs = {
             n: f
             for i, (n, f) in enumerate(qs.items())
             if i % args.sample_stride == args.sample_offset % args.sample_stride
+            or (extra_pat is not None and extra_pat.search(n))
         }
     results: dict[str, dict] = {}
     fails = 0
