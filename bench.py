@@ -123,6 +123,10 @@ HEADLINE = [
     # TDAC) + per-band scalefactor quantization with a static
     # allocation curve, MPEG-1-Layer-I-style. Same shape.
     "multimodal_mdct_audio",
+    # r11 wave 3: the PSYCHOACOUSTIC-MODEL rung — spreading-function
+    # masking thresholds driving dynamic NMR-priority allocation under
+    # a hard budget 11% below the static spend. Same shape.
+    "multimodal_psycho_audio",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

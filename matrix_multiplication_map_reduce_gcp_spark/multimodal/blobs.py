@@ -2361,3 +2361,121 @@ def decode_mau_meta(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_mau_blob(docs).mapInPandas(op, MAU_SCHEMA)
+
+
+MAU2_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, n_frames int, "
+    "first_sample int, within_tolerance boolean, snr_ok boolean"
+)
+
+
+def with_mau2_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob a MAU2 stream — the MAU1 family
+    with DYNAMIC psychoacoustic bit allocation (multimodal/mdct.py:
+    spreading-function masking thresholds -> greedy NMR-priority
+    allocation under a 1024-bit/frame budget, 11% below MAU1's static
+    spend). Same SQL-exact signal family as MAU1. Both contract bounds
+    (MAU2_TOL absolute cap, MAU2_SNR_FLOOR_DB noise-energy floor) are
+    enforced HERE at generation (ADVICE r10 discipline)."""
+    from .mdct import MAU2_SNR_FLOOR_DB, MAU2_TOL, mau2_decode, mau2_encode
+
+    encode = mau2_encode
+    decode = mau2_decode
+    tol = MAU2_TOL
+    floor_db = MAU2_SNR_FLOOR_DB
+    gen = _mau_samples
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                sr = 8000 * (1 + int(bb[0] % 3))
+                samples = gen(bb, n)
+                blob = encode(sr, samples.tolist())
+                _, _, _, _, out = decode(blob)
+                noise = np.asarray(out, dtype=np.float64) - samples
+                err = int(np.abs(noise).max())
+                sig = float((samples.astype(np.float64) ** 2).sum())
+                snr = 10.0 * np.log10(
+                    sig / max(float((noise**2).sum()), 1e-12)
+                )
+                if err > tol or snr < floor_db:
+                    raise ValueError(
+                        "MAU2 corpus contract violated (doc_id="
+                        f"{doc_id}): err {err} (tol {tol}), snr "
+                        f"{snr:.1f} dB (floor {floor_db})"
+                    )
+                rows.append((doc_id, text, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_mau2_meta(docs: DataFrame) -> DataFrame:
+    """Decode the MAU2 streams: exact geometry + header first sample,
+    plus the two-sided lossy contract (absolute cap AND an SNR floor —
+    a perceptual allocator controls noise ENERGY, not peak error)."""
+    from .mdct import MAU2_SNR_FLOOR_DB, MAU2_TOL, mau2_decode
+
+    decode = mau2_decode
+    tol = MAU2_TOL
+    floor_db = MAU2_SNR_FLOOR_DB
+    gen = _mau_samples
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                sr, n_samples, nf, first, out = decode(bytes(blob))
+                b = text.encode("utf-8")
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                expected = gen(bb, len(b)).astype(np.float64)
+                noise = np.asarray(out, dtype=np.float64) - expected
+                err = int(np.abs(noise).max())
+                sig = float((expected**2).sum())
+                snr = 10.0 * np.log10(
+                    sig / max(float((noise**2).sum()), 1e-12)
+                )
+                rows.append(
+                    (
+                        doc_id, sr, n_samples, nf, first,
+                        bool(err <= tol), bool(snr >= floor_db),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_frames",
+                    "first_sample", "within_tolerance", "snr_ok",
+                ],
+            )
+            rows = []
+
+    return with_mau2_blob(docs).mapInPandas(op, MAU2_SCHEMA)

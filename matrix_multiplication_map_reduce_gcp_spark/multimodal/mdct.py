@@ -224,3 +224,190 @@ def mau_decode(data: bytes):
         if abs(int(out[0]) - first) > MAU_TOL:
             raise ValueError("corrupt MAU1: first-sample check failed")
     return sample_rate, n, nf, first, out.tolist()
+
+
+# --------------------------------------------------------------- MAU2
+# Dynamic PSYCHOACOUSTIC bit allocation — the masking-model step MAU1
+# documents as its remaining surface. The model is the structure of
+# ISO/IEC 11172-3 psychoacoustic model 1, simplified to band
+# granularity: per-band energies -> a masking threshold from a
+# two-sided spreading function (masking spreads ~-15 dB/band UPWARD in
+# frequency and ~-25 dB/band downward — the asymmetric shape every
+# perceptual codec exploits) with a -10 dB masking index and an
+# absolute threshold floor -> signal-to-mask ratios -> GREEDY
+# noise-to-mask-driven allocation under a hard per-frame bit budget
+# SMALLER than MAU1's flat spend (1024 vs 1152 bits): the model's
+# whole point is reaching equal quality with fewer bits by putting
+# them where the ear (threshold) needs them.
+
+MAGIC2 = b"MAU2"
+BUDGET2 = 1024  # coded bits per frame (MAU1 static: 1152)
+MAX_BITS = 15
+ATH_E = 1.0  # absolute-threshold energy floor (coef-energy units)
+# dB attenuation per band of masker spreading: up = toward higher
+# bands (slow slope), down = toward lower (steep slope), own-band
+# masking index.
+SPREAD_UP_DB = 15.0
+SPREAD_DOWN_DB = 25.0
+MASK_INDEX_DB = 10.0
+
+# MAU2's contract is two-sided, reflecting what a PERCEPTUAL codec
+# promises: a loose absolute cap (the model deliberately leaves noise
+# in MASKED bands, so max-abs error is larger than MAU1's — measured
+# 129 over the corpus at 11% fewer bits; pinned 2x) plus an SNR floor
+# (measured worst 44.5 dB; floored at 36 with margin) — total noise
+# energy, which masking does control, stays small even where peak
+# error doesn't.
+MAU2_TOL = 256
+MAU2_SNR_FLOOR_DB = 36.0
+
+
+def _mask_thresholds(energies: np.ndarray) -> np.ndarray:
+    """(N_BANDS,) masking threshold from per-band energies via the
+    asymmetric spreading function + absolute threshold floor."""
+    b = np.arange(N_BANDS)
+    d = b[None, :] - b[:, None]  # d[masker, maskee] = maskee - masker
+    att_db = MASK_INDEX_DB + np.where(
+        d >= 0, SPREAD_UP_DB * d, SPREAD_DOWN_DB * (-d)
+    )
+    spread = 10.0 ** (-att_db / 10.0)
+    thr = (energies[:, None] * spread).max(axis=0)
+    return np.maximum(thr, ATH_E)
+
+
+def _allocate_bits(energies: np.ndarray, budget: int = BUDGET2) -> list:
+    """Greedy noise-to-mask-ratio allocation: repeatedly grant bits to
+    the band whose quantization noise most exceeds its masking
+    threshold (each bit quarters noise energy), deterministic ties to
+    the lowest band. Bands get 0 or 2..MAX_BITS bits (1-bit signed
+    midtread codes carry no magnitude)."""
+    thr = _mask_thresholds(energies)
+    bits = [0] * N_BANDS
+    spent = 0
+    # Noise model: unquantized band noise == its energy; b bits leave
+    # energies / 4^b. NMR in dB-free form: noise / threshold. Fixed-
+    # RATE discipline (what Layer I does at a given bitrate): spend
+    # the WHOLE budget, highest noise-to-mask first — the
+    # psychoacoustic model sets the PRIORITY ORDER, not an early stop
+    # (stopping at NMR<=1 would leave masked-but-large absolute noise,
+    # and the ladder's within_tolerance contract is an absolute
+    # bound).
+    while True:
+        best = -1
+        best_nmr = -1.0
+        for bnd in range(N_BANDS):
+            if bits[bnd] >= MAX_BITS:
+                continue
+            step = 2 if bits[bnd] == 0 else 1
+            if spent + step * BAND > budget:
+                continue
+            nmr = (energies[bnd] / (4.0 ** bits[bnd])) / thr[bnd]
+            if nmr > best_nmr:
+                best_nmr = nmr
+                best = bnd
+        if best < 0:
+            break  # budget or caps exhausted
+        step = 2 if bits[best] == 0 else 1
+        bits[best] += step
+        spent += step * BAND
+    return bits
+
+
+def mau2_encode(sample_rate: int, samples) -> bytes:
+    """Encode 16-bit mono PCM as MAU2: MAU1's MDCT/scalefactor path
+    with per-frame DYNAMIC allocation. Frame layout (unambiguous,
+    front-loaded): 8 bytes of 4-bit allocation nibbles, float32
+    scalefactors for CODED bands only, u16 code-body length, codes."""
+    x = np.asarray([int(s) for s in samples], dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    if not (x >= -32768).all() or not (x <= 32767).all():
+        raise ValueError("samples must be 16-bit signed PCM")
+    coef = mdct_frames(x)
+    nf = coef.shape[0]
+    out = bytearray(
+        MAGIC2 + struct.pack(">IIhH", sample_rate, n, int(x[0]), nf)
+    )
+    for f in range(nf):
+        seg = coef[f].reshape(N_BANDS, BAND)
+        energies = (seg * seg).mean(axis=1)
+        bits = _allocate_bits(energies)
+        nib = _BitWriter()
+        for bnd in range(N_BANDS):
+            nib.write(bits[bnd], 4)
+        out += nib.flush()  # exactly 8 bytes
+        bw = _BitWriter()
+        scales = []
+        for bnd in range(N_BANDS):
+            if bits[bnd] == 0:
+                continue
+            scale = np.float32(np.abs(seg[bnd]).max())
+            scales.append(scale)
+            top = (1 << (bits[bnd] - 1)) - 1
+            if scale > 0:
+                q = np.clip(
+                    np.round(seg[bnd] / np.float64(scale) * top), -top, top
+                ).astype(np.int64)
+            else:
+                q = np.zeros(BAND, dtype=np.int64)
+            for v in q:
+                bw.write(int(v), bits[bnd])
+        body = bw.flush()
+        out += np.asarray(scales, dtype=np.float32).tobytes()
+        out += struct.pack(">H", len(body))
+        out += body
+    return bytes(out)
+
+
+def mau2_decode(data: bytes):
+    """Decode MAU2. Returns (sample_rate, n_samples, n_frames,
+    first_sample, samples)."""
+    if data[:4] != MAGIC2:
+        raise ValueError("not a MAU2 stream: bad magic")
+    if len(data) < 16:
+        raise ValueError("truncated MAU2 header")
+    sample_rate, n, first, nf = struct.unpack(">IIhH", data[4:16])
+    if nf != -(-n // N) + 1:
+        raise ValueError("corrupt MAU2: frame count mismatch")
+    pos = 16
+    coef = np.zeros((nf, N), dtype=np.float64)
+    for f in range(nf):
+        if pos + 8 > len(data):
+            raise ValueError("truncated MAU2: allocation table")
+        nr = _BitReader(data[pos : pos + 8])
+        bits = [nr.read(4) for _ in range(N_BANDS)]
+        if any(b == 1 or b > MAX_BITS for b in bits):
+            raise ValueError("corrupt MAU2: invalid allocation")
+        pos += 8
+        n_scales = sum(1 for b in bits if b > 0)
+        if pos + 4 * n_scales + 2 > len(data):
+            raise ValueError("truncated MAU2: scalefactors")
+        scales = np.frombuffer(
+            data[pos : pos + 4 * n_scales], dtype=np.float32
+        )
+        pos += 4 * n_scales
+        (blen,) = struct.unpack(">H", data[pos : pos + 2])
+        pos += 2
+        body = data[pos : pos + blen]
+        if len(body) != blen:
+            raise ValueError("truncated MAU2: frame body")
+        pos += blen
+        br = _BitReader(body)
+        si = 0
+        for bnd in range(N_BANDS):
+            if bits[bnd] == 0:
+                continue
+            top = (1 << (bits[bnd] - 1)) - 1
+            scale = float(scales[si])
+            si += 1
+            for i in range(BAND):
+                v = br.read(bits[bnd])
+                if v >= 1 << (bits[bnd] - 1):
+                    v -= 1 << bits[bnd]
+                coef[f, bnd * BAND + i] = v / top * scale
+    if pos != len(data):
+        raise ValueError("corrupt MAU2: trailing bytes")
+    y = imdct_overlap_add(coef, n)
+    out = np.clip(np.round(y), -32768, 32767).astype(np.int64)
+    return sample_rate, n, nf, first, out.tolist()

@@ -1102,3 +1102,63 @@ def multimodal_mdct_audio(spark, sf_dir):
         F.col("first_sample").cast("int").alias("first_sample"),
         "within_tolerance",
     )
+
+
+@query(
+    "multimodal_psycho_audio",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
+             1024 + 128 * (ascii(substr(text, length(text), 1)) % 4) + 193
+               AS n_samples,
+             ascii(substr(text, 1, 1)) AS b0
+      FROM documents)
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples + 127) // 128 + 1 AS INT) AS n_frames,
+           CAST(-8192 + b0 % 16 - 8 AS INT) AS first_sample,
+           TRUE AS within_tolerance,
+           TRUE AS snr_ok
+    FROM params
+    """,
+)
+def multimodal_psycho_audio(spark, sf_dir):
+    """The PSYCHOACOUSTIC-MODEL rung — closes the gap the MAU1 rung
+    documents ('the remaining surface is the masking MODEL driving
+    dynamic allocation'): MAU2 (multimodal/mdct.py) keeps MAU1's
+    MDCT/scalefactor path but allocates bits PER FRAME from a masking
+    model with the structure of ISO/IEC 11172-3 psychoacoustic model
+    1 at band granularity — per-band energies, an ASYMMETRIC
+    spreading function (-15 dB/band upward, -25 dB/band downward, the
+    shape every perceptual codec exploits), a -10 dB masking index,
+    an absolute-threshold floor, then greedy noise-to-mask-priority
+    allocation under a HARD 1024-bit/frame budget, 11% below MAU1's
+    static 1152 — fixed-rate discipline: the model sets the priority
+    order, the budget is always fully spent. pytest pins the
+    perceptual properties (bits concentrate at audible bands, masked
+    neighbors of a strong tone get fewer bits than distant quiet
+    bands) plus round-trips and corruption rejection.
+
+    The driver contract is two-sided, reflecting what a perceptual
+    codec promises: within_tolerance caps ABSOLUTE error loosely (the
+    model deliberately leaves noise where it is masked) while snr_ok
+    floors the noise ENERGY at 36 dB SNR (measured corpus worst:
+    44.5 dB) — both enforced at generation. Geometry and the raw
+    header first sample are SQL-exact. Same Arrow-batched two-stage
+    mapInPandas + one round-robin Exchange shape; map-only at
+    100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_mau2_meta
+
+    out = decode_mau2_meta(d)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "n_samples",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("first_sample").cast("int").alias("first_sample"),
+        "within_tolerance",
+        "snr_ok",
+    )

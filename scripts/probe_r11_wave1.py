@@ -27,6 +27,7 @@ from bench import run_noop  # noqa: E402
 QUERIES = (
     "multimodal_mpeg_motion",
     "multimodal_mdct_audio",
+    "multimodal_psycho_audio",
 )
 SFS = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/tmp/bench_sf1/sf1.0"}
 

@@ -1986,3 +1986,112 @@ def test_mpeg_encoder_stats_match_decode():
         got = np.frombuffer(out[f], dtype=np.uint8).astype(int)
         src = np.frombuffer(frames[f], dtype=np.uint8).astype(int)
         assert int(np.abs(got - src).max()) == enc_errs[f], f
+
+
+# ---------------------------------------------------------------- MAU2
+
+
+def test_mau2_masking_properties():
+    """The psychoacoustic model's two defining behaviors, pinned on
+    synthetic band energies against _allocate_bits directly:
+    (a) a band MASKED by a strong neighbor gets fewer bits than a
+    distant band of EQUAL raw energy (the threshold, not the energy,
+    drives allocation); (b) masking spreads asymmetrically — the band
+    ABOVE a strong masker is more masked than the band below it."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        BUDGET2,
+        N_BANDS,
+        _allocate_bits,
+        _mask_thresholds,
+    )
+
+    e = np.zeros(N_BANDS)
+    e[4] = 1e8   # strong masker
+    e[5] = 1e4   # equal energy, adjacent (masked by band 4)
+    e[12] = 1e4  # equal energy, distant (only the absolute threshold)
+    thr = _mask_thresholds(e)
+    assert thr[5] > thr[12]
+    bits = _allocate_bits(e)
+    assert bits[12] >= bits[5], (bits[5], bits[12])
+    assert bits[4] == max(bits), "the masker itself is most audible"
+    # (b) asymmetry: upward spread (-15 dB/band) masks band 5 harder
+    # than downward (-25 dB/band) masks band 3.
+    assert thr[5] > thr[3]
+    # fixed-rate discipline: the budget is spent to within one step.
+    spent = sum(bits) * 8
+    assert spent <= BUDGET2
+    assert spent > BUDGET2 - 2 * 8
+
+
+def test_mau2_roundtrip_snr_and_determinism():
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        _mau_samples,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        MAU2_SNR_FLOOR_DB,
+        MAU2_TOL,
+        mau2_decode,
+        mau2_encode,
+    )
+
+    for text in (b"The quick brown fox jumps over the lazy dog again.",
+                 b"supplier #42 shipped 17 crates of part 9931 today ok"):
+        bb = np.frombuffer(text, dtype=np.uint8).astype(np.int64)
+        s = _mau_samples(bb, len(text))
+        blob = mau2_encode(8000, s.tolist())
+        assert blob == mau2_encode(8000, s.tolist())
+        sr, n, nf, first, out = mau2_decode(blob)
+        assert (sr, n, first) == (8000, len(s), int(s[0]))
+        assert nf == -(-len(s) // 128) + 1
+        noise = np.asarray(out, dtype=float) - s
+        assert int(np.abs(noise).max()) <= MAU2_TOL
+        snr = 10 * np.log10((s.astype(float) ** 2).sum() / (noise**2).sum())
+        assert snr >= MAU2_SNR_FLOOR_DB, snr
+
+
+def test_mau2_rejects_corruption():
+    import struct
+
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mdct import (
+        mau2_decode,
+        mau2_encode,
+    )
+
+    blob = mau2_encode(8000, [((i * 37) % 2000) - 1000 for i in range(300)])
+    with pytest.raises(ValueError, match="bad magic"):
+        mau2_decode(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        mau2_decode(blob[:10])
+    bad = bytearray(blob)
+    bad[14:16] = struct.pack(">H", 3)
+    with pytest.raises(ValueError, match="frame count"):
+        mau2_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        mau2_decode(blob[:-4])
+    # allocation nibble of 1 (1-bit signed codes are invalid)
+    bad = bytearray(blob)
+    bad[16] = 0x11
+    with pytest.raises(ValueError):
+        mau2_decode(bytes(bad))
+    with pytest.raises(ValueError, match="trailing"):
+        mau2_decode(blob + b"\x00")
+
+
+def test_mau2_blobs_decode_on_spark(spark):
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_mau2_meta,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = decode_mau2_meta(d).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tolerance and r.snr_ok, r.doc_id
+        assert r.n_frames == -(-r.n_samples // 128) + 1

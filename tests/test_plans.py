@@ -158,6 +158,11 @@ def test_media_decode_queries_are_map_only(spark):
     assert mau.count("Exchange") == 1, "mdct audio: one deliberate repartition"
     assert "RoundRobinPartitioning" in mau
     assert "MapInPandas" in mau
+    # Psychoacoustic MAU2 rung (r11 wave 3): same shape.
+    psy = executed_plan(Q["multimodal_psycho_audio"].fn(spark, SF_SMOKE))
+    assert psy.count("Exchange") == 1, "psycho audio: one deliberate repartition"
+    assert "RoundRobinPartitioning" in psy
+    assert "MapInPandas" in psy
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
