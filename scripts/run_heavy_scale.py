@@ -32,7 +32,10 @@ def run_heavy(sf_dir: str) -> dict:
                            f"{proc.stderr[-2000:]}")
     last = proc.stdout.strip().splitlines()[-1]
     rec = json.loads(last)
-    full_path = os.path.join(REPO, rec["full_record"])
+    # full_record is a basename since the r11 compact-line diet; the
+    # artifact always lands in bench_artifacts/.
+    full_path = os.path.join(
+        REPO, "bench_artifacts", os.path.basename(rec["full_record"]))
     with open(full_path) as fh:
         full = json.load(fh)
     # merge the evidence columns the compact line elides

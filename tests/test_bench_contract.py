@@ -134,7 +134,7 @@ def test_emitted_line_fits_driver_window(bench_run):
     )
     projected = dict(
         record,
-        queries={name: 999.99 for name in all_names},
+        queries={name: 999.9 for name in all_names},  # worst 1-dp width
         n_queries=len(all_names),
     )
     projected_len = len(json.dumps(projected, separators=(",", ":")))
@@ -205,21 +205,23 @@ def test_full_record_carries_the_evidence(full_record):
 
 def test_compact_queries_match_full_medians(bench_record, full_record):
     """The compact line's per-query values are the full record's
-    medians rounded to 2 dp — same names, no silent drops."""
+    medians rounded to 1 dp (r11 diet: 58 headline queries must fit
+    the driver tail window at worst-case widths) — same names, no
+    silent drops."""
     assert set(bench_record["queries"]) == set(full_record["queries"])
     for name, v in bench_record["queries"].items():
-        assert v == round(full_record["queries"][name], 2), name
+        assert v == round(full_record["queries"][name], 1), name
 
 
 def test_all_inclusive_sum_is_emitted(bench_record, full_record):
     """ADVICE r9: `value` excludes the unstable 4000² block since r9
-    while r1-r8 included it — both records must also carry the
-    all-inclusive sum so cross-round tooling compares like with
-    like."""
+    while r1-r8 included it — the FULL record must carry the
+    all-inclusive sum (the compact line dropped its copy in the r11
+    diet; cross-round tooling reads the full artifact, which every
+    compact record points at via full_record)."""
     expected = round(sum(full_record["queries"].values()), 3)
     assert abs(full_record["value_with_excluded"] - expected) < 1e-6
-    assert bench_record["value_with_excluded"] == full_record[
-        "value_with_excluded"]
+    assert "value_with_excluded" not in bench_record  # dieted away
 
 
 def test_block4000_fresh_jvm_rep_contract(monkeypatch):
