@@ -198,6 +198,24 @@ SHOWCASE = [
         "query_id window Exchange — separate passes would double the "
         "dominant cost at 100 TB.",
     ),
+    (
+        "multimodal_mpeg_motion",
+        "Motion-compensated video rung (r11, MPV1: intra JPEG-DCT frame "
+        "+ P-frames with full-search motion vectors and coded "
+        "residuals, Exp-Golomb MV coding): the same one deliberate "
+        "RoundRobinPartitioning Exchange + two Arrow-batched "
+        "MapInPandas stages as every CPU-bound codec rung; motion "
+        "search, closed-loop reconstruction and bitstream decode are "
+        "all per-doc CPU work — map-only at 100 TB.",
+    ),
+    (
+        "multimodal_psycho_audio",
+        "Psychoacoustic-model rung (r11, MAU2: MDCT + masking-threshold "
+        "driven dynamic bit allocation under a hard per-frame budget): "
+        "same single-RoundRobin Arrow-batched MapInPandas codec "
+        "contract; the masking model is O(bands^2) per frame, constant "
+        "per doc — map-only at 100 TB.",
+    ),
 ]
 
 
