@@ -2125,8 +2125,11 @@ def with_mpeg_blob(docs: DataFrame) -> DataFrame:
                 # closed-loop state (bit-identical to decode by
                 # construction — the query stage still does the real
                 # bitstream decode): (a) every interior P-frame
-                # macroblock carries the designed motion vector (a SAD
-                # tie or search bug must fail HERE, loudly), (b)
+                # macroblock carries the designed motion vector — in
+                # HALF-PEL units an exact translation must land on the
+                # EVEN vector (2*sy, 2*sx); a SAD tie, a search bug, or
+                # a half-pel refinement that wrongly "improves" on an
+                # exact match must fail HERE, loudly — (b)
                 # reconstruction within MPEG_TOL of the source.
                 blob, mvs, errs = encode(w, h, fps, frames)
                 for f in range(1, nf):
@@ -2134,13 +2137,13 @@ def with_mpeg_blob(docs: DataFrame) -> DataFrame:
                     for y0 in range(0, h, mb):
                         for x0 in range(0, w, mb):
                             if y0 + mb + sy <= h and x0 + mb + sx <= w:
-                                if mvs[f][k] != (sy, sx):
+                                if mvs[f][k] != (2 * sy, 2 * sx):
                                     raise ValueError(
                                         "MPV1 corpus contract violated "
                                         f"(doc_id={doc_id}, frame {f}, "
-                                        f"mb ({y0},{x0})): mv "
+                                        f"mb ({y0},{x0})): half-pel mv "
                                         f"{mvs[f][k]} != designed "
-                                        f"({sy}, {sx})"
+                                        f"({2 * sy}, {2 * sx})"
                                     )
                             k += 1
                 for f, err in enumerate(errs):
@@ -2164,11 +2167,14 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
     """Decode the MPV1 streams and emit one row per FRAME binding the
     bitstream-decoded MOTION FIELD and geometry to SQL-exact values:
     frame_type from the stream's frame headers, (mv_dy, mv_dx) = the
-    decoded vector of the frame's FIRST interior macroblock (0 for the
-    intra frame), n_interior = the count of interior-position
-    macroblocks whose DECODED vector equals the doc's designed shift —
-    a misparsed Exp-Golomb bit, swapped components, or wrong
-    macroblock order changes these columns and reds the driver hash.
+    decoded vector of the frame's FIRST interior macroblock in
+    FULL-PEL units (the bitstream carries half-pel vectors; exact
+    translations are even, so the >>1 is lossless — 0 for the intra
+    frame), n_interior = the count of interior-position macroblocks
+    whose DECODED half-pel vector equals the doc's designed shift —
+    a misparsed Exp-Golomb bit, swapped components, wrong half-pel
+    scaling, or wrong macroblock order changes these columns and reds
+    the driver hash.
     within_tolerance bounds the motion-compensated reconstruction
     against the regenerated source (closed-loop: error must NOT
     accumulate across P-frames)."""
@@ -2215,11 +2221,15 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
                         for y0 in range(0, h, mb):
                             for x0 in range(0, w, mb):
                                 if y0 + mb + sy <= h and x0 + mb + sx <= w:
-                                    dy, dx = mvs[f][k]
+                                    dy2, dx2 = mvs[f][k]
                                     if first:
-                                        mv_dy, mv_dx = dy, dx
+                                        # full-pel view of the half-pel
+                                        # stream vector (floor — odd
+                                        # vectors would mismatch the
+                                        # oracle and red the driver)
+                                        mv_dy, mv_dx = dy2 >> 1, dx2 >> 1
                                         first = False
-                                    if (dy, dx) == (sy, sx):
+                                    if (dy2, dx2) == (2 * sy, 2 * sx):
                                         n_int += 1
                                 k += 1
                     rows.append(

@@ -15,7 +15,10 @@ MPEG-1 video toolchain (ISO/IEC 11172-2 concepts) in simplified form:
   luma Huffman tables), per the "intra frames reuse the JPEG DCT path"
   design MPEG-1 itself follows.
 * P-frame: per 16x16 macroblock, FULL-SEARCH block motion estimation
-  (+-SEARCH_RANGE, SAD metric, closed-loop: the search reference is
+  (+-SEARCH_RANGE integer grid then HALF-PEL refinement over the 8
+  sub-pixel neighbors with MPEG-1's integer interpolation rounding —
+  ISO 11172-2 half-pel MC, the precision class H.264 extends to
+  quarter-pel; SAD metric, closed-loop: the search reference is
   the RECONSTRUCTED previous frame, so encoder and decoder prediction
   states are bit-identical and error never accumulates across frames);
   motion vectors entropy-coded with signed Exp-Golomb (the se(v) code
@@ -313,6 +316,75 @@ def _motion_search(
     return best
 
 
+def _interp_block(ref: np.ndarray, y0: int, x0: int, dy2: int, dx2: int) -> np.ndarray:
+    """Motion-compensated 16x16 prediction at HALF-PEL resolution
+    (dy2, dx2 in half-pel units), with MPEG-1's integer interpolation
+    rounding (ISO 11172-2 2.4.4.2): one-direction half-pel averages
+    two pixels as (a+b+1)>>1, diagonal averages four as (a+b+c+d+2)>>2.
+    Integer output, so encoder and decoder predictions are
+    bit-identical."""
+    iy, fy = divmod(dy2, 2)
+    ix, fx = divmod(dx2, 2)
+    y, x = y0 + iy, x0 + ix
+    a = ref[y : y + MB + (1 if fy else 0), x : x + MB + (1 if fx else 0)].astype(
+        np.int64
+    )
+    if not fy and not fx:
+        return a
+    if fy and fx:
+        return (a[:-1, :-1] + a[:-1, 1:] + a[1:, :-1] + a[1:, 1:] + 2) >> 2
+    if fy:
+        return (a[:-1, :] + a[1:, :] + 1) >> 1
+    return (a[:, :-1] + a[:, 1:] + 1) >> 1
+
+
+def _halfpel_ok(h: int, w: int, y0: int, x0: int, dy2: int, dx2: int) -> bool:
+    """A half-pel MV is representable iff every source pixel of the
+    interpolation window lies inside the frame."""
+    iy, fy = divmod(dy2, 2)
+    ix, fx = divmod(dx2, 2)
+    return (
+        0 <= y0 + iy
+        and y0 + iy + MB + (1 if fy else 0) <= h
+        and 0 <= x0 + ix
+        and x0 + ix + MB + (1 if fx else 0) <= w
+    )
+
+
+def _refine_halfpel(
+    ref: np.ndarray, cur: np.ndarray, y0: int, x0: int, dy: int, dx: int,
+    r: int,
+) -> tuple[int, int]:
+    """Half-pel refinement around the integer full-search winner
+    (dy, dx): evaluate the 8 half-pel neighbors, STRICT improvement
+    only — an exact-translation corpus keeps its integer vector (the
+    interpolated candidates blur), preserving the SQL-exact designed-MV
+    contract; genuinely sub-pixel motion wins a half-pel vector."""
+    h, w = ref.shape
+    blk = cur[y0 : y0 + MB, x0 : x0 + MB].astype(np.int64)
+    best = (2 * dy, 2 * dx)
+    best_sad = int(
+        np.abs(blk - ref[y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB].astype(np.int64)).sum()
+    )
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            if ddy == 0 and ddx == 0:
+                continue
+            dy2, dx2 = 2 * dy + ddy, 2 * dx + ddx
+            # Stay inside the CODED range (an integer winner at the
+            # search edge must not refine past +-2r — the decoder
+            # rejects such vectors).
+            if abs(dy2) > 2 * r or abs(dx2) > 2 * r:
+                continue
+            if not _halfpel_ok(h, w, y0, x0, dy2, dx2):
+                continue
+            sad = int(np.abs(blk - _interp_block(ref, y0, x0, dy2, dx2)).sum())
+            if sad < best_sad:
+                best_sad = sad
+                best = (dy2, dx2)
+    return best
+
+
 def _motion_search_frame(ref: np.ndarray, cur: np.ndarray, r: int) -> np.ndarray:
     """Vectorized full search for EVERY macroblock of a frame at once:
     per candidate (dy, dx), one shifted-array |diff| over the frame and
@@ -365,7 +437,8 @@ def mpeg_encode_stats(
     width: int, height: int, fps: int, frames: list, search: int = SEARCH_RANGE
 ):
     """mpeg_encode plus encoder-side stats: (blob, mvs, errs) with
-    ``mvs`` per frame ([] for intra, else macroblock-raster (dy, dx))
+    ``mvs`` per frame ([] for intra, else macroblock-raster (dy2, dx2)
+    in HALF-PEL units — exact translations keep even vectors)
     and ``errs`` the per-frame max abs reconstruction error. The stats
     come from the encoder's CLOSED-LOOP state, which is bit-identical
     to the decoder's by construction (both reconstruct from the same
@@ -409,12 +482,14 @@ def mpeg_encode_stats(
             for y0 in range(0, height, MB):
                 for x0 in range(0, width, MB):
                     dy, dx = (int(v) for v in mv_grid[y0 // MB, x0 // MB])
-                    fmvs.append((dy, dx))
-                    se_encode(bw, dy)
-                    se_encode(bw, dx)
-                    pred = recon_prev[
-                        y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB
-                    ].astype(np.float64)
+                    dy2, dx2 = _refine_halfpel(
+                        recon_prev, cur, y0, x0, dy, dx, search)
+                    fmvs.append((dy2, dx2))
+                    se_encode(bw, dy2)
+                    se_encode(bw, dx2)
+                    pred = _interp_block(
+                        recon_prev, y0, x0, dy2, dx2
+                    ).astype(np.float64)
                     resid = (
                         cur[y0 : y0 + MB, x0 : x0 + MB].astype(np.float64)
                         - pred
@@ -440,8 +515,8 @@ def mpeg_decode(data: bytes):
 
     Returns (width, height, fps, n_frames, frames, mvs): ``frames`` a
     list of reconstructed luma planes (bytes), ``mvs`` a list per
-    frame — [] for the intra frame, else [(dy, dx), ...] in macroblock
-    raster order."""
+    frame — [] for the intra frame, else [(dy2, dx2), ...] in
+    HALF-PEL units, macroblock raster order."""
     if data[:4] != MAGIC:
         raise ValueError("not an MPV1 stream: bad magic")
     if len(data) < 11:
@@ -476,19 +551,18 @@ def mpeg_decode(data: bytes):
             pred_dc = 0
             for y0 in range(0, height, MB):
                 for x0 in range(0, width, MB):
-                    dy = se_decode(br)
-                    dx = se_decode(br)
+                    dy2 = se_decode(br)
+                    dx2 = se_decode(br)
                     if (
-                        abs(dy) > search
-                        or abs(dx) > search
-                        or not 0 <= y0 + dy <= height - MB
-                        or not 0 <= x0 + dx <= width - MB
+                        abs(dy2) > 2 * search
+                        or abs(dx2) > 2 * search
+                        or not _halfpel_ok(height, width, y0, x0, dy2, dx2)
                     ):
                         raise ValueError("corrupt MPV1: motion vector out of range")
-                    fmvs.append((dy, dx))
-                    pred = recon_prev[
-                        y0 + dy : y0 + dy + MB, x0 + dx : x0 + dx + MB
-                    ].astype(np.float64)
+                    fmvs.append((dy2, dx2))
+                    pred = _interp_block(
+                        recon_prev, y0, x0, dy2, dx2
+                    ).astype(np.float64)
                     rplane, pred_dc = _transform_decode(br, MB, MB, pred_dc)
                     recon[y0 : y0 + MB, x0 : x0 + MB] = np.clip(
                         np.round(pred + rplane), 0, 255

@@ -1012,11 +1012,16 @@ def multimodal_mpeg_motion(spark, sf_dir):
     frame on the JPEG DCT path (8x8 FDCT + flat near-lossless quant +
     zigzag + DC prediction + Annex-K Huffman run/size coding) and
     P-frames that carry a FULL-SEARCH motion vector per 16x16
-    macroblock (SAD over +-4, ties to the zero vector — closed-loop
-    against the RECONSTRUCTED reference, so encoder/decoder prediction
-    states match bit-for-bit and error never accumulates) plus the
-    motion-compensated residual through the same transform path;
-    motion vectors entropy-coded with signed Exp-Golomb (H.264 se(v)).
+    macroblock (SAD over +-4 integer grid then HALF-PEL refinement
+    with MPEG-1's integer interpolation rounding — ISO 11172-2
+    half-pel MC, the precision class H.264 extends to quarter-pel;
+    ties to the zero vector, closed-loop against the RECONSTRUCTED
+    reference, so encoder/decoder prediction states match bit-for-bit
+    and error never accumulates) plus the motion-compensated residual
+    through the same transform path; motion vectors entropy-coded in
+    half-pel units with signed Exp-Golomb (H.264 se(v)) — exact
+    translations land on even vectors, so the oracle's full-pel
+    (mv_dx, mv_dy) stay SQL-exact.
 
     The blob content is a translating texture, which makes the motion
     FIELD itself SQL-exact: every interior macroblock's vector is the

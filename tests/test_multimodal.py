@@ -1707,11 +1707,44 @@ def test_mpeg_hand_derived_motion_vector():
     _, _, _, _, frames, mvs = mpeg_decode(blob)
     assert mvs[0] == []
     # MB raster order: (0,0) (0,16) (16,0) (16,16); only (0,0) has its
-    # shifted window fully inside the frame.
-    assert mvs[1][0] == (2, 3)
+    # shifted window fully inside the frame. Stream vectors are in
+    # HALF-PEL units, so the exact integer translation (2, 3) decodes
+    # as (4, 6).
+    assert mvs[1][0] == (4, 6)
     # Intra reconstruction bound (random content, flat quant).
     got = np.frombuffer(frames[0], dtype=np.uint8).astype(int)
     assert np.abs(got - f0.astype(int).reshape(-1)).max() <= 4
+
+
+def test_mpeg_hand_derived_halfpel_vector():
+    """True sub-pixel motion, by hand: frame 1 is frame 0 shifted by
+    HALF a pixel horizontally — each pixel the MPEG-rounded average
+    (a+b+1)>>1 of its two horizontal neighbors in frame 0. The
+    refinement must pick the half-pel vector (0, 1), beating every
+    integer candidate (whose SAD is a whole texture mismatch)."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mpeg import (
+        mpeg_decode,
+        mpeg_encode,
+    )
+
+    h = w = 32
+    rng = np.random.RandomState(7)
+    f0 = rng.randint(0, 256, (h, w + 1)).astype(np.uint8)
+    frame0 = f0[:, :w]
+    frame1 = ((f0[:, :w].astype(int) + f0[:, 1:].astype(int) + 1) >> 1).astype(
+        np.uint8
+    )
+    blob = mpeg_encode(w, h, 5, [frame0.tobytes(), frame1.tobytes()])
+    _, _, _, _, _, mvs = mpeg_decode(blob)
+    # MB (0,0): its half-pel source window f0[0:16, 0:17] is fully
+    # inside the coded frame0? No — frame0 lacks column 16's neighbor
+    # ONLY at the right edge; for MB (0,0) the window needs columns
+    # 0..16 of frame0, all present (w=32). The interpolated prediction
+    # at (0, 1) differs from frame1 only by intra-recon error of
+    # frame 0.
+    assert mvs[1][0] == (0, 1), mvs[1]
 
 
 def test_mpeg_vectorized_search_matches_scalar():
