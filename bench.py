@@ -127,6 +127,15 @@ HEADLINE = [
     # masking thresholds driving dynamic NMR-priority allocation under
     # a hard budget 11% below the static spend. Same shape.
     "multimodal_psycho_audio",
+    # r11 wave 4: the H.264-TOOLING rung — AVC-style Intra_4x4
+    # prediction + the exact integer transform / MF-V quant LUTs +
+    # MPM mode coding; stripe corpus makes the mode field and the
+    # full reconstruction SQL-exact. Same map-only codec shape.
+    "multimodal_avc_intra",
+    # r11 wave 5: distributed BPE tokenizer TRAINING — three unrolled
+    # count→argmax→rewrite merge iterations; alphabet^2-bounded
+    # shuffles, broadcast 1-row winners, map-only rewrites.
+    "bpe_train_merges",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

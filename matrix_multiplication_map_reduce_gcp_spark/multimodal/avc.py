@@ -1,0 +1,423 @@
+"""Simplified H.264/AVC-style INTRA still-image codec ("AVC1"),
+stdlib + numpy only — the rung that crosses the ladder's last named
+codec surface ("exact ISO tables / H.264-specific tooling",
+SCALING.md after r11 wave 3): the H.264-SPECIFIC coding tools
+themselves, with the spec's exact arithmetic.
+
+The reference repo contains no codec code at all (it moves JSON
+matrices through GCS, reference orchestrator/main.py:54-64); this rung
+exists for the engine's multimodal north star. What is spec-exact here
+(ITU-T H.264 / ISO/IEC 14496-10):
+
+* The 4x4 INTEGER core transform (8.5.12): forward
+  Cf = [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],[1,-2,2,-1]], and the
+  inverse butterflies with the spec's (c>>1) half values and final
+  (x + 32) >> 6 rounding — bit-exact integer arithmetic, no floats,
+  the property that makes H.264 the first standard with zero
+  inverse-transform drift between encoder and decoder.
+* The EXACT quantization LUTs: the multiplication factors MF (forward,
+  table 8-xx class {13107..7282}/{5243..2893}/{8066..4559}) and
+  rescale factors V (inverse, {10..18}/{16..29}/{13..23}) indexed by
+  qP % 6 and coefficient-position class (a: (0,0),(0,2),(2,0),(2,2);
+  b: (1,1),(1,3),(3,1),(3,3); c: the rest), with the intra rounding
+  offset f = 2^qbits / 3, qbits = 15 + qP//6, and dequant
+  W' = Z * V * 2^(qP//6) — the exact-table machinery the ladder's
+  boundary named.
+* Intra_4x4 PREDICTION (8.3.1.2): modes 0 (Vertical), 1 (Horizontal),
+  2 (DC with the spec's availability fallbacks), 3 (Diagonal-Down-
+  Left, incl. the (A6 + 3*A7 + 2) >> 2 corner case and the
+  replicate-A[3] substitution when the top-right samples are
+  unavailable) and 4 (Diagonal-Down-Right) — the directional family;
+  modes 5-8 (VR/HD/VL/HU) are finer angles of the same machinery and
+  are the documented omission, as is CAVLC (residuals ride Exp-Golomb
+  run-level codes — Exp-Golomb IS H.264's 9.1 entropy machinery, used
+  by the spec for every non-residual syntax element).
+* The spec's MODE PREDICTION (8.3.1.1): predIntra4x4PredMode =
+  Min(modeA, modeB) with unavailable neighbors treated as DC, a
+  1-bit prev_intra4x4_pred_mode_flag, and a 3-bit
+  rem_intra4x4_pred_mode (the spec's field width; values >= 5 are
+  rejected by this profile's decoder).
+
+Closed loop: mode decision (SAD, ties to the LOWEST mode index — the
+spec's own bit-cost ordering) and prediction both read RECONSTRUCTED
+neighbors, so encoder and decoder states are bit-identical and error
+never propagates beyond quantization. Luma-only single plane, 4-px
+aligned dimensions. A from-spec Adler-32 of the reconstruction rides
+the trailer and is verified on decode. Anything the decoder cannot
+represent raises ValueError — a documented envelope, checked, never
+silently wrong.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+# Workers do not have this package on sys.path: ship the codec BY
+# VALUE inside pickled closures (same opt-in as jpeg.py / mpeg.py).
+from pyspark import cloudpickle
+
+from .mpeg import _BitReader, _BitWriter, se_decode, se_encode
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+MAGIC = b"AVC1"
+B = 4  # transform / prediction block size
+MAX_QP = 11  # corpus profile: both qP//6 banks, every qP%6 column
+# General-content reconstruction bound for qP <= MAX_QP: measured max
+# abs err 3 over random 8-bit planes (worst dequant granularity at
+# qP=11 is V*2 = 36/64 px per level), pinned with margin in
+# tests/test_multimodal.py. The designed stripe corpus reconstructs
+# EXACTLY (constant residuals round-trip losslessly at qP <= 11 —
+# exhaustively pinned); the tolerance is the envelope for arbitrary
+# content.
+AVC_TOL = 4
+
+# --- exact H.264 quantization tables (qP % 6 rows) ------------------
+# Position classes: a = {(0,0),(0,2),(2,0),(2,2)}, b = {(1,1),(1,3),
+# (3,1),(3,3)}, c = the eight remaining positions.
+_MF_A = (13107, 11916, 10082, 9362, 8192, 7282)
+_MF_B = (5243, 4660, 4194, 3647, 3355, 2893)
+_MF_C = (8066, 7490, 6554, 5825, 5243, 4559)
+_V_A = (10, 11, 13, 14, 16, 18)
+_V_B = (16, 18, 20, 23, 25, 29)
+_V_C = (13, 14, 16, 18, 20, 23)
+
+
+def _table_4x4(a: int, b: int, c: int) -> np.ndarray:
+    t = np.full((B, B), c, dtype=np.int64)
+    for i in (0, 2):
+        for j in (0, 2):
+            t[i, j] = a
+    for i in (1, 3):
+        for j in (1, 3):
+            t[i, j] = b
+    return t
+
+
+MF = np.stack([_table_4x4(_MF_A[m], _MF_B[m], _MF_C[m]) for m in range(6)])
+V = np.stack([_table_4x4(_V_A[m], _V_B[m], _V_C[m]) for m in range(6)])
+
+_CF = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+
+# 4x4 zigzag scan (8.5.6 inverse scanning order)
+ZIGZAG4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# Intra_4x4 prediction mode names (8.3.1.2.1-5)
+VERT, HOR, DC, DDL, DDR = 0, 1, 2, 3, 4
+N_MODES = 5
+
+
+def forward_transform_quant(res: np.ndarray, qp: int) -> np.ndarray:
+    """4x4 integer core transform + quantization: W = Cf X Cf^T, then
+    Z = sign(W) * ((|W| * MF + f) >> qbits) with the intra offset
+    f = 2^qbits / 3 (exact integer arithmetic throughout)."""
+    w = _CF @ res.astype(np.int64) @ _CF.T
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    mf = MF[qp % 6]
+    return np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+
+
+def dequant_inverse_transform(z: np.ndarray, qp: int) -> np.ndarray:
+    """Rescale W' = Z * V * 2^(qP//6), then the spec's inverse
+    butterflies (with c>>1 half values) and (x + 32) >> 6."""
+    w = z.astype(np.int64) * V[qp % 6] * (1 << (qp // 6))
+    # horizontal (rows), then vertical (columns) — 8.5.12.2
+    e0 = w[:, 0] + w[:, 2]
+    e1 = w[:, 0] - w[:, 2]
+    e2 = (w[:, 1] >> 1) - w[:, 3]
+    e3 = w[:, 1] + (w[:, 3] >> 1)
+    h = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    e0 = h[0, :] + h[2, :]
+    e1 = h[0, :] - h[2, :]
+    e2 = (h[1, :] >> 1) - h[3, :]
+    e3 = h[1, :] + (h[3, :] >> 1)
+    out = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=0)
+    return (out + 32) >> 6
+
+
+def predict_4x4(
+    mode: int,
+    top: np.ndarray | None,
+    left: np.ndarray | None,
+    topleft: int | None,
+    topright: np.ndarray | None,
+) -> np.ndarray:
+    """Intra_4x4 prediction (8.3.1.2). ``top``/``left`` are the 4
+    reconstructed neighbor samples (None if unavailable), ``topleft``
+    the corner sample, ``topright`` the 4 samples above-right. For DDL
+    with top available but top-right not, the spec's substitution
+    replicates top[3]."""
+    if mode == VERT:
+        if top is None:
+            raise ValueError("AVC1: vertical prediction without top")
+        return np.tile(top, (B, 1))
+    if mode == HOR:
+        if left is None:
+            raise ValueError("AVC1: horizontal prediction without left")
+        return np.tile(left[:, None], (1, B))
+    if mode == DC:
+        if top is not None and left is not None:
+            v = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            v = (int(top.sum()) + 2) >> 2
+        elif left is not None:
+            v = (int(left.sum()) + 2) >> 2
+        else:
+            v = 128
+        return np.full((B, B), v, dtype=np.int64)
+    if mode == DDL:
+        if top is None:
+            raise ValueError("AVC1: diagonal-down-left without top")
+        if topright is None:
+            topright = np.full(B, int(top[3]), dtype=np.int64)
+        a = np.concatenate([top, topright]).astype(np.int64)
+        p = np.empty((B, B), dtype=np.int64)
+        for y in range(B):
+            for x in range(B):
+                if x == 3 and y == 3:
+                    p[y, x] = (a[6] + 3 * a[7] + 2) >> 2
+                else:
+                    k = x + y
+                    p[y, x] = (a[k] + 2 * a[k + 1] + a[k + 2] + 2) >> 2
+        return p
+    if mode == DDR:
+        if top is None or left is None or topleft is None:
+            raise ValueError("AVC1: diagonal-down-right without corner")
+        a = top.astype(np.int64)
+        l = left.astype(np.int64)
+        m = int(topleft)
+        p = np.empty((B, B), dtype=np.int64)
+        for y in range(B):
+            for x in range(B):
+                if x > y:
+                    k = x - y
+                    p0 = m if k - 2 < 0 else a[k - 2]
+                    p1 = m if k - 1 < 0 else a[k - 1]
+                    p[y, x] = (p0 + 2 * p1 + a[k] + 2) >> 2
+                elif x < y:
+                    k = y - x
+                    p0 = m if k - 2 < 0 else l[k - 2]
+                    p1 = m if k - 1 < 0 else l[k - 1]
+                    p[y, x] = (p0 + 2 * p1 + l[k] + 2) >> 2
+                else:
+                    p[y, x] = (a[0] + 2 * m + l[0] + 2) >> 2
+        return p
+    raise ValueError(f"AVC1: unknown intra mode {mode}")
+
+
+def _available_modes(has_top: bool, has_left: bool) -> list:
+    modes = []
+    if has_top:
+        modes.append(VERT)
+    if has_left:
+        modes.append(HOR)
+    modes.append(DC)
+    if has_top:
+        modes.append(DDL)
+    if has_top and has_left:
+        modes.append(DDR)
+    return sorted(modes)
+
+
+def ue_encode(bw: _BitWriter, v: int) -> None:
+    """Unsigned Exp-Golomb (H.264 ue(v), 9.1)."""
+    if v < 0:
+        raise ValueError("ue(v) is unsigned")
+    n = v + 1
+    length = n.bit_length()
+    bw.write(0, length - 1)
+    bw.write(n, length)
+
+
+def ue_decode(br: _BitReader) -> int:
+    zeros = 0
+    while br.read(1) == 0:
+        zeros += 1
+        if zeros > 32 or br.overrun():
+            raise ValueError("corrupt AVC1: bad Exp-Golomb code")
+    n = (1 << zeros) | br.read(zeros)
+    return n - 1
+
+
+def _adler32(plane: np.ndarray) -> int:
+    """From-spec Adler-32 (RFC 1950 §8.2) over the plane bytes, via
+    the closed forms of the two running sums."""
+    b = plane.astype(np.int64).ravel()
+    n = b.shape[0]
+    s1 = (1 + int(b.sum())) % 65521
+    s2 = (n + int(((n - np.arange(n, dtype=np.int64)) * b).sum())) % 65521
+    return (s2 << 16) | s1
+
+
+def _code_mode(bw: _BitWriter, mode: int, pred_mode: int) -> None:
+    """prev_intra4x4_pred_mode_flag + rem_intra4x4_pred_mode
+    (7.3.5.1 syntax, 8.3.1.1 semantics; 3-bit rem as in the spec)."""
+    if mode == pred_mode:
+        bw.write(1, 1)
+    else:
+        bw.write(0, 1)
+        rem = mode if mode < pred_mode else mode - 1
+        bw.write(rem, 3)
+
+
+def _decode_mode(br: _BitReader, pred_mode: int) -> int:
+    if br.read(1):
+        return pred_mode
+    rem = br.read(3)
+    mode = rem if rem < pred_mode else rem + 1
+    if mode >= N_MODES:
+        raise ValueError(f"corrupt AVC1: intra mode {mode} out of profile")
+    return mode
+
+
+def _code_residual(bw: _BitWriter, z: np.ndarray) -> None:
+    """Zigzag run-level residual over Exp-Golomb: ue(n_nonzero), then
+    per coefficient ue(zero run before it) + se(level)."""
+    zz = z.ravel()[list(ZIGZAG4)]
+    nz = [(k, int(v)) for k, v in enumerate(zz) if v]
+    ue_encode(bw, len(nz))
+    last = -1
+    for k, v in nz:
+        ue_encode(bw, k - last - 1)
+        se_encode(bw, v)
+        last = k
+    return None
+
+
+def _decode_residual(br: _BitReader) -> np.ndarray:
+    n = ue_decode(br)
+    if n > B * B:
+        raise ValueError("corrupt AVC1: too many coefficients")
+    zz = np.zeros(B * B, dtype=np.int64)
+    k = -1
+    for _ in range(n):
+        k += ue_decode(br) + 1
+        if k >= B * B:
+            raise ValueError("corrupt AVC1: coefficient index overflow")
+        v = se_decode(br)
+        if v == 0:
+            raise ValueError("corrupt AVC1: zero level coded as nonzero")
+        zz[k] = v
+    out = np.zeros(B * B, dtype=np.int64)
+    out[list(ZIGZAG4)] = zz
+    return out.reshape(B, B)
+
+
+def _neighbors(recon: np.ndarray, by: int, bx: int, nbx: int):
+    """(top, left, topleft, topright) reconstructed neighbor samples
+    for block (by, bx) in raster scan; None where unavailable. The
+    top-right 4 samples exist iff the block above-right is already
+    decoded (by > 0 and bx < nbx - 1)."""
+    y0, x0 = by * B, bx * B
+    top = recon[y0 - 1, x0 : x0 + B].astype(np.int64) if by > 0 else None
+    left = recon[y0 : y0 + B, x0 - 1].astype(np.int64) if bx > 0 else None
+    topleft = int(recon[y0 - 1, x0 - 1]) if by > 0 and bx > 0 else None
+    topright = (
+        recon[y0 - 1, x0 + B : x0 + 2 * B].astype(np.int64)
+        if by > 0 and bx < nbx - 1
+        else None
+    )
+    return top, left, topleft, topright
+
+
+def avc_encode_stats(width: int, height: int, qp: int, plane: bytes):
+    """Encode an 8-bit luma plane as an AVC1 intra stream. Returns
+    (blob, modes, recon) with ``modes`` the (H/4, W/4) int array of
+    chosen Intra_4x4 modes and ``recon`` the closed-loop
+    reconstruction — bit-identical to the decoder's by construction
+    (both apply the same integer dequant/inverse transform to the same
+    coded levels), so blob generators can enforce corpus contracts
+    without a second decode."""
+    if width % B or height % B or width < B or height < B:
+        raise ValueError("AVC1 requires 4-px-aligned dimensions")
+    if not 0 <= qp <= MAX_QP:
+        raise ValueError(f"AVC1 profile: qp must be 0..{MAX_QP}")
+    src = np.frombuffer(plane, dtype=np.uint8).reshape(height, width)
+    if len(plane) != width * height:
+        raise ValueError("plane size mismatch")
+    nby, nbx = height // B, width // B
+    recon = np.zeros((height, width), dtype=np.uint8)
+    modes = np.full((nby, nbx), -1, dtype=np.int64)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            y0, x0 = by * B, bx * B
+            blk = src[y0 : y0 + B, x0 : x0 + B].astype(np.int64)
+            top, left, topleft, topright = _neighbors(recon, by, bx, nbx)
+            best_mode, best_pred, best_sad = None, None, None
+            for mode in _available_modes(by > 0, bx > 0):
+                pred = predict_4x4(mode, top, left, topleft, topright)
+                sad = int(np.abs(blk - pred).sum())
+                if best_sad is None or sad < best_sad:
+                    best_mode, best_pred, best_sad = mode, pred, sad
+            mode_a = int(modes[by, bx - 1]) if bx > 0 else DC
+            mode_b = int(modes[by - 1, bx]) if by > 0 else DC
+            _code_mode(bw, best_mode, min(mode_a, mode_b))
+            z = forward_transform_quant(blk - best_pred, qp)
+            _code_residual(bw, z)
+            rec = np.clip(
+                best_pred + dequant_inverse_transform(z, qp), 0, 255
+            )
+            recon[y0 : y0 + B, x0 : x0 + B] = rec.astype(np.uint8)
+            modes[by, bx] = best_mode
+    payload = bw.flush()
+    blob = (
+        MAGIC
+        + struct.pack(">HHBI", width, height, qp, len(payload))
+        + payload
+        + struct.pack(">I", _adler32(recon))
+    )
+    return blob, modes, recon
+
+
+def avc_encode(width: int, height: int, qp: int, plane: bytes) -> bytes:
+    return avc_encode_stats(width, height, qp, plane)[0]
+
+
+def avc_decode(data: bytes):
+    """Decode an AVC1 intra stream. Returns (width, height, qp, recon,
+    modes) with ``recon`` the (H, W) uint8 plane and ``modes`` the
+    (H/4, W/4) mode array. The trailer Adler-32 is verified against
+    the reconstruction."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an AVC1 stream: bad magic")
+    if len(data) < 13:
+        raise ValueError("truncated AVC1 header")
+    width, height, qp, plen = struct.unpack(">HHBI", data[4:13])
+    if width % B or height % B or not width or not height:
+        raise ValueError("corrupt AVC1: bad geometry")
+    if qp > MAX_QP:
+        raise ValueError("corrupt AVC1: qp out of profile")
+    if len(data) != 13 + plen + 4:
+        raise ValueError("corrupt AVC1: payload length mismatch")
+    br = _BitReader(data[13 : 13 + plen])
+    nby, nbx = height // B, width // B
+    recon = np.zeros((height, width), dtype=np.uint8)
+    modes = np.full((nby, nbx), -1, dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            y0, x0 = by * B, bx * B
+            mode_a = int(modes[by, bx - 1]) if bx > 0 else DC
+            mode_b = int(modes[by - 1, bx]) if by > 0 else DC
+            mode = _decode_mode(br, min(mode_a, mode_b))
+            top, left, topleft, topright = _neighbors(recon, by, bx, nbx)
+            pred = predict_4x4(mode, top, left, topleft, topright)
+            z = _decode_residual(br)
+            rec = np.clip(
+                pred + dequant_inverse_transform(z, qp), 0, 255
+            )
+            recon[y0 : y0 + B, x0 : x0 + B] = rec.astype(np.uint8)
+            modes[by, bx] = mode
+    if br.overrun():
+        raise ValueError("corrupt AVC1: entropy stream truncated")
+    (crc,) = struct.unpack(">I", data[13 + plen : 13 + plen + 4])
+    if crc != _adler32(recon):
+        raise ValueError("corrupt AVC1: reconstruction checksum mismatch")
+    return width, height, qp, recon, modes

@@ -2489,3 +2489,168 @@ def decode_mau2_meta(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_mau2_blob(docs).mapInPandas(op, MAU2_SCHEMA)
+
+
+AVC_SCHEMA = (
+    "doc_id long, width int, height int, qp int, n_blocks int, "
+    "n_mode0 int, n_mode1 int, n_mode2 int, pixel_sum long, "
+    "recon_exact boolean, within_tolerance boolean"
+)
+
+
+def _avc_stripe_plane(bb, n, width: int, height: int):
+    """The AVC1 corpus image family (SQL-recomputable): 4-px-wide
+    VERTICAL stripes, stripe bx = value (byte[bx mod n]*131 +
+    bx*7919) % 256, identical down every row. Each 4x4 block is
+    CONSTANT, so by the exhaustively-pinned constant-residual
+    exactness at qp <= 11 the whole closed loop is LOSSLESS and the
+    mode field is forced: block (0,0) has no neighbors (DC), the rest
+    of block-row 0 ties HOR/DC at equal SAD and the lower index wins
+    (HOR), and every block below row 0 sees an EXACT vertical
+    predictor (SAD 0 -> VERT, the lowest index). pixel_sum is then
+    height * 4 * sum(v)."""
+    import numpy as np
+
+    nbx = width // 4
+    bx = np.arange(nbx, dtype=np.int64)
+    v = (bb[bx % n] * 131 + bx * 7919) % 256
+    return np.repeat(v, 4)[None, :].repeat(height, axis=0).astype(
+        np.uint8
+    ), v
+
+
+def with_avc_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob an AVC1 intra stream
+    (multimodal/avc.py — H.264-style Intra_4x4 prediction + exact
+    integer transform/quant LUTs). Geometry/qp from the text bytes:
+    width = 32 + 16*(first_byte % 2), height = 32 + 16*(last_byte %
+    2), qp = (first_byte*7 + last_byte) % 12 — qp spans BOTH qP//6
+    shift banks and every qP%6 table column across the corpus. The
+    designed mode field (DC once, HOR across block-row 0, VERT
+    everywhere below) and the EXACT reconstruction are enforced HERE
+    at generation from the encoder's closed-loop stats (ADVICE r10
+    discipline: corpus drift fails loudly at the blob maker, not as a
+    driver-red oracle mismatch)."""
+    from .avc import DC, HOR, VERT, avc_encode_stats
+
+    encode = avc_encode_stats
+    dc, hor, vert = DC, HOR, VERT
+    gen = _avc_stripe_plane
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                width = 32 + 16 * int(bb[0] % 2)
+                height = 32 + 16 * int(bb[-1] % 2)
+                qp = (int(bb[0]) * 7 + int(bb[-1])) % 12
+                img, _ = gen(bb, n, width, height)
+                blob, modes, recon = encode(
+                    width, height, qp, img.tobytes()
+                )
+                designed = (
+                    modes[0, 0] == dc
+                    and (modes[0, 1:] == hor).all()
+                    and (modes[1:, :] == vert).all()
+                )
+                if not designed:
+                    raise ValueError(
+                        "AVC1 corpus contract violated (doc_id="
+                        f"{doc_id}): mode field departs from the "
+                        "designed DC/HOR/VERT layout"
+                    )
+                if not (recon == img).all():
+                    raise ValueError(
+                        "AVC1 corpus contract violated (doc_id="
+                        f"{doc_id}): stripe reconstruction not exact "
+                        f"at qp={qp}"
+                    )
+                rows.append((doc_id, text, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_avc_intra(docs: DataFrame) -> DataFrame:
+    """Decode the AVC1 streams and bind the bitstream-decoded MODE
+    FIELD and pixel content to SQL-exact values: n_mode0/1/2 count the
+    decoded Intra_4x4 modes (a misparsed mode bit, wrong MPM
+    prediction chain, or wrong block raster order changes the counts
+    and reds the driver hash), pixel_sum sums the decoded plane (the
+    designed corpus reconstructs EXACTLY, so the oracle recomputes it
+    from the generation rule), recon_exact pins that bit-exactness
+    and within_tolerance re-states the general AVC_TOL envelope."""
+    from .avc import AVC_TOL, DC, HOR, VERT, avc_decode
+
+    decode = avc_decode
+    dc, hor, vert = DC, HOR, VERT
+    tol = AVC_TOL
+    gen = _avc_stripe_plane
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                width, height, qp, recon, modes = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                img, _ = gen(bb, n, width, height)
+                err = int(
+                    np.abs(
+                        recon.astype(np.int64) - img.astype(np.int64)
+                    ).max()
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        width,
+                        height,
+                        qp,
+                        int(modes.size),
+                        int((modes == vert).sum()),
+                        int((modes == hor).sum()),
+                        int((modes == dc).sum()),
+                        int(recon.astype(np.int64).sum()),
+                        bool(err == 0),
+                        bool(err <= tol),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "qp", "n_blocks",
+                    "n_mode0", "n_mode1", "n_mode2", "pixel_sum",
+                    "recon_exact", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_avc_blob(docs).mapInPandas(op, AVC_SCHEMA)

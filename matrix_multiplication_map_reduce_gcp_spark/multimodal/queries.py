@@ -1167,3 +1167,90 @@ def multimodal_psycho_audio(spark, sf_dir):
         "within_tolerance",
         "snr_ok",
     )
+
+
+@query(
+    "multimodal_avc_intra",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text, length(text) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, length(text), 1)) AS bl
+      FROM documents),
+    geo AS (
+      SELECT doc_id, text, n,
+             32 + 16 * (b0 % 2) AS width,
+             32 + 16 * (bl % 2) AS height,
+             (b0 * 7 + bl) % 12 AS qp
+      FROM params),
+    stripes AS (
+      SELECT doc_id,
+             (ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) * 131
+              + r.i * 7919) % 256 AS v
+      FROM geo, UNNEST(range(0, width // 4)) AS r(i))
+    SELECT g.doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(qp AS INT) AS qp,
+           CAST((width // 4) * (height // 4) AS INT) AS n_blocks,
+           CAST((width // 4) * (height // 4 - 1) AS INT) AS n_mode0,
+           CAST(width // 4 - 1 AS INT) AS n_mode1,
+           CAST(1 AS INT) AS n_mode2,
+           CAST(height * 4 * SUM(v) AS BIGINT) AS pixel_sum,
+           TRUE AS recon_exact,
+           TRUE AS within_tolerance
+    FROM geo g JOIN stripes s ON g.doc_id = s.doc_id
+    GROUP BY g.doc_id, width, height, qp
+    """,
+)
+def multimodal_avc_intra(spark, sf_dir):
+    """The H.264-TOOLING rung — crosses the ladder's last named codec
+    surface ("exact ISO tables / H.264-specific tooling"): a
+    simplified AVC-style INTRA still-image codec (multimodal/avc.py,
+    "AVC1") built from the H.264-specific tools with the spec's exact
+    arithmetic — the 4x4 INTEGER core transform (forward Cf and the
+    inverse butterflies with (c>>1) half values + (x+32)>>6, the
+    zero-drift construction), the EXACT quantization LUTs (MF/V
+    multiplication and rescale factor tables indexed by qP%6 and
+    coefficient-position class, intra offset f = 2^qbits/3, dequant
+    W' = Z*V*2^(qP//6)), Intra_4x4 directional PREDICTION (modes
+    VERT/HOR/DC/DDL/DDR per 8.3.1.2, incl. the DDL corner case and
+    the replicate-top-right substitution), and the spec's MODE
+    PREDICTION chain (predMode = Min(modeA, modeB), 1-bit prev flag +
+    3-bit rem). Modes 5-8 and CAVLC are the documented omissions
+    (residuals ride H.264's own 9.1 Exp-Golomb machinery). Closed
+    loop: mode decision and prediction read RECONSTRUCTED neighbors,
+    ties to the lowest mode index.
+
+    The corpus blobs are 4-px vertical stripes, so every 4x4 block is
+    CONSTANT — and constant residuals round-trip EXACTLY through the
+    integer transform/quant pipeline at qp <= 11 (exhaustively pinned
+    in pytest over every (qp, level) pair), which makes the ENTIRE
+    decode SQL-exact: the mode field is forced (DC once, HOR across
+    block-row 0 via the equal-SAD lowest-index tie, VERT everywhere
+    below via the SAD-0 exact predictor), pixel_sum is height * 4 *
+    sum(stripe values), recon_exact certifies bit-exactness — all
+    enforced at generation (ADVICE r10 discipline). qp spans both
+    qP//6 shift banks and every qP%6 LUT column across the corpus. A
+    misparsed MPM bit, a wrong LUT cell, a swapped butterfly, or a
+    prediction-equation typo reds the driver hash. Same Arrow-batched
+    two-stage mapInPandas + one deliberate round-robin Exchange shape
+    as the other CPU-bound rungs; map-only at 100 TB — no shuffle,
+    parallelism = input splits."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_avc_intra
+
+    out = decode_avc_intra(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("qp").cast("int").alias("qp"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_mode0").cast("int").alias("n_mode0"),
+        F.col("n_mode1").cast("int").alias("n_mode1"),
+        F.col("n_mode2").cast("int").alias("n_mode2"),
+        "pixel_sum",
+        "recon_exact",
+        "within_tolerance",
+    )

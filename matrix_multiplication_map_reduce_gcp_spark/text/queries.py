@@ -864,3 +864,111 @@ def lm_bigram_quality_scores(spark, sf_dir):
         .otherwise("drop")
         .alias("verdict"),
     )
+
+
+def _bpe_pairs(words):
+    """Adjacent symbol pairs of every word (length >= 2 guard: Spark's
+    sequence(1, 0) would be DESCENDING, not empty like DuckDB's
+    half-open range)."""
+    return words.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1),"
+                " i -> substring(t, i, 2))"
+            )
+        ).alias("pair")
+    )
+
+
+@query(
+    "bpe_train_merges",
+    oracle="""
+    WITH w0 AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    p1 AS (
+      SELECT substr(t, CAST(r.i AS INT), 2) AS pair
+      FROM w0, UNNEST(range(1, length(t))) AS r(i)),
+    c1 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p1 GROUP BY 1),
+    m1 AS (SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1),
+    w1 AS (SELECT replace(t, (SELECT pair FROM m1), chr(1)) AS t FROM w0),
+    p2 AS (
+      SELECT substr(t, CAST(r.i AS INT), 2) AS pair
+      FROM w1, UNNEST(range(1, length(t))) AS r(i)),
+    c2 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p2 GROUP BY 1),
+    m2 AS (SELECT pair, n FROM c2 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(t, (SELECT pair FROM m2), chr(2)) AS t FROM w1),
+    p3 AS (
+      SELECT substr(t, CAST(r.i AS INT), 2) AS pair
+      FROM w2, UNNEST(range(1, length(t))) AS r(i)),
+    c3 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p3 GROUP BY 1),
+    m3 AS (SELECT pair, n FROM c3 ORDER BY n DESC, pair LIMIT 1),
+    w3 AS (SELECT replace(t, (SELECT pair FROM m3), chr(3)) AS t FROM w2)
+    SELECT CAST(1 AS INT) AS merge_rank,
+           ascii(substr(pair, 1, 1)) AS left_code,
+           ascii(substr(pair, 2, 1)) AS right_code,
+           n AS pair_count,
+           (SELECT CAST(SUM(length(t)) AS BIGINT) FROM w1) AS tokens_after
+    FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INT), ascii(substr(pair, 1, 1)),
+           ascii(substr(pair, 2, 1)), n,
+           (SELECT CAST(SUM(length(t)) AS BIGINT) FROM w2)
+    FROM m2
+    UNION ALL
+    SELECT CAST(3 AS INT), ascii(substr(pair, 1, 1)),
+           ascii(substr(pair, 2, 1)), n,
+           (SELECT CAST(SUM(length(t)) AS BIGINT) FROM w3)
+    FROM m3
+    """,
+)
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, not just the first counting step
+    (`bpe_first_merges` ranks candidates; this LEARNS): three full
+    merge iterations of the Sennrich et al. algorithm over the word
+    corpus — count adjacent symbol pairs, pick the argmax with the
+    deterministic (count DESC, pair ASC) tie-break, APPLY the merge
+    (leftmost non-overlapping, exactly both engines' `replace`
+    semantics on the 1-char-per-symbol string encoding: merged
+    symbols become the fresh sentinel chars \\x01/\\x02/\\x03, which
+    the ASCII corpus can never contain), then re-count on the REWRITTEN
+    corpus so later merges see earlier ones — including merges INTO
+    merged symbols (a round-2 winner may contain \\x01). Emits one row
+    per learned merge: the pair's symbol codes, its count at selection
+    time, and the corpus token count after applying it (which differs
+    from count_before - pair_count exactly when occurrences overlap —
+    'aaa' counts 'aa' twice but merges once; both engines agree
+    because the rewrite, not subtraction, defines it).
+
+    Scale shape: each iteration is one explode (map-side, output
+    bounded by corpus symbols), one partial-aggregated groupBy whose
+    key space is <= |alphabet|^2 regardless of corpus size, a 1-row
+    TakeOrderedAndProject winner that joins back as a BROADCAST (the
+    selection never leaves the plan — no collect), and a map-only
+    rewrite. At 100 TB you checkpoint the rewritten corpus between
+    iterations instead of replaying lineage; the shuffles stay
+    alphabet-bounded at any data volume — the reason distributed BPE
+    training works at crawl scale."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select(F.explode(tokens()).alias("t"))
+    out = None
+    for k in (1, 2, 3):
+        counted = _bpe_pairs(cur).groupBy("pair").agg(
+            F.count("*").alias("n")
+        )
+        winner = counted.orderBy(F.desc("n"), "pair").limit(1)
+        applied = cur.crossJoin(F.broadcast(winner)).select(
+            F.replace(F.col("t"), F.col("pair"), F.lit(chr(k))).alias("t")
+        )
+        stats = applied.agg(
+            F.sum(F.length("t")).cast("bigint").alias("tokens_after")
+        )
+        row = winner.crossJoin(F.broadcast(stats)).select(
+            F.lit(k).cast("int").alias("merge_rank"),
+            F.ascii(F.substring("pair", 1, 1)).alias("left_code"),
+            F.ascii(F.substring("pair", 2, 1)).alias("right_code"),
+            F.col("n").alias("pair_count"),
+            "tokens_after",
+        )
+        out = row if out is None else out.unionAll(row)
+        cur = applied
+    return out

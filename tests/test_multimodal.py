@@ -2128,3 +2128,234 @@ def test_mau2_blobs_decode_on_spark(spark):
     for r in rows:
         assert r.within_tolerance and r.snr_ok, r.doc_id
         assert r.n_frames == -(-r.n_samples // 128) + 1
+
+
+# ---------------------------------------------------------------- AVC1
+
+
+def test_avc_quant_luts_and_constant_exactness():
+    """The exact H.264 quantization tables, pinned two ways: (a) spot
+    values of MF/V against the spec's published numbers, (b) the
+    exhaustive constant-residual exactness the stripe corpus leans on
+    — EVERY (qp 0..11, level -255..255) constant 4x4 block round-trips
+    through transform+quant+dequant+inverse EXACTLY (the dequant
+    granularity V00 * 2^(qp//6) stays <= 36 < 64, so the (x+32)>>6
+    rounding always recovers the level)."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        MF, V, dequant_inverse_transform, forward_transform_quant,
+    )
+
+    # spec spot values: qP%6 rows x position classes
+    assert MF[0][0, 0] == 13107 and MF[0][1, 1] == 5243 and MF[0][0, 1] == 8066
+    assert MF[4][0, 0] == 8192 and MF[5][3, 3] == 2893
+    assert V[0][0, 0] == 10 and V[0][1, 1] == 16 and V[0][2, 1] == 13
+    assert V[3][1, 3] == 23 and V[5][0, 2] == 18
+    for qp in range(12):
+        for r in range(-255, 256):
+            res = np.full((4, 4), r, dtype=np.int64)
+            z = forward_transform_quant(res, qp)
+            assert (z.ravel()[1:] == 0).all()  # constant -> DC only
+            rec = dequant_inverse_transform(z, qp)
+            assert (rec == r).all(), (qp, r, rec[0, 0])
+
+
+def test_avc_transform_hand_pin():
+    """Hand-derived pin through the integer pipeline at qp=0: a
+    constant-16 residual has W = Cf X Cf^T = 256 at DC (row sums of Cf
+    are 4 -> 16*4*4), Z = (256*13107 + 10922) >> 15 = 102, dequant
+    W' = 102*10 = 1020, and the DC-only inverse butterflies emit
+    (1020 + 32) >> 6 = 16 at every pixel."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        dequant_inverse_transform, forward_transform_quant,
+    )
+
+    z = forward_transform_quant(np.full((4, 4), 16, dtype=np.int64), 0)
+    assert z[0, 0] == 102 and (z.ravel()[1:] == 0).all()
+    rec = dequant_inverse_transform(z, 0)
+    assert (rec == 16).all()
+
+
+def test_avc_intra_prediction_hand_pins():
+    """Hand-derived Intra_4x4 prediction samples (8.3.1.2): DDL
+    interior + corner cases, the replicate-A[3] top-right
+    substitution, DDR on all three diagonals, and the DC availability
+    fallbacks."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        DC, DDL, DDR, HOR, VERT, predict_4x4,
+    )
+
+    top = np.array([10, 20, 30, 40], dtype=np.int64)
+    left = np.array([15, 25, 35, 45], dtype=np.int64)
+    tr = np.array([50, 60, 70, 80], dtype=np.int64)
+
+    p = predict_4x4(VERT, top, None, None, None)
+    assert (p == np.tile(top, (4, 1))).all()
+    p = predict_4x4(HOR, None, left, None, None)
+    assert (p == np.tile(left[:, None], (1, 4))).all()
+
+    p = predict_4x4(DDL, top, None, None, tr)
+    assert p[0, 0] == (10 + 2 * 20 + 30 + 2) >> 2 == 20
+    assert p[1, 2] == (40 + 2 * 50 + 60 + 2) >> 2 == 50
+    assert p[3, 3] == (70 + 3 * 80 + 2) >> 2 == 78
+    # top-right unavailable: replicate A[3]
+    p = predict_4x4(DDL, top, None, None, None)
+    assert p[3, 3] == 40 and p[0, 3] == (40 + 2 * 40 + 40 + 2) >> 2 == 40
+
+    p = predict_4x4(DDR, top, left, 5, None)
+    assert p[0, 0] == (10 + 2 * 5 + 15 + 2) >> 2 == 9  # main diagonal
+    assert p[0, 1] == (5 + 2 * 10 + 20 + 2) >> 2 == 11
+    assert p[0, 3] == (20 + 2 * 30 + 40 + 2) >> 2 == 30
+    assert p[1, 0] == (5 + 2 * 15 + 25 + 2) >> 2 == 15
+    assert p[3, 0] == (25 + 2 * 35 + 45 + 2) >> 2 == 35
+
+    assert (predict_4x4(DC, top, left, None, None) == (100 + 120 + 4) >> 3).all()
+    assert (predict_4x4(DC, top, None, None, None) == (100 + 2) >> 2).all()
+    assert (predict_4x4(DC, None, left, None, None) == (120 + 2) >> 2).all()
+    assert (predict_4x4(DC, None, None, None, None) == 128).all()
+
+
+def test_avc_mode_coding_and_exp_golomb_hand_pins():
+    """Bit-exact pins of the spec's mode-prediction syntax (1-bit prev
+    flag + 3-bit rem with the skip-predMode renumbering) and of
+    ue(v)/codeword structure."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        _code_mode, _decode_mode, ue_decode, ue_encode,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.mpeg import (
+        _BitReader, _BitWriter,
+    )
+
+    # ue(v) codewords: 0 -> '1', 1 -> '010', 4 -> '00101'
+    bw = _BitWriter()
+    for v in (0, 1, 4):
+        ue_encode(bw, v)
+    data = bw.flush()
+    assert data[0] == 0b10100010 and (data[1] >> 7) == 1
+    br = _BitReader(data)
+    assert [ue_decode(br) for _ in range(3)] == [0, 1, 4]
+
+    # mode == predMode -> single '1' bit
+    bw = _BitWriter()
+    _code_mode(bw, 2, 2)
+    assert bw.flush() == bytes([0b11111111])  # 1 + all-ones pad
+    # mode 0, predMode 2 -> '0' + rem '000'
+    bw = _BitWriter()
+    _code_mode(bw, 0, 2)
+    assert bw.flush() == bytes([0b00001111])
+    # mode 3, predMode 2 -> rem = 3 - 1 = 2 -> '0' + '010'
+    bw = _BitWriter()
+    _code_mode(bw, 3, 2)
+    assert bw.flush() == bytes([0b00101111])
+    # decode renumbering: rem < pred stays, rem >= pred shifts by one
+    for pred in range(5):
+        for mode in range(5):
+            bw = _BitWriter()
+            _code_mode(bw, mode, pred)
+            assert _decode_mode(_BitReader(bw.flush()), pred) == mode
+
+
+def test_avc_roundtrip_general_content():
+    """Arbitrary 8-bit planes: decoder output is bit-identical to the
+    encoder's closed loop, reconstruction error stays within AVC_TOL
+    at every profile qp, and encoding is deterministic."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        AVC_TOL, avc_decode, avc_encode, avc_encode_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    for qp in (0, 5, 7, 11):
+        img = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+        blob, modes, recon = avc_encode_stats(36, 24, qp, img.tobytes())
+        assert blob == avc_encode(36, 24, qp, img.tobytes())
+        w, h, q, dec, dmodes = avc_decode(blob)
+        assert (w, h, q) == (36, 24, qp)
+        assert (dec == recon).all() and (dmodes == modes).all()
+        err = int(np.abs(dec.astype(int) - img.astype(int)).max())
+        assert err <= AVC_TOL, (qp, err)
+
+
+def test_avc_stripe_corpus_contract():
+    """The designed 4-px stripe family: forced mode field (one DC,
+    HOR across block-row 0, VERT below) and EXACT reconstruction at
+    every profile qp — the property the SQL oracle's n_mode0/1/2 and
+    pixel_sum columns encode."""
+    import numpy as np
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        DC, HOR, VERT, avc_encode_stats,
+    )
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        _avc_stripe_plane,
+    )
+
+    bb = np.frombuffer(b"The quick brown fox.", dtype=np.uint8).astype(
+        np.int64
+    )
+    for qp in range(12):
+        img, v = _avc_stripe_plane(bb, len(bb), 48, 32)
+        blob, modes, recon = avc_encode_stats(48, 32, qp, img.tobytes())
+        assert modes[0, 0] == DC
+        assert (modes[0, 1:] == HOR).all()
+        assert (modes[1:, :] == VERT).all()
+        assert (recon == img).all()
+        assert int(recon.astype(np.int64).sum()) == 32 * 4 * int(v.sum())
+
+
+def test_avc_rejects_corruption():
+    """Bad magic, truncation, out-of-profile qp, payload-length lies,
+    and mid-payload bit flips all raise — silent wrong output is not
+    in the envelope (flips that parse are caught by the from-spec
+    Adler-32 reconstruction trailer)."""
+    import numpy as np
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.avc import (
+        avc_decode, avc_encode,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    blob = avc_encode(16, 16, 6, img.tobytes())
+    with pytest.raises(ValueError):
+        avc_decode(b"XVC1" + blob[4:])
+    with pytest.raises(ValueError):
+        avc_decode(blob[:10])
+    with pytest.raises(ValueError):
+        avc_decode(blob[:4] + bytes([blob[4], blob[5], blob[6], blob[7], 99]) + blob[9:])
+    with pytest.raises(ValueError):
+        avc_decode(blob[:-1])
+    for off in (13, 14, 20, len(blob) - 5, len(blob) - 1):
+        bad = bytearray(blob)
+        bad[off] ^= 0x40
+        with pytest.raises(ValueError):
+            avc_decode(bytes(bad))
+
+
+def test_avc_blobs_decode_on_spark(spark):
+    """End-to-end through the Arrow seam at sf0.001: decoded mode
+    counts match the designed layout, the reconstruction is EXACT,
+    and pixel_sum matches the generation rule."""
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.blobs import (
+        decode_avc_intra,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = decode_avc_intra(d).collect()
+    assert rows
+    for r in rows:
+        nbx, nby = r.width // 4, r.height // 4
+        assert r.n_blocks == nbx * nby
+        assert r.n_mode0 == nbx * (nby - 1)
+        assert r.n_mode1 == nbx - 1
+        assert r.n_mode2 == 1
+        assert r.recon_exact and r.within_tolerance, r.doc_id
+        assert 0 <= r.qp <= 11

@@ -163,6 +163,11 @@ def test_media_decode_queries_are_map_only(spark):
     assert psy.count("Exchange") == 1, "psycho audio: one deliberate repartition"
     assert "RoundRobinPartitioning" in psy
     assert "MapInPandas" in psy
+    # AVC1 intra rung (r11 wave 4): same shape.
+    avc = executed_plan(Q["multimodal_avc_intra"].fn(spark, SF_SMOKE))
+    assert avc.count("Exchange") == 1, "avc intra: one deliberate repartition"
+    assert "RoundRobinPartitioning" in avc
+    assert "MapInPandas" in avc
     dup = executed_plan(Q["multimodal_frame_dup_groups"].fn(spark, SF_SMOKE))
     assert dup.count("Exchange") <= 2, "frame dedup: one groupBy shuffle only (+AQE read)"
     assert "MapInPandas" in dup
@@ -490,3 +495,16 @@ def test_mrl_recall_broadcasts_queries_single_corpus_scan(spark):
     # both scans read embeddings; exactly two scans total (query set +
     # corpus side of the single crossJoin), never four
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
+def test_bpe_trainer_stays_jvm_and_broadcasts_winners(spark):
+    """The 3-round BPE trainer: winner selection is a 1-row
+    TakeOrderedAndProject that rejoins as a BROADCAST (never a
+    collect, never a CartesianProduct of corpus rows), the pair
+    aggregation is a plain alphabet^2-bounded hash shuffle, and the
+    whole plan stays JVM-side (no Python evaluators)."""
+    plan = executed_plan(Q["bpe_train_merges"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row winner rejoin
+    assert "Python" not in plan

@@ -130,3 +130,62 @@ def test_scd2_ranges_partition_each_user_timeline(spark):
             assert a.valid_to == b.valid_from, f"gap/overlap for user {uid}"
         for a, b in zip(hist, hist[1:]):
             assert a.event_type != b.event_type, "uncollapsed adjacent runs"
+
+
+def test_bpe_train_merges_matches_reference_trainer(spark):
+    """The 3-round distributed BPE trainer equals a pure-Python
+    reference implementation of Sennrich-style training on a
+    constructed corpus that exercises every subtlety: overlapping
+    occurrences ('aaaa' counts 'aa' 3x but rewrites to \\x01\\x01),
+    a merge INTO a merged symbol in a later round, and the
+    (count DESC, pair ASC) tie-break."""
+    from collections import Counter
+
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    docs = [
+        "aaaa aaaa banana banana bandana",
+        "aaaa banana anan anan anan",
+    ]
+
+    def reference(texts, rounds=3):
+        words = [w for t in texts for w in t.split(" ")]
+        out = []
+        for k in (1, 2, 3)[:rounds]:
+            cnt = Counter()
+            for w in words:
+                for i in range(len(w) - 1):
+                    cnt[w[i : i + 2]] += 1
+            pair, n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            words = [w.replace(pair, chr(k)) for w in words]
+            out.append(
+                (k, ord(pair[0]), ord(pair[1]), n,
+                 sum(len(w) for w in words))
+            )
+        return out
+
+    expected = reference(docs)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_bpe_docs")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = sorted(
+            (
+                (r.merge_rank, r.left_code, r.right_code, r.pair_count,
+                 r.tokens_after)
+                for r in registry.load_all()["bpe_train_merges"]
+                .fn(spark, tmp)
+                .collect()
+            )
+        )
+    assert got == expected, (got, expected)
+    # the constructed corpus really exercises the subtleties:
+    # round-1 winner 'an' (count 8 incl. overlapping 'anan' runs),
+    # and a later round merges a pair containing a sentinel symbol
+    assert expected[0][1:3] == (ord("a"), ord("n"))
+    assert any(
+        left < 4 or right < 4 for _, left, right, _, _ in expected
+    ), "no merge into a merged symbol — corpus lost its point"
