@@ -136,6 +136,10 @@ HEADLINE = [
     # count→argmax→rewrite merge iterations; alphabet^2-bounded
     # shuffles, broadcast 1-row winners, map-only rewrites.
     "bpe_train_merges",
+    # r11 wave 6: the OPTIMIZE-ZORDER planning pass — Morton-bucket
+    # zone maps for both predicate dimensions vs single-column sort;
+    # pure-codegen bit arithmetic + a 64-key map-side-combine shuffle.
+    "zorder_layout_plan",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

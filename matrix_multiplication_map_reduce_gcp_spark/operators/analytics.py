@@ -753,3 +753,116 @@ def table_expectations_orders(spark, sf_dir):
         "n_violations",
         F.when(F.col("n_violations") == 0, "pass").otherwise("fail").alias("verdict"),
     )
+
+
+# Z-order (Morton) interleave of two 8-bit keys as a DuckDB SQL
+# expression — built once so the oracle text and the docstring agree
+# on the exact bit layout (k1 occupies the ODD bit positions).
+_MORTON_SQL = " + ".join(
+    f"((({{k1}} >> {i}) & 1) << {2 * i + 1})"
+    f" + ((({{k2}} >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+def _morton_col(k1, k2):
+    """The same interleave as _MORTON_SQL, as JVM-side Column
+    arithmetic (shiftright/shiftleft + bitwiseAND — no UDF)."""
+    out = F.lit(0)
+    for i in range(8):
+        out = out + F.shiftleft(
+            F.shiftright(k1, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(
+            F.shiftright(k2, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+    return out
+
+
+@query(
+    "zorder_layout_plan",
+    oracle=f"""
+    WITH keys AS (
+      SELECT (o_custkey % 256) AS k1,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS INT) % 256 AS k2
+      FROM orders),
+    z AS (
+      SELECT k1, k2,
+             ({_MORTON_SQL.format(k1="k1", k2="k2")}) AS morton
+      FROM keys),
+    both_layouts AS (
+      SELECT 'zorder' AS layout, morton >> 10 AS bucket, k1, k2 FROM z
+      UNION ALL
+      SELECT 'datesort' AS layout, k2 >> 2 AS bucket, k1, k2 FROM z)
+    SELECT layout,
+           CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k1) AS INT) AS min_cust,
+           CAST(MAX(k1) AS INT) AS max_cust,
+           CAST(MIN(k2) AS INT) AS min_day,
+           CAST(MAX(k2) AS INT) AS max_day,
+           CAST(MAX(k1) - MIN(k1) + 1 AS INT) AS cust_span,
+           CAST(MAX(k2) - MIN(k2) + 1 AS INT) AS day_span
+    FROM both_layouts
+    GROUP BY layout, bucket
+    """,
+)
+def zorder_layout_plan(spark, sf_dir):
+    """Multi-dimensional clustering layout planning — the OPTIMIZE
+    ZORDER BY pass of a lakehouse table: interleave the bits of two
+    query-predicate keys (customer, order day — each folded to 8
+    bits) into a 16-bit Morton code, assign rows to 64 output buckets
+    by Morton RANGE, and emit each bucket's per-column zone map
+    (min/max of BOTH dimensions) next to the same audit for the
+    single-column date-sorted layout. The point the numbers make: a
+    Morton bucket of 1024 codes covers a 32x32 cell of the key grid,
+    so BOTH columns' spans stay bounded (~32/256) and min/max file
+    skipping prunes on either predicate — while the date-sorted
+    layout gives day_span ~4 but cust_span ~256, so customer
+    predicates scan every file. This is the planning artifact: the
+    bucket stats ARE the zone maps a writer would persist. It
+    completes the layout trilogy: `zorder_morton_keys` emits the
+    per-row clustering key, `zone_map_pruning_audit` measures an
+    EXISTING layout's skipping, and this query PLANS the z-ordered
+    layout — per-bucket zone maps plus the quantified case against
+    single-column sort (write_partition_plan's sibling for the
+    multi-predicate case).
+
+    Engine shape: the Morton code is pure JVM bit arithmetic
+    (shiftleft/shiftright/AND — no UDF, stays in whole-stage
+    codegen); one partial-aggregated groupBy per layout, key space
+    bounded at 64 buckets regardless of table size; at 100 TB this is
+    the same map-side-combine-then-tiny-shuffle class as
+    write_partition_plan, and the Morton expression doubles as the
+    repartitionByRange key for actually WRITING the layout."""
+    o = load_table(spark, sf_dir, "orders")
+    k1 = (F.col("o_custkey") % 256).cast("int")
+    k2 = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        % 256
+    ).cast("int")
+    keys = o.select(k1.alias("k1"), k2.alias("k2"))
+    z = keys.withColumn("morton", _morton_col(F.col("k1"), F.col("k2")))
+    zorder = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("morton", 10).cast("int").alias("bucket"),
+        "k1", "k2",
+    )
+    datesort = z.select(
+        F.lit("datesort").alias("layout"),
+        F.shiftright("k2", 2).cast("int").alias("bucket"),
+        "k1", "k2",
+    )
+    return (
+        zorder.unionAll(datesort)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("k1").cast("int").alias("min_cust"),
+            F.max("k1").cast("int").alias("max_cust"),
+            F.min("k2").cast("int").alias("min_day"),
+            F.max("k2").cast("int").alias("max_day"),
+            (F.max("k1") - F.min("k1") + 1).cast("int").alias("cust_span"),
+            (F.max("k2") - F.min("k2") + 1).cast("int").alias("day_span"),
+        )
+    )

@@ -508,3 +508,16 @@ def test_bpe_trainer_stays_jvm_and_broadcasts_winners(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row winner rejoin
     assert "Python" not in plan
+
+
+def test_zorder_plan_is_codegen_single_shuffle(spark):
+    """The Morton interleave must be pure JVM bit arithmetic (no
+    Python evaluators, inside whole-stage codegen) and the bucket
+    stats one partial-aggregated hash shuffle over the 64-bucket key
+    space — the map-side-combine class that survives any table size."""
+    df = Q["zorder_layout_plan"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2  # one per unioned layout branch
+    assert whole_stage_codegen_spans(df) >= 1

@@ -155,3 +155,45 @@ def test_sn_neighbors_bounds_and_locality(spark):
         for pos, rid in enumerate(ids):
             expect = ids[pos + 1 : pos + 4]
             assert sorted(per_row.get((blk, rid), [])) == sorted(expect)
+
+
+def test_zorder_buckets_bound_both_spans(spark):
+    """The property the Morton layout exists for: every z-order bucket
+    covers a bounded cell of the (customer, day) grid — BOTH spans
+    <= 64 of 256 (a 1024-code Morton range is a 32x32 cell; partial
+    buckets can only shrink it, bucket-boundary straddles at most
+    double it) — while the date-sorted layout keeps day_span tiny but
+    lets cust_span blow up to ~the full key range on populated
+    buckets. Also pins the Morton bit layout itself on hand values:
+    interleave(k1=0b11, k2=0b01) = 0b1011 = 11."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from matrix_multiplication_map_reduce_gcp_spark.operators.analytics import (
+        _MORTON_SQL,
+    )
+    import duckdb
+
+    assert (
+        duckdb.sql(
+            f"SELECT {_MORTON_SQL.format(k1='3', k2='1')}"
+        ).fetchone()[0]
+        == 11
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    rows = (
+        registry.load_all()["zorder_layout_plan"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+    )
+    z = [r for r in rows if r.layout == "zorder"]
+    d = [r for r in rows if r.layout == "datesort"]
+    assert z and d
+    for r in z:
+        assert 0 <= r.bucket < 64
+        assert r.cust_span <= 64 and r.day_span <= 64, r
+    assert all(r.day_span <= 8 for r in d)  # 4-code buckets, straddle x2
+    # single-column sort sacrifices the other dimension:
+    assert max(r.cust_span for r in d) > 128
+    # both layouts partition the same rows
+    assert sum(r.n_rows for r in z) == sum(r.n_rows for r in d)
