@@ -216,6 +216,30 @@ SHOWCASE = [
         "contract; the masking model is O(bands^2) per frame, constant "
         "per doc — map-only at 100 TB.",
     ),
+    (
+        "multimodal_avc_intra",
+        "H.264-tooling rung (r11 wave 4, AVC1: Intra_4x4 directional "
+        "prediction + the exact integer transform and MF/V quant LUTs "
+        "+ MPM mode coding): same single-RoundRobin Arrow-batched "
+        "MapInPandas codec contract — map-only at 100 TB.",
+    ),
+    (
+        "bpe_train_merges",
+        "Distributed BPE tokenizer training (r11 wave 5): three "
+        "count->argmax->rewrite iterations in ONE plan — each winner "
+        "is a 1-row TakeOrderedAndProject rejoined as a broadcast "
+        "(BroadcastNestedLoopJoin, never a collect), pair-count "
+        "shuffles are alphabet^2-bounded, rewrites are map-only; at "
+        "100 TB you checkpoint the rewritten corpus between rounds "
+        "and the shuffles stay constant-size.",
+    ),
+    (
+        "zorder_layout_plan",
+        "OPTIMIZE-ZORDER planning pass (r11 wave 6): Morton interleave "
+        "as pure codegen bit arithmetic on the scan, one 64-bucket "
+        "map-side-combine shuffle per layout branch — zone-map stats "
+        "at scan bandwidth for any table size.",
+    ),
 ]
 
 
