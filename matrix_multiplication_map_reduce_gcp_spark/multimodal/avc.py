@@ -15,9 +15,11 @@ exists for the engine's multimodal north star. What is spec-exact here
   (x + 32) >> 6 rounding — bit-exact integer arithmetic, no floats,
   the property that makes H.264 the first standard with zero
   inverse-transform drift between encoder and decoder.
-* The EXACT quantization LUTs: the multiplication factors MF (forward,
-  table 8-xx class {13107..7282}/{5243..2893}/{8066..4559}) and
-  rescale factors V (inverse, {10..18}/{16..29}/{13..23}) indexed by
+* The EXACT quantization LUTs: the multiplication factors MF (forward
+  quant — the standard's derived multiplier set, classes
+  {13107..7282}/{5243..2893}/{8066..4559}) and the spec's rescale
+  factors V (inverse, 8.5.9 LevelScale values
+  {10..18}/{16..29}/{13..23}) indexed by
   qP % 6 and coefficient-position class (a: (0,0),(0,2),(2,0),(2,2);
   b: (1,1),(1,3),(3,1),(3,3); c: the rest), with the intra rounding
   offset f = 2^qbits / 3, qbits = 15 + qP//6, and dequant
