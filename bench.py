@@ -140,6 +140,12 @@ HEADLINE = [
     # zone maps for both predicate dimensions vs single-column sort;
     # pure-codegen bit arithmetic + a 64-key map-side-combine shuffle.
     "zorder_layout_plan",
+    # r11 wave 7: one Strassen level over the flagship product — the
+    # Strassen tensor as a tagged replication flatMap: all seven
+    # half-size products in ONE broadcast join-agg (the
+    # communication-avoiding matmul trade), bit-equal to the direct
+    # product on the integer-valued fixtures.
+    "matmul_strassen",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing
@@ -668,11 +674,15 @@ def main() -> None:
 
     # Compact-line dieting (r11): the headline grew to 58 queries and
     # the worst-case projection (999.99 s values) crossed the 1900-char
-    # budget of the driver's 2000-char tail window. The compact line
-    # keeps ONLY the driver contract (metric/value/unit/queries/sf)
-    # plus n_queries and a basename pointer; value_with_excluded,
+    # budget of the driver's 2000-char tail window. Second diet at 62
+    # queries (wave 7): n_queries (derivable: len(queries)) and the
+    # full_record pointer (a FIXED convention —
+    # bench_artifacts/bench_full_<mode>_sf<sf>.json; run_heavy_scale
+    # and the contract tests resolve it by convention) left the line
+    # too. The compact line is now EXACTLY the driver contract
+    # (metric/value/unit/queries/sf); value_with_excluded,
     # excluded_from_value, canaries, repetitions and 3-dp timings all
-    # live in the full_record artifact. Query values round to 1 dp —
+    # live in the full-record artifact. Query values round to 1 dp —
     # the compact record is the cross-round headline ledger, not the
     # adjudication evidence.
     compact = {
@@ -681,8 +691,6 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
-        "n_queries": len(timings),
-        "full_record": os.path.basename(full_out),
     }
     if errors:
         compact["partial"] = True

@@ -313,3 +313,138 @@ def matrixgen_source_stats(spark, sf_dir):
         ),
         F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
     )
+
+
+def _quadrant(m: CooMatrix, r0: int, c0: int, h: int, w: int) -> CooMatrix:
+    """Zero-based (h, w) quadrant of ``m`` at offset (r0, c0)."""
+    q = (
+        m.with_names("i", "j").df
+        .filter(
+            (F.col("i") >= r0) & (F.col("i") < r0 + h)
+            & (F.col("j") >= c0) & (F.col("j") < c0 + w)
+        )
+        .select(
+            (F.col("i") - r0).alias("i"), (F.col("j") - c0).alias("j"), "v"
+        )
+    )
+    return CooMatrix(q, h, w)
+
+
+def _shifted(m: CooMatrix, r0: int, c0: int):
+    return m.with_names("i", "j").df.select(
+        (F.col("i") + r0).alias("i"), (F.col("j") + c0).alias("j"), "v"
+    )
+
+
+@query(
+    "matmul_strassen",
+    oracle=f"""
+    WITH a AS ({sql_matrix_a()}), b AS ({sql_matrix_b()})
+    SELECT a.i AS i, b.j AS j, {_SQL_DOT} AS v
+    FROM a JOIN b ON a.j = b.i
+    GROUP BY 1, 2
+    """,
+)
+def matmul_strassen(spark, sf_dir):
+    """One level of STRASSEN's algorithm over the flagship product,
+    planned the Spark-first way: the Strassen tensor IS a replication
+    flatMap. Each A cell is tagged with the (term, sign) pairs of the
+    left factors it feeds — A11 -> {M1, M3, M5, -M6}, A22 ->
+    {M1, M2, M4, -M7}, ... — and each B cell with its right factors,
+    so ALL SEVEN half-size products run as ONE equi-join on
+    (term, shared-dim) + one hash aggregation; a second tagged explode
+    scatters M1..M7 into the C quadrants (C11 = M1+M4-M5+M7, C12 =
+    M3+M5, C21 = M2+M4, C22 = M1-M2+M3+M6) and one final groupBy
+    assembles C. Pre-aggregating the quadrant sums is unnecessary —
+    the product is bilinear, so the join multiplies raw tagged cells
+    and the aggregation distributes the sums.
+
+    Cost shape: two scans (operand derivation), a broadcast of the
+    ~4x-replicated A side (2400 cells x <= 4 tags), ONE shuffle for
+    the seven products' aggregation and one bounded shuffle for
+    assembly — versus the naive formulation's 7 separate products +
+    12 quadrant-add joins (measured 4.5 s vs ~1 s at sf0.1; lineage
+    replay of the operand scans dominated). At 100 TB the recursion
+    level trades an eighth of the multiply FLOPs and join volume for
+    the x7/4 replication map — the communication-avoiding matmul
+    trade, with the replication expressed exactly like the
+    reference's mapper (SURVEY O4) but carrying Strassen's signs.
+    The fixture matrices are integer-valued, so every reassociation/
+    cancellation is exact and the oracle demands bit equality with
+    the direct join-agg product; explicit 0.0 cells from Strassen
+    cancellations are filtered, which is sound because integer
+    arithmetic makes every true zero exactly 0.0 (pinned in
+    tests/test_matrix.py)."""
+    a = matrix_a(spark, sf_dir)
+    b = matrix_b(spark, sf_dir)
+    hr, hc, hk = a.n_rows // 2, a.n_cols // 2, b.n_cols // 2
+    left_tags = f"""
+      CASE
+        WHEN i < {hr} AND j < {hc} THEN
+          array(struct(1,1), struct(3,1), struct(5,1), struct(6,-1))
+        WHEN i < {hr} THEN array(struct(5,1), struct(7,1))
+        WHEN j < {hc} THEN array(struct(2,1), struct(6,1))
+        ELSE array(struct(1,1), struct(2,1), struct(4,1), struct(7,-1))
+      END
+    """
+    right_tags = f"""
+      CASE
+        WHEN i < {hc} AND j < {hk} THEN
+          array(struct(1,1), struct(2,1), struct(4,-1), struct(6,1))
+        WHEN i < {hc} THEN array(struct(3,1), struct(6,1))
+        WHEN j < {hk} THEN array(struct(4,1), struct(7,1))
+        ELSE array(struct(1,1), struct(3,-1), struct(5,1), struct(7,1))
+      END
+    """
+    lhs = (
+        a.with_names("i", "j").df
+        .select("i", "j", "v", F.explode(F.expr(left_tags)).alias("tag"))
+        .select(
+            F.col("tag.col1").alias("t"),
+            (F.col("i") % hr).alias("il"),
+            (F.col("j") % hc).alias("jl"),
+            (F.col("v") * F.col("tag.col2")).alias("va"),
+        )
+    )
+    rhs = (
+        b.with_names("i", "j").df
+        .select("i", "j", "v", F.explode(F.expr(right_tags)).alias("tag"))
+        .select(
+            F.col("tag.col1").alias("t"),
+            (F.col("i") % hc).alias("jl"),
+            (F.col("j") % hk).alias("kl"),
+            (F.col("v") * F.col("tag.col2")).alias("vb"),
+        )
+    )
+    products = (
+        F.broadcast(lhs)
+        .join(rhs, ["t", "jl"])
+        .groupBy("t", "il", "kl")
+        .agg(
+            F.sum(F.col("va").cast(_DEC) * F.col("vb").cast(_DEC))
+            .cast("double")
+            .alias("mv")
+        )
+    )
+    assemble_tags = """
+      CASE t
+        WHEN 1 THEN array(struct(0,0,1), struct(1,1,1))
+        WHEN 2 THEN array(struct(1,0,1), struct(1,1,-1))
+        WHEN 3 THEN array(struct(0,1,1), struct(1,1,1))
+        WHEN 4 THEN array(struct(0,0,1), struct(1,0,1))
+        WHEN 5 THEN array(struct(0,0,-1), struct(0,1,1))
+        WHEN 6 THEN array(struct(1,1,1))
+        ELSE array(struct(0,0,1))
+      END
+    """
+    out = (
+        products
+        .select("il", "kl", "mv", F.explode(F.expr(assemble_tags)).alias("q"))
+        .groupBy(
+            (F.col("il") + F.col("q.col1") * hr).alias("i"),
+            (F.col("kl") + F.col("q.col2") * hk).alias("j"),
+        )
+        .agg(F.sum(F.col("mv") * F.col("q.col3")).alias("v"))
+        .filter(F.col("v") != 0.0)
+    )
+    return out

@@ -98,6 +98,15 @@ PRIORITY_HINTS = (
     # Round-5 new capability, same-round-verify rule:
     "k_core_suppliers", "source_minhash_similarity", "epoch_shuffle_shards",
     "leakage_safe_split",
+    # Round-11 flagships (same-round-verify rule). matmul_strassen is
+    # deliberately UNLISTED: r11's must-go backlog (27 at-bound) makes
+    # 51 hard demands on 50 slots, so exactly one first-verify defers
+    # to r12 — the Strassen product is the right one to wait (it is
+    # bit-equal to the already-verified matmul by construction and
+    # quadruple-oracle-checked in the builder sweeps).
+    "multimodal_avc_intra", "bpe_train_merges", "zorder_layout_plan",
+    "multimodal_mpeg_motion", "multimodal_mdct_audio",
+    "multimodal_psycho_audio",
 )
 
 
@@ -206,51 +215,76 @@ def propose_window(
 
     hint_rank = {n: i for i, n in enumerate(PRIORITY_HINTS)}
     reg_rank = {n: i for i, n in enumerate(registered)}
+    latest = max(rounds) if rounds else 0
+    bound = max_staleness(len(registered))
+
+    def age_key(n):
+        lg = last_green.get(n, -1)
+        must = 0 if 0 < lg <= latest - bound else 1
+        return (must, lg, reg_rank[n])
+
+    # Demand tiers, hardest first (restructured in r11 wave 7, when 7
+    # never-green + 27 at-bound + matmul + 16 fully-green module
+    # anchors = 51 demands met 50 slots and the old fill order spent
+    # slots on first-verifies and anchors, dropping an at-bound
+    # query):
+    #  1. HARD — the staleness bound: a query whose RECORDED evidence
+    #     age reaches the bound must be scheduled THIS rotation. No
+    #     overflow channel exists, so must-go names claim slots first.
+    #  2. HARD while nothing defers — module anchors: every module
+    #     keeps a representative, so their slots are RESERVED before
+    #     the soft never-green fill spends them. (Modules with a
+    #     never-green member are already covered by the rep loop
+    #     above, so the reserved set is exactly the fully-green
+    #     modules with no must-go member.)
+    #  3. SOFT — first verification of never-green queries: fills the
+    #     remaining room; the tail defers (DEFERRED leads the next
+    #     rotation's fill, and the meta test waives fully-green
+    #     anchors only in that recorded state — the drain-horizon
+    #     test bounds how long a deferral can last).
+    #  4. Pad — re-verify greens stalest-evidence-first (VERDICT r6
+    #     #4); the age key's must-go tier keeps any bound-adjacent
+    #     query ahead of the TOUCHED fake-age-0 preference.
+    must_go = sorted(
+        (
+            n
+            for n in registered
+            if n not in window
+            and 0 < last_green.get(n, -1) <= latest - bound
+        ),
+        key=age_key,
+    )
+    for n in must_go:
+        if len(window) >= WINDOW:
+            break
+        window.append(n)
+
+    uncovered = [
+        mod
+        for mod in mod_order
+        if not any(modules[n] == mod for n in window)
+    ]
     fill = sorted(
         (n for n in never_green if n not in window),
         key=lambda n: (hint_rank.get(n, len(PRIORITY_HINTS)), reg_rank[n]),
     )
     deferred: list[str] = []
+    room = WINDOW - len(window) - len(uncovered)
     for n in fill:
-        if len(window) < WINDOW:
+        if room > 0:
             window.append(n)
+            room -= 1
         else:
             deferred.append(n)
-
-    # Backlog fits → restore fully-green module anchors, then pad the
-    # window with greens for re-verification, STALEST EVIDENCE FIRST
-    # (VERDICT r6 #4): a green row certifies the code as of its round,
-    # and 170/220 rows were ≥2 rounds old entering r7 while the code
-    # kept evolving. Age key = (must-go tier, last green round asc,
-    # registration order). The must-go tier (r11): a query whose
-    # RECORDED evidence age reaches the staleness bound must be
-    # scheduled THIS rotation — that is the hard invariant
-    # (tests/test_registry_window.py) — so it outranks even the
-    # TOUCHED fake-age-0 priority, which is a soft re-verification
-    # preference that can yield a slot for one round (observed r11:
-    # 27 at-bound + 5 touched + 2 never-green + 16 module anchors +
-    # matmul = 51 demands on 50 slots; without the tier the policy
-    # dropped an at-bound query instead of a freshly-green touched
-    # one). Module anchors use the same key, so the anchor slot
-    # itself refreshes the module's most urgent query.
-    if not deferred:
-        latest = max(rounds) if rounds else 0
-        bound = max_staleness(len(registered))
-
-        def age_key(n):
-            lg = last_green.get(n, -1)
-            must = 0 if 0 < lg <= latest - bound else 1
-            return (must, lg, reg_rank[n])
-        for mod in mod_order:
-            if len(window) >= WINDOW:
-                break
-            if not any(modules[n] == mod for n in window):
-                window.append(min(by_mod[mod], key=age_key))
-        for n in sorted(registered, key=age_key):
-            if len(window) >= WINDOW:
-                break
-            if n not in window:
-                window.append(n)
+    for mod in uncovered:
+        if len(window) >= WINDOW:
+            break
+        window.append(min(by_mod[mod], key=age_key))
+    for n in sorted(registered, key=age_key):
+        if len(window) >= WINDOW:
+            break
+        if n not in window:
+            window.append(n)
     return window, deferred
 
 

@@ -32,10 +32,11 @@ def run_heavy(sf_dir: str) -> dict:
                            f"{proc.stderr[-2000:]}")
     last = proc.stdout.strip().splitlines()[-1]
     rec = json.loads(last)
-    # full_record is a basename since the r11 compact-line diet; the
-    # artifact always lands in bench_artifacts/.
+    # Since the r11 wave-7 compact-line diet the line carries no
+    # full_record pointer at all — the artifact lands at the FIXED
+    # convention path bench_artifacts/bench_full_<mode>_sf<sf>.json.
     full_path = os.path.join(
-        REPO, "bench_artifacts", os.path.basename(rec["full_record"]))
+        REPO, "bench_artifacts", f"bench_full_heavy_sf{rec['sf']}.json")
     with open(full_path) as fh:
         full = json.load(fh)
     # merge the evidence columns the compact line elides

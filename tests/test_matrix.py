@@ -255,3 +255,57 @@ def test_block_size_int32_offset_guard(spark):
     m = CooMatrix(df, n, n)
     with pytest.raises(ValueError, match="int32 Arrow ListArray offsets"):
         block_multiply(m, m, block_size=46341)
+
+
+def test_strassen_equals_direct_product_and_numpy(spark):
+    """One Strassen level == np.dot on seeded integer matrices (even
+    dims), including a designed CANCELLATION: a fully zero output row
+    whose Strassen M-terms are individually nonzero must vanish from
+    the COO result (the explicit-0.0 filter), not surface as a zero
+    cell the direct product would never emit."""
+    from matrix_multiplication_map_reduce_gcp_spark.operators.matrix_queries import (
+        _quadrant, _shifted,
+    )
+
+    a = RNG.integers(-4, 5, size=(8, 6)).astype(float)
+    b = RNG.integers(-4, 5, size=(6, 10)).astype(float)
+    a[3, :] = 0.0  # row 3 of C is exactly zero...
+    A, B = to_coo(spark, a), to_coo(spark, b)
+    hr, hc, hk = 4, 3, 5
+    q = {
+        "a11": _quadrant(A, 0, 0, hr, hc), "a12": _quadrant(A, 0, hc, hr, hc),
+        "a21": _quadrant(A, hr, 0, hr, hc), "a22": _quadrant(A, hr, hc, hr, hc),
+        "b11": _quadrant(B, 0, 0, hc, hk), "b12": _quadrant(B, 0, hk, hc, hk),
+        "b21": _quadrant(B, hc, 0, hc, hk), "b22": _quadrant(B, hc, hk, hc, hk),
+    }
+    m1 = q["a11"].add(q["a22"]).multiply(q["b11"].add(q["b22"]))
+    m3 = q["a11"].multiply(q["b12"].add(q["b22"], beta=-1.0))
+    m4 = q["a22"].multiply(q["b21"].add(q["b11"], beta=-1.0))
+    m5 = q["a11"].add(q["a12"]).multiply(q["b22"])
+    m7 = q["a12"].add(q["a22"], beta=-1.0).multiply(q["b21"].add(q["b22"]))
+    c11 = m1.add(m4).add(m5, beta=-1.0).add(m7)
+    # ...but M1/M4/M5/M7 each carry nonzero cells in that row
+    got = {(r.i, r.j): r.v for r in c11.df.collect()}
+    expect = a[:hr, :] @ b[:, :hk]
+    # row 3 cells cancel to EXACT 0.0 (integer arithmetic)
+    assert all(got.get((3, j), 0.0) == 0.0 for j in range(hk))
+    for i in range(hr):
+        for j in range(hk):
+            assert got.get((i, j), 0.0) == expect[i, j]
+
+
+def test_strassen_registry_query_matches_direct(spark):
+    """The registered one-level Strassen product is cell-identical to
+    the direct join-agg flagship at the gate SF — same cells, same
+    bits, no explicit zeros."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    qs = registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    direct = {(r.i, r.j): r.v for r in qs["matmul"].fn(spark, sf).collect()}
+    strassen = {
+        (r.i, r.j): r.v
+        for r in qs["matmul_strassen"].fn(spark, sf).collect()
+    }
+    assert strassen == direct
+    assert all(v != 0.0 for v in strassen.values())

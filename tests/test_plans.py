@@ -521,3 +521,21 @@ def test_zorder_plan_is_codegen_single_shuffle(spark):
     assert "HashAggregate" in plan
     assert plan.count("Exchange") <= 2  # one per unioned layout branch
     assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_strassen_is_one_tagged_join(spark):
+    """The Strassen tensor rides ONE equi-join: both operands explode
+    into (term, sign)-tagged cells and all seven half-size products
+    aggregate out of a single broadcast hash join — never a cartesian,
+    never seven separate product joins (the naive formulation's 25
+    joins replayed the operand scans, 3x the wall). Exactly two scans
+    (one per operand derivation) and JVM-side generators."""
+    plan = executed_plan(Q["matmul_strassen"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # two tagged operand explodes + the C-assembly scatter
+    assert plan.count("Generate") == 3
+    assert plan.count("Scan parquet") == 2
+    assert "HashAggregate" in plan
+    assert "Python" not in plan

@@ -130,10 +130,14 @@ def test_rotation_prefers_stalest_evidence(monkeypatch):
     monkeypatch.setattr(rotate_window, "WINDOW", 4)
     win, deferred = rotate_window.propose_window(registered, modules, [6])
     assert deferred == []
-    # matmul pinned; mod_b's anchor must be its STALEST query (m2_old,
-    # age 1), not its first-registered (m2_new, age 6); the two fill
-    # slots take the oldest remaining greens in age order.
-    assert win == ["matmul", "m2_old", "q_old1", "q_old2"]
+    # matmul pinned; the three stale queries (last green rounds 1, 1,
+    # 2 — all <= latest(6) - bound(ceil(6/4)=2), i.e. past the
+    # staleness bound) claim their slots via the must-go pass in
+    # (age, registration) order; the fresher q_new1/m2_new never
+    # enter. mod_b is represented by its STALEST query (m2_old), not
+    # its first-registered (m2_new).
+    assert win == ["matmul", "q_old1", "m2_old", "q_old2"]
+    assert "m2_new" not in win and "q_new1" not in win
 
 
 def test_touched_queries_reverify_next_window(monkeypatch):
