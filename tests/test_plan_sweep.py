@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
     "equi_width_price_histogram",  # 1-row (min, max, count) stats scalar
     "dsir_importance_weights",  # 1-row (Nt, Nr) token-total scalar
     "shuffle_skew_report",  # 1-row (n_keys, total, max) summary scalar
+    "bpe_train_merges",  # 1-row merge winner + 1-row token total, x3 rounds
 }
 
 # Python-eval nodes are allowed ONLY in the explicitly-Pandas
