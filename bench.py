@@ -146,6 +146,11 @@ HEADLINE = [
     # communication-avoiding matmul trade), bit-equal to the direct
     # product on the integer-valued fixtures.
     "matmul_strassen",
+    # r11 wave 8: multimodal decode-at-ingest — the AVC1 rung as a
+    # Structured Streaming pipeline (documents file stream -> Arrow
+    # decode stages per micro-batch -> append sink, exactly once),
+    # row-identical to the batch rung by construction.
+    "stream_avc_ingest",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing

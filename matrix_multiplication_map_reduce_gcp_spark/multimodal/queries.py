@@ -1169,9 +1169,11 @@ def multimodal_psycho_audio(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_avc_intra",
-    oracle="""
+# Shared by the batch rung AND the streaming decode-at-ingest query
+# (streaming/queries.py::stream_avc_ingest): an availableNow file
+# stream through the same Arrow decode stages is row-identical to the
+# batch run, so both check against this exact SQL.
+AVC_ORACLE = """
     WITH params AS (
       SELECT doc_id, text, length(text) AS n,
              ascii(substr(text, 1, 1)) AS b0,
@@ -1201,8 +1203,10 @@ def multimodal_psycho_audio(spark, sf_dir):
            TRUE AS within_tolerance
     FROM geo g JOIN stripes s ON g.doc_id = s.doc_id
     GROUP BY g.doc_id, width, height, qp
-    """,
-)
+    """
+
+
+@query("multimodal_avc_intra", oracle=AVC_ORACLE)
 def multimodal_avc_intra(spark, sf_dir):
     """The H.264-TOOLING rung — crosses the ladder's last named codec
     surface ("exact ISO tables / H.264-specific tooling"): a

@@ -35,17 +35,23 @@ def small_shuffle(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source needs a DIRECTORY of files; stage a
-    symlink to the fixture parquet under a per-sf temp dir."""
+    symlink to the fixture parquet under a per-(sf, table) temp dir.
+    One directory per TABLE — readStream.parquet() consumes every
+    file in the directory, so mixing tables in one dir would feed a
+    stream rows from the wrong schema."""
     import hashlib
     import os
 
-    d = f"/tmp/spark_graft_streams/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    d = (
+        f"/tmp/spark_graft_streams/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/{table}"
+    )
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
+    link = f"{d}/{table}.parquet"
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     return d
 
 
@@ -58,6 +64,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = load_table(spark, sf_dir, "events").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     return normalize_events_ts(raw)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` as an unbounded stream — the ingest-time source for
+    the multimodal decode-at-ingest pipeline."""
+    from ..catalog import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    return spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
 
 
 def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:

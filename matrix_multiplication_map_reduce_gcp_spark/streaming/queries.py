@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
+from ..multimodal.queries import AVC_ORACLE
 from ..operators.analytics import FUNNEL_ORACLE, funnel_firsts, funnel_stage_counts
 from ..registry import query
 from .core import events_stream, run_to_table
@@ -533,3 +534,43 @@ def stream_funnel_stages(spark, sf_dir):
     ev = events_stream(spark, sf_dir)
     out = run_to_table(funnel_firsts(ev), spark, "complete")
     return funnel_stage_counts(out)
+
+
+@query("stream_avc_ingest", oracle=AVC_ORACLE)
+def stream_avc_ingest(spark, sf_dir):
+    """Multimodal DECODE-AT-INGEST: the AVC1 rung executed as a
+    STRUCTURED STREAMING pipeline — documents arrive as a file stream,
+    the same two Arrow-batched mapInPandas stages (blob generation
+    with its enforced corpus contracts, then the real bitstream
+    decode) run inside each micro-batch, and per-doc rows land in the
+    sink append-mode, exactly once. This is the shape a 100 TB
+    multimodal ingest actually runs: decode/validate/fingerprint AT
+    ingest, not as a later batch pass — per-file parallelism, no
+    state, no shuffle, so micro-batch boundaries cannot change any
+    row (the decode is per-doc map-only work) and the availableNow
+    run is row-identical to the batch rung. The oracle IS the batch
+    rung's oracle (multimodal/queries.py::AVC_ORACLE), which makes
+    the batch-equivalence claim a driver-checked fact rather than a
+    docstring; tests/test_streaming.py additionally pins the stream
+    result row-equal to the batch query's. At scale the memory sink
+    becomes a parquet/Delta sink and the exactly-once discipline is
+    the file-source + checkpoint contract proven for the tickgen
+    source in tests/test_streaming.py."""
+    from ..multimodal.blobs import decode_avc_intra
+    from .core import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    out = run_to_table(decode_avc_intra(docs), spark, "append")
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("qp").cast("int").alias("qp"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_mode0").cast("int").alias("n_mode0"),
+        F.col("n_mode1").cast("int").alias("n_mode1"),
+        F.col("n_mode2").cast("int").alias("n_mode2"),
+        "pixel_sum",
+        "recon_exact",
+        "within_tolerance",
+    )

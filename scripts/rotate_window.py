@@ -105,8 +105,8 @@ PRIORITY_HINTS = (
     # bit-equal to the already-verified matmul by construction and
     # quadruple-oracle-checked in the builder sweeps).
     "multimodal_avc_intra", "bpe_train_merges", "zorder_layout_plan",
-    "multimodal_mpeg_motion", "multimodal_mdct_audio",
-    "multimodal_psycho_audio",
+    "multimodal_mpeg_motion", "multimodal_psycho_audio",
+    "multimodal_mdct_audio", "stream_avc_ingest",
 )
 
 

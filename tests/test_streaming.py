@@ -433,3 +433,18 @@ def test_cdc_upsert_cleans_tmp(spark, two_batch_dir):
     )
     assert out.count() > 0  # result survives the cleanup (localCheckpoint)
     assert set(glob.glob(pattern)) - before == set()
+
+
+def test_stream_avc_ingest_is_batch_equivalent(spark):
+    """Decode-at-ingest exactly-once: the availableNow documents
+    stream through the AVC1 decode stages must be ROW-IDENTICAL to
+    the batch rung — micro-batch boundaries cannot change map-only
+    per-doc work, and no doc may be dropped or decoded twice."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+
+    qs = registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in qs["multimodal_avc_intra"].fn(spark, sf).collect()}
+    stream = [tuple(r) for r in qs["stream_avc_ingest"].fn(spark, sf).collect()]
+    assert len(stream) == len(batch)  # exactly once: no dup rows
+    assert set(stream) == batch
