@@ -505,9 +505,16 @@ def main() -> None:
     # once at sf0.01 (the validate protocol) so the timed reps measure
     # the plan, and record median-of-3 since their walls are ~1-2 s
     # where session noise exceeds real deltas.
+    def is_codec(name: str) -> bool:
+        """Queries that run the Arrow codec stages — including the
+        streaming decode-at-ingest wrapper, which pays the identical
+        first-execution costs (module ship-by-value + Arrow seam)
+        under a different name prefix."""
+        return name.startswith("multimodal_") or name == "stream_avc_ingest"
+
     if not heavy:
         for name in headline:
-            if name.startswith("multimodal_"):
+            if is_codec(name):
                 try:
                     run_noop(queries[name].fn(spark, "/root/testdata/sf0.01"))
                 except Exception as exc:  # pragma: no cover
@@ -516,8 +523,7 @@ def main() -> None:
 
     for name in headline:
         timed(name, lambda name=name: run_noop(queries[name].fn(spark, sf_dir)),
-              reps=3 if (heavy or name in REPEAT3
-                         or name.startswith("multimodal_")) else 1)
+              reps=3 if (heavy or name in REPEAT3 or is_codec(name)) else 1)
 
     # Reference-comparable dense matmul ladder — the exact sizes the
     # reference published (BASELINE.md: 3.0/6.2/27.8/35.5/46.1 s on
