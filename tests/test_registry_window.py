@@ -376,3 +376,48 @@ def test_staleness_bound_satisfiable_with_registry_growth(monkeypatch):
         )
         win, _ = rotate_window.propose_window(registered, modules, [rnd])
     assert drained, "simulation never drained the grown backlog"
+
+
+def test_never_green_floor_bounds_wait(monkeypatch):
+    """VERDICT r11 #2 'done' criterion: a two-wave registration growth
+    (+25 hypothetical queries over two consecutive rotations) must
+    never leave a query un-driver-verified for more than 2 rotations
+    after its registration, even under maximal must-go pressure. The
+    NEVER_GREEN_FLOOR tier reserves min(#never-green, 8) entries per
+    window ranked registration-order, ahead of every re-verification
+    tier — so at r11's 8-9 query/round pace a wave first-verifies the
+    very next rotation, and a double wave within two."""
+    q = registry.canonical_queries()
+    modules = {n: qd.fn.__module__ for n, qd in q.items()}
+    registered = list(q)
+    any_mod = next(iter(modules.values()))
+    # Seed: RAW recorded evidence (TOUCHED fake-age-0 is a scheduling
+    # priority, not history) — maximal realistic must-go pressure.
+    last_green = dict(_raw_latest_green(list(window.CONSUMED_ROUNDS)))
+    cur = max(window.CONSUMED_ROUNDS)
+    registered_at: dict[str, int] = {}
+    win = list(window.PRIORITY_PREFIX)
+    waves = {1: 13, 2: 12}  # two consecutive waves, 25 total
+    for step in range(1, 9):
+        rnd = cur + step
+        for n in win:
+            last_green[n] = rnd
+        overdue = {
+            n: rnd - registered_at[n]
+            for n in registered_at
+            if n not in last_green and rnd - registered_at[n] > 2
+        }
+        assert not overdue, (
+            f"round {rnd}: queries unverified >2 rotations after "
+            f"registration: {overdue}"
+        )
+        for i in range(waves.get(step, 0)):
+            name = f"hypothetical_wave{step}_q{i:02d}"
+            registered.append(name)
+            modules[name] = any_mod
+            registered_at[name] = rnd
+        monkeypatch.setattr(
+            rotate_window, "green_by_round", lambda rounds, lg=dict(last_green): lg
+        )
+        win, _ = rotate_window.propose_window(registered, modules, [rnd])
+    assert set(registered_at) <= set(last_green), "waves never drained"
