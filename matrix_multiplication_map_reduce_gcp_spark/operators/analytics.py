@@ -866,3 +866,178 @@ def zorder_layout_plan(spark, sf_dir):
             (F.max("k2") - F.min("k2") + 1).cast("int").alias("day_span"),
         )
     )
+
+
+# Single-column probe ranges for the EXECUTED-layout audit: one pair
+# per dimension, each 16/256 of the key domain, so a well-clustered
+# layout should admit ~1/16 of the files on either predicate.
+_ZX_PROBES = (
+    ("cust", 32, 47),
+    ("cust", 160, 175),
+    ("day", 96, 111),
+    ("day", 200, 215),
+)
+
+
+def rewrite_orders_layouts(spark, sf_dir, root):
+    """Perform the two clustering rewrites of orders under ``root``
+    and return {layout: re-read DataFrame}. Split out of
+    `zorder_layout_execute` so tests/test_plans.py can pin the
+    re-read scan's PushedFilters on the files the rewrite produced."""
+    o = load_table(spark, sf_dir, "orders")
+    k1 = (F.col("o_custkey") % 256).cast("int")
+    k2 = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        % 256
+    ).cast("int")
+    keys = o.select(
+        "o_orderkey", k1.alias("k1"), k2.alias("k2")
+    ).withColumn("morton", _morton_col(F.col("k1"), F.col("k2")))
+    layouts = {
+        "zorder": F.shiftright("morton", 10).cast("int"),
+        "datesort": F.shiftright("k2", 2).cast("int"),
+    }
+    out = {}
+    for layout, bucket in layouts.items():
+        path = f"{root}/{layout}"
+        (
+            keys.withColumn("zbucket", bucket)
+            .repartition(64, "zbucket")
+            .write.partitionBy("zbucket")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        out[layout] = spark.read.parquet(path)
+    return out
+
+
+@query(
+    "zorder_layout_execute",
+    oracle=f"""
+    WITH keys AS (
+      SELECT (o_custkey % 256) AS k1,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS INT) % 256 AS k2
+      FROM orders),
+    z AS (
+      SELECT k1, k2,
+             ({_MORTON_SQL.format(k1="k1", k2="k2")}) AS morton
+      FROM keys),
+    both_layouts AS (
+      SELECT 'zorder' AS layout, morton >> 10 AS bucket, k1, k2 FROM z
+      UNION ALL
+      SELECT 'datesort' AS layout, k2 >> 2 AS bucket, k1, k2 FROM z),
+    zones AS (
+      SELECT layout, bucket,
+             MIN(k1) AS mn1, MAX(k1) AS mx1,
+             MIN(k2) AS mn2, MAX(k2) AS mx2
+      FROM both_layouts GROUP BY 1, 2),
+    probes(dim, lo, hi) AS (VALUES {", ".join(f"('{d}', {lo}, {hi})" for d, lo, hi in _ZX_PROBES)}),
+    scan AS (
+      SELECT z.layout, p.dim, CAST(p.lo AS INT) AS lo, CAST(p.hi AS INT) AS hi,
+             CAST(COUNT(*) FILTER (WHERE
+               (p.dim = 'cust' AND z.mx1 >= p.lo AND z.mn1 <= p.hi) OR
+               (p.dim = 'day'  AND z.mx2 >= p.lo AND z.mn2 <= p.hi))
+               AS BIGINT) AS files_scanned,
+             CAST(COUNT(*) AS BIGINT) AS files_total
+      FROM probes p CROSS JOIN zones z
+      GROUP BY 1, 2, 3, 4),
+    matched AS (
+      SELECT p.dim, CAST(p.lo AS INT) AS lo,
+             CAST(COUNT(*) FILTER (WHERE
+               (p.dim = 'cust' AND k.k1 BETWEEN p.lo AND p.hi) OR
+               (p.dim = 'day'  AND k.k2 BETWEEN p.lo AND p.hi))
+               AS BIGINT) AS rows_matched
+      FROM probes p CROSS JOIN keys k
+      GROUP BY 1, 2)
+    SELECT s.layout, s.dim, s.lo, s.hi, s.files_scanned, s.files_total,
+           m.rows_matched
+    FROM scan s JOIN matched m ON s.dim = m.dim AND s.lo = m.lo
+    """,
+)
+def zorder_layout_execute(spark, sf_dir):
+    """OPTIMIZE ZORDER, the EXECUTION half (VERDICT r11 #5):
+    `zorder_layout_plan` emits the zone maps a z-ordered rewrite
+    WOULD produce; this query actually performs the rewrite and
+    audits the files on disk. Orders rows get the same 16-bit Morton
+    key over (customer % 256, order-day % 256); the table is
+    REWRITTEN twice as parquet — once clustered by Morton bucket
+    (morton >> 10, the z-order layout), once by day bucket (k2 >> 2,
+    the single-column date sort a naive pipeline writes) — each
+    hash-repartitioned on its bucket before a partitionBy write so
+    every bucket lands in EXACTLY one data file. The audit then
+    RE-READS the rewritten files, rebuilds each file's zone map
+    (min/max of both key columns, exactly the parquet footer stats a
+    reader consults), and reports per single-column probe how many
+    FILES each layout must scan: z-order admits ~1/16 of the files
+    on EITHER predicate; date-sort admits ~1/16 on day but ~16/16 on
+    customer. rows_matched is counted from literal-predicate scans
+    of the rewritten files (filters pushed to parquet,
+    tests/test_plans.py pins PushedFilters), proving the rewrite
+    preserved the data.
+
+    Engine shape at 100 TB: the rewrite is OPTIMIZE's cost — ONE
+    bounded shuffle of the table on the bucket key, then a map-side
+    write (in production, repartitionByRange on the raw Morton code
+    with a row-count target per file replaces the fixed 64 buckets);
+    the audit side is O(files) zone-map rows, broadcast against a
+    4-row literal probe table. Temp artifacts live for the call only:
+    the verdict DataFrame is localCheckpoint-ed off the files before
+    the directory is removed, the run_cdc_upsert discipline."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    try:
+        parts = []
+        for layout, rewritten in rewrite_orders_layouts(
+            spark, sf_dir, root
+        ).items():
+            zones = rewritten.groupBy("zbucket").agg(
+                F.min("k1").alias("mn1"), F.max("k1").alias("mx1"),
+                F.min("k2").alias("mn2"), F.max("k2").alias("mx2"),
+            )
+            probes = spark.createDataFrame(
+                list(_ZX_PROBES), "dim string, lo int, hi int"
+            )
+            admit = F.when(
+                F.col("dim") == "cust",
+                (F.col("mx1") >= F.col("lo")) & (F.col("mn1") <= F.col("hi")),
+            ).otherwise(
+                (F.col("mx2") >= F.col("lo")) & (F.col("mn2") <= F.col("hi"))
+            )
+            scan = (
+                F.broadcast(probes)
+                .crossJoin(zones)
+                .groupBy("dim", "lo", "hi")
+                .agg(
+                    F.sum(admit.cast("bigint")).alias("files_scanned"),
+                    F.count("*").alias("files_total"),
+                )
+            )
+            # rows_matched per probe from literal-predicate re-reads:
+            # each count is its own parquet scan with the range pushed
+            # down to the footer level (the skip the audit quantifies).
+            matched = None
+            for dim, lo, hi in _ZX_PROBES:
+                col = "k1" if dim == "cust" else "k2"
+                one = (
+                    rewritten.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+                    .agg(F.count("*").alias("rows_matched"))
+                    .select(
+                        F.lit(dim).alias("dim"),
+                        F.lit(lo).alias("lo"),
+                        F.col("rows_matched"),
+                    )
+                )
+                matched = one if matched is None else matched.unionAll(one)
+            parts.append(
+                scan.join(matched, ["dim", "lo"]).select(
+                    F.lit(layout).alias("layout"),
+                    "dim", "lo", "hi",
+                    "files_scanned", "files_total", "rows_matched",
+                )
+            )
+        return parts[0].unionAll(parts[1]).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

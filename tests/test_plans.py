@@ -539,3 +539,27 @@ def test_strassen_is_one_tagged_join(spark):
     assert plan.count("Scan parquet") == 2
     assert "HashAggregate" in plan
     assert "Python" not in plan
+
+
+def test_zorder_execute_reread_pushes_filters(spark, tmp_path):
+    """The EXECUTED z-order layout's audit scans must push the
+    single-column range predicates down to the rewritten parquet
+    files (footer-level skipping is what the files_scanned numbers
+    quantify), and each of the 64 buckets must land in exactly one
+    data file (the hash-repartition before partitionBy)."""
+    import glob
+
+    from matrix_multiplication_map_reduce_gcp_spark.operators.analytics import (
+        rewrite_orders_layouts,
+    )
+    from pyspark.sql import functions as F
+
+    layouts = rewrite_orders_layouts(spark, SF_SMOKE, str(tmp_path))
+    z = layouts["zorder"]
+    probe = z.filter(F.col("k1").between(F.lit(32), F.lit(47)))
+    assert has_pushed_filters(
+        probe, "GreaterThanOrEqual(k1,32)", "LessThanOrEqual(k1,47)"
+    )
+    for d in glob.glob(str(tmp_path / "zorder" / "zbucket=*")):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d

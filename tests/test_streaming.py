@@ -448,3 +448,56 @@ def test_stream_avc_ingest_is_batch_equivalent(spark):
     stream = [tuple(r) for r in qs["stream_avc_ingest"].fn(spark, sf).collect()]
     assert len(stream) == len(batch)  # exactly once: no dup rows
     assert set(stream) == batch
+
+
+def test_stream_dedup_ingest_invariant_under_batch_splits(spark, tmp_path):
+    """Stateful dedup-at-ingest: verdicts must be identical whether
+    the increment arrives as ONE micro-batch or as three id-ordered
+    files (the ingest contract: ids assigned monotonically at
+    arrival) — cross-batch partners come from the persisted index,
+    within-batch partners from the id comparison. Also pinned against
+    the batch registry entry's own result (the driver's oracle view)."""
+    from matrix_multiplication_map_reduce_gcp_spark import registry
+    from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
+    from matrix_multiplication_map_reduce_gcp_spark.dedup.queries import BATCH_MOD
+    from matrix_multiplication_map_reduce_gcp_spark.streaming.queries import (
+        run_dedup_ingest,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    static = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+    inc = docs.filter(F.col("doc_id") % BATCH_MOD == 0).orderBy("doc_id")
+    rows = inc.collect()
+    third = len(rows) // 3
+    d = str(tmp_path / "inc")
+    os.makedirs(d)
+    for i, chunk in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            f"{d}/b{i}"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        for f in sorted(os.listdir(f"{d}/b{i}")):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/b{i}/{f}", f"{flat}/{n:03d}.parquet")
+                os.utime(f"{flat}/{n:03d}.parquet", (1_000_000 + n, 1_000_000 + n))
+                n += 1
+
+    split = run_dedup_ingest(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat),
+        static,
+        spark,
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    rows_split = sorted((r.asDict() for r in split.collect()), key=key)
+    one = registry.load_all()["stream_dedup_ingest"].fn(spark, SF)
+    rows_one = sorted((r.asDict() for r in one.collect()), key=key)
+    assert rows_split == rows_one
+    assert len(rows_split) == len(rows)  # exactly once, no drops
+    assert any(r["verdict"] == "dup" for r in rows_split)
