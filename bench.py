@@ -151,6 +151,18 @@ HEADLINE = [
     # decode stages per micro-batch -> append sink, exactly once),
     # row-identical to the batch rung by construction.
     "stream_avc_ingest",
+    # r12 wave 1: OPTIMIZE-ZORDER EXECUTED — the double rewrite
+    # (Morton-bucket vs date-sort parquet layouts), re-read zone-map
+    # audit + pushed-predicate row counts on the rewritten files.
+    "zorder_layout_execute",
+    # r12 wave 1: STATEFUL dedup-at-ingest — per-micro-batch MinHash
+    # band signatures joining an append-only persisted band index,
+    # exactly-once verdicts (the stateful sibling of stream_avc_ingest).
+    "stream_dedup_ingest",
+    # r12 wave 2: the CAVLC rung — AVC intra with context-adaptive
+    # residual coding (nC contexts, suffixLength adaptation,
+    # total_zeros/run_before bookkeeping). Same map-only codec shape.
+    "multimodal_avc_cavlc",
 ]
 
 # The 10 heaviest registry queries (by a full-registry sf0.1 timing
@@ -615,6 +627,21 @@ def main() -> None:
     EXCLUDED_FROM_VALUE = ("matmul_dense_4000_block",)
     total = round(
         sum(v for k, v in timings.items() if k not in EXCLUDED_FROM_VALUE), 3)
+    # Group split (VERDICT r11 #8): the codec-ladder rungs each add
+    # 2-6 s of REAL decode work to every bench run, so the single
+    # headline sum increasingly mixes two different cost stories.
+    # `groups` splits `value` into core (relational/dedup/ANN/text
+    # engine queries) vs ladder (the Arrow codec rungs, is_codec())
+    # so cross-round drift reads per group; ab_* drift tooling and
+    # the contract tests consume this split.
+    groups = {
+        "core": round(
+            sum(v for k, v in timings.items()
+                if k not in EXCLUDED_FROM_VALUE and not is_codec(k)), 3),
+        "ladder": round(
+            sum(v for k, v in timings.items()
+                if k not in EXCLUDED_FROM_VALUE and is_codec(k)), 3),
+    }
     record = {
         "metric": "heavy_scale_queries_total_wall" if heavy
         else "headline_queries_total_wall",
@@ -624,6 +651,7 @@ def main() -> None:
         # r9 while r1-r8 records included it — emit the all-inclusive
         # sum too so cross-round tooling compares like with like.
         "value_with_excluded": round(sum(timings.values()), 3),
+        "groups": groups,
         "queries": timings,
         "sf": sf,
         "excluded_from_value": [
@@ -696,11 +724,22 @@ def main() -> None:
     # live in the full-record artifact. Query values round to 1 dp —
     # the compact record is the cross-round headline ledger, not the
     # adjudication evidence.
+    # THIRD diet (VERDICT r11 #8): at 66 headline entries the
+    # worst-case all-queries projection (1983 chars) crossed the
+    # 1900-char budget, so the compact line now carries the CORE
+    # group per-query plus the core/ladder GROUP SUMS; the ladder
+    # rungs' per-query medians live in the full record — which the
+    # driver commits every round (bench_artifacts/bench_full_<mode>_
+    # sf<sf>.json, the fixed convention), so no committed evidence is
+    # lost and codec-rung growth can never overflow the line again.
     compact = {
         "metric": record["metric"],
         "value": record["value"],
         "unit": "sec",
-        "queries": {k: round(v, 1) for k, v in timings.items()},
+        "groups": {k: round(v, 1) for k, v in groups.items()},
+        "queries": {
+            k: round(v, 1) for k, v in timings.items() if not is_codec(k)
+        },
         "sf": sf,
     }
     if errors:

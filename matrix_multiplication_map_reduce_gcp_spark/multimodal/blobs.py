@@ -2654,3 +2654,163 @@ def decode_avc_intra(docs: DataFrame) -> DataFrame:
             rows = []
 
     return with_avc_blob(docs).mapInPandas(op, AVC_SCHEMA)
+
+
+AVCC_SCHEMA = (
+    "doc_id long, width int, height int, qp int, n_blocks int, "
+    "total_coeff_sum long, n_mode0 int, n_mode1 int, n_mode2 int, "
+    "pixel_sum long, recon_exact boolean, within_tolerance boolean"
+)
+
+
+def with_avcc_blob(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, blob) with blob an AVCC stream — the AVC intra
+    codec with CAVLC residual coding (multimodal/cavlc.py). Same
+    stripe corpus / geometry / qp rules as with_avc_blob, so the mode
+    field and exact reconstruction carry over; additionally the
+    per-block TotalCoeff field is enforced at generation against the
+    closed-form prediction (constant residuals quantize to at most
+    ONE DC coefficient, so row-0 blocks carry 0 or 1 coefficients and
+    every lower block carries 0 — the quantized level per stripe is
+    SQL-recomputable from the MF table and the intra offset)."""
+    from .avc import DC, HOR, VERT
+    from .cavlc import avcc_encode_stats
+
+    encode = avcc_encode_stats
+    dc, hor, vert = DC, HOR, VERT
+    gen = _avc_stripe_plane
+    mf_a = (13107, 11916, 10082, 9362, 8192, 7282)
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                width = 32 + 16 * int(bb[0] % 2)
+                height = 32 + 16 * int(bb[-1] % 2)
+                qp = (int(bb[0]) * 7 + int(bb[-1])) % 12
+                img, v = gen(bb, n, width, height)
+                blob, modes, recon, tc = encode(
+                    width, height, qp, img.tobytes()
+                )
+                designed = (
+                    modes[0, 0] == dc
+                    and (modes[0, 1:] == hor).all()
+                    and (modes[1:, :] == vert).all()
+                    and (tc[1:, :] == 0).all()
+                )
+                if not designed:
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): mode/TotalCoeff field departs "
+                        "from the designed layout"
+                    )
+                if not (recon == img).all():
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): stripe reconstruction not exact "
+                        f"at qp={qp}"
+                    )
+                qbits = 15 + qp // 6
+                f = (1 << qbits) // 3
+                mf = mf_a[qp % 6]
+                r = np.empty(len(v), dtype=np.int64)
+                r[0] = v[0] - 128
+                r[1:] = v[1:] - v[:-1]
+                lv = np.sign(16 * r) * (
+                    (np.abs(16 * r) * mf + f) >> qbits
+                )
+                if int((lv != 0).sum()) != int(tc.sum()):
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): TotalCoeff departs from the "
+                        "closed-form stripe prediction"
+                    )
+                rows.append((doc_id, text, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "blob"])
+            rows = []
+
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, "doc_id long, text string, blob binary")
+
+
+def decode_avc_cavlc(docs: DataFrame) -> DataFrame:
+    """Decode the AVCC streams: the bitstream-decoded per-block
+    TotalCoeff field (the CAVLC nC context chain), mode field and
+    pixel content all bind to SQL-exact values — a wrong coeff_token
+    context, a mis-adapted suffixLength, a bad run_before width or a
+    swapped trailing-one sign desyncs the stream and reds the
+    checksum or the counts."""
+    from .avc import AVC_TOL, DC, HOR, VERT
+    from .cavlc import avcc_decode
+
+    decode = avcc_decode
+    dc, hor, vert = DC, HOR, VERT
+    tol = AVC_TOL
+    gen = _avc_stripe_plane
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text, blob in zip(
+                pdf["doc_id"], pdf["text"], pdf["blob"]
+            ):
+                width, height, qp, recon, modes, tc = decode(bytes(blob))
+                b = text.encode("utf-8")
+                n = len(b)
+                bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                img, _ = gen(bb, n, width, height)
+                err = int(
+                    np.abs(
+                        recon.astype(np.int64) - img.astype(np.int64)
+                    ).max()
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        width,
+                        height,
+                        qp,
+                        int(modes.size),
+                        int(tc.sum()),
+                        int((modes == vert).sum()),
+                        int((modes == hor).sum()),
+                        int((modes == dc).sum()),
+                        int(recon.astype(np.int64).sum()),
+                        bool(err == 0),
+                        bool(err <= tol),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "qp", "n_blocks",
+                    "total_coeff_sum", "n_mode0", "n_mode1", "n_mode2",
+                    "pixel_sum", "recon_exact", "within_tolerance",
+                ],
+            )
+            rows = []
+
+    return with_avcc_blob(docs).mapInPandas(op, AVCC_SCHEMA)

@@ -1258,3 +1258,102 @@ def multimodal_avc_intra(spark, sf_dir):
         "recon_exact",
         "within_tolerance",
     )
+
+
+AVCC_ORACLE = """
+    WITH params AS (
+      SELECT doc_id, text, length(text) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, length(text), 1)) AS bl
+      FROM documents),
+    geo AS (
+      SELECT doc_id, text, n,
+             32 + 16 * (b0 % 2) AS width,
+             32 + 16 * (bl % 2) AS height,
+             (b0 * 7 + bl) % 12 AS qp
+      FROM params),
+    stripes AS (
+      SELECT doc_id, r.i AS i,
+             (ascii(substr(text, CAST(r.i % n AS INT) + 1, 1)) * 131
+              + r.i * 7919) % 256 AS v
+      FROM geo, UNNEST(range(0, width // 4)) AS r(i)),
+    quant AS (
+      SELECT s.doc_id, s.i, s.v,
+             CASE WHEN s.i = 0 THEN s.v - 128
+                  ELSE s.v - LAG(s.v) OVER (PARTITION BY s.doc_id ORDER BY s.i)
+             END AS r,
+             CASE g.qp % 6 WHEN 0 THEN 13107 WHEN 1 THEN 11916
+                           WHEN 2 THEN 10082 WHEN 3 THEN 9362
+                           WHEN 4 THEN 8192 ELSE 7282 END AS mf,
+             15 + g.qp // 6 AS qbits
+      FROM stripes s JOIN geo g USING (doc_id)),
+    levels AS (
+      SELECT doc_id, i, v,
+             (ABS(16 * r) * mf + (1 << qbits) // 3) // (1 << qbits)
+               AS lmag
+      FROM quant)
+    SELECT g.doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(qp AS INT) AS qp,
+           CAST((width // 4) * (height // 4) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN l.lmag <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS total_coeff_sum,
+           CAST((width // 4) * (height // 4 - 1) AS INT) AS n_mode0,
+           CAST(width // 4 - 1 AS INT) AS n_mode1,
+           CAST(1 AS INT) AS n_mode2,
+           CAST(height * 4 * SUM(l.v) AS BIGINT) AS pixel_sum,
+           TRUE AS recon_exact,
+           TRUE AS within_tolerance
+    FROM geo g JOIN levels l ON g.doc_id = l.doc_id
+    GROUP BY g.doc_id, width, height, qp
+    """
+
+
+@query("multimodal_avc_cavlc", oracle=AVCC_ORACLE)
+def multimodal_avc_cavlc(spark, sf_dir):
+    """The CAVLC rung (VERDICT r11 #3) — completes the H.264 entropy
+    claim left open by `multimodal_avc_intra`: the same AVC intra
+    codec (exact integer transform, MF/V quantization LUTs, Intra_4x4
+    prediction, MPM mode chain) with residuals coded by
+    CONTEXT-ADAPTIVE VLC per ITU-T H.264 §9.2 (multimodal/cavlc.py,
+    "AVCC"): coeff_token with the spec's nC = (nA+nB+1)>>1 neighbor
+    context and table thresholds (nC < 2/4/8, FLC at >= 8),
+    trailing-one sign flags, level coding with the 9.2.2.1
+    suffixLength adaptation (init by TotalCoeff>10 & T1<3, the
+    first-level -2 adjustment, the 3<<(len-1) bump rule, cap 6),
+    total_zeros, and run_before with zerosLeft bookkeeping. The
+    codeword BIT PATTERNS of Tables 9-5/9-7/9-10 are documented
+    substitutions (cavlc.py module docstring) — the adaptive
+    machinery is what this rung claims, and it is pinned exhaustively
+    (tests/test_multimodal.py: every (context, TotalCoeff,
+    TrailingOnes) coeff_token triple round-trips; adaptation walks
+    checked by hand).
+
+    The stripe corpus makes the ENTROPY FIELD itself SQL-exact:
+    constant residuals quantize to at most one DC coefficient, so
+    total_coeff_sum equals the count of stripes whose quantized level
+    (ABS(16r)*MF + f) >> qbits is nonzero — the oracle recomputes the
+    quantizer in SQL from the MF column and intra offset. A wrong
+    context, a desynced run width, or a mis-adapted suffix reds the
+    checksum (Adler-32 over the reconstruction) or the counts. Same
+    Arrow-batched two-stage mapInPandas + one deliberate round-robin
+    Exchange shape; map-only at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from .blobs import decode_avc_cavlc
+
+    out = decode_avc_cavlc(d)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("qp").cast("int").alias("qp"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        "total_coeff_sum",
+        F.col("n_mode0").cast("int").alias("n_mode0"),
+        F.col("n_mode1").cast("int").alias("n_mode1"),
+        F.col("n_mode2").cast("int").alias("n_mode2"),
+        "pixel_sum",
+        "recon_exact",
+        "within_tolerance",
+    )

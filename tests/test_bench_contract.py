@@ -126,15 +126,23 @@ def test_emitted_line_fits_driver_window(bench_run):
     # headline + ladder + block query name at worst-case 2-dp widths.
     import bench as bench_mod
 
+    def bench_mod_is_codec(name):
+        # mirror bench.main's is_codec predicate (defined inside main)
+        return name.startswith("multimodal_") or name == "stream_avc_ingest"
+
     record = json.loads(line)
     all_names = (
         list(bench_mod.HEADLINE)
         + [f"matmul_dense_{n}" for n in (4, 10, 50, 100, 200)]
         + ["matmul_dense_1000_block", "matmul_dense_4000_block"]
     )
+    # r11 #8 diet: the compact line carries CORE queries only — the
+    # ladder rungs collapse into the groups.ladder sum.
+    core_names = [n for n in all_names if not bench_mod_is_codec(n)]
     projected = dict(
         record,
-        queries={name: 999.9 for name in all_names},  # worst 1-dp width
+        groups={"core": 999.9, "ladder": 999.9},
+        queries={name: 999.9 for name in core_names},  # worst 1-dp width
     )
     projected_len = len(json.dumps(projected, separators=(",", ":")))
     assert projected_len < LINE_BUDGET, (
@@ -151,12 +159,14 @@ def test_contract_keys_and_types(bench_record):
     assert r["sf"] == 0.001
     assert isinstance(r["queries"], dict) and r["queries"]
     assert all(isinstance(v, (int, float)) for v in r["queries"].values())
-    # Second compact-line diet (r11 wave 7, 62-query headline): the
-    # line is EXACTLY the driver contract — n_queries is derivable
-    # and the full-record path is a fixed convention
-    # (bench_artifacts/bench_full_<mode>_sf<sf>.json), so neither
-    # spends budget on the line.
-    assert set(r) == {"metric", "value", "unit", "queries", "sf"}
+    # Third compact-line diet (VERDICT r11 #8, 66-entry headline):
+    # the line is the driver contract plus the core/ladder GROUP
+    # sums; per-query values cover the CORE group only — the codec
+    # rungs' medians live in the full record at the fixed convention
+    # path (bench_artifacts/bench_full_<mode>_sf<sf>.json), which the
+    # driver commits every round.
+    assert set(r) == {"metric", "value", "unit", "groups", "queries", "sf"}
+    assert set(r["groups"]) == {"core", "ladder"}
 
 
 def test_no_errors_and_not_partial(bench_record, full_record):
@@ -208,12 +218,26 @@ def test_full_record_carries_the_evidence(full_record):
 
 def test_compact_queries_match_full_medians(bench_record, full_record):
     """The compact line's per-query values are the full record's
-    medians rounded to 1 dp (r11 diet: 58 headline queries must fit
-    the driver tail window at worst-case widths) — same names, no
-    silent drops."""
-    assert set(bench_record["queries"]) == set(full_record["queries"])
+    medians rounded to 1 dp — same CORE names, no silent drops; the
+    ladder rungs live only in the full record (r11 #8 third diet) and
+    the two group sums must partition `value` exactly."""
+    core_full = {
+        k for k in full_record["queries"]
+        if not (k.startswith("multimodal_") or k == "stream_avc_ingest")
+    }
+    assert set(bench_record["queries"]) == core_full
     for name, v in bench_record["queries"].items():
         assert v == round(full_record["queries"][name], 1), name
+    fg = full_record["groups"]
+    excl = set(full_record["excluded_from_value"])
+    assert abs(fg["core"] + fg["ladder"] - full_record["value"]) < 1e-6
+    lad = round(
+        sum(v for k, v in full_record["queries"].items()
+            if (k.startswith("multimodal_") or k == "stream_avc_ingest")
+            and k not in excl), 3)
+    assert abs(fg["ladder"] - lad) < 1e-6
+    for k, v in bench_record["groups"].items():
+        assert v == round(fg[k], 1), k
 
 
 def test_all_inclusive_sum_is_emitted(bench_record, full_record):

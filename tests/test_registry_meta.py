@@ -29,12 +29,14 @@ def test_priority_prefix_valid():
 
 
 def test_first_50_cover_every_category():
-    """Category coverage of the driver window. While a never-green
-    backlog overflows the window (window.DEFERRED non-empty), fully
-    driver-verified modules waive their anchor — first-ever rows
-    outrank re-verification (r4 judge task #1). Modules that still
-    have never-green queries must ALWAYS be represented; once the
-    backlog fits, every module must be."""
+    """Category coverage of the driver window. While ANY never-green
+    backlog exists, fully driver-verified modules waive their anchor —
+    first-ever rows outrank re-verification (r4 judge task #1; since
+    the r12 NEVER_GREEN_FLOOR this applies whether the backlog
+    deferred or was absorbed by the floor tier, which can displace
+    fully-green anchors in a must-go crunch). Modules that still have
+    never-green queries must ALWAYS be represented; once the backlog
+    is empty, every module must be."""
     import sys
 
     sys.path.insert(0, str(REPO / "scripts"))
@@ -46,10 +48,9 @@ def test_first_50_cover_every_category():
     first50 = list(q)[:50]
     covered = {q[n].fn.__module__ for n in first50}
     green = rotate_window.green_queries(list(window.CONSUMED_ROUNDS))
-    must_cover = {
-        qd.fn.__module__ for n, qd in q.items() if n not in green
-    }
-    if not window.DEFERRED:
+    never_green = [n for n in q if n not in green]
+    must_cover = {q[n].fn.__module__ for n in never_green}
+    if not never_green:
         must_cover = {qd.fn.__module__ for qd in q.values()}
     assert must_cover <= covered, (
         f"query modules with no representative in the driver's 50-row "
