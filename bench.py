@@ -724,22 +724,22 @@ def main() -> None:
     # live in the full-record artifact. Query values round to 1 dp —
     # the compact record is the cross-round headline ledger, not the
     # adjudication evidence.
-    # THIRD diet (VERDICT r11 #8): at 66 headline entries the
-    # worst-case all-queries projection (1983 chars) crossed the
-    # 1900-char budget, so the compact line now carries the CORE
-    # group per-query plus the core/ladder GROUP SUMS; the ladder
-    # rungs' per-query medians live in the full record — which the
-    # driver commits every round (bench_artifacts/bench_full_<mode>_
-    # sf<sf>.json, the fixed convention), so no committed evidence is
-    # lost and codec-rung growth can never overflow the line again.
+    # THIRD diet (r12 REVISED): the driver contract forbids REMOVING
+    # entries from `queries` — BENCH_r11's line carried every codec
+    # rung, so the mid-r12 "core-only" line would have dropped 22
+    # committed entries (a contract regression, caught before any
+    # driver run consumed it). The line carries ALL queries again;
+    # the chars come out of the r11-added `groups` sums instead,
+    # which move to the full record (bench_artifacts/bench_full_
+    # <mode>_sf<sf>.json, the fixed convention the drift tooling
+    # reads). Worst-case projection at 66 entries, every value 99.9:
+    # 1916 chars < 1950 budget < the driver's 2000-char tail window
+    # (a single query ≥100 s would be a failed round regardless).
     compact = {
         "metric": record["metric"],
         "value": record["value"],
         "unit": "sec",
-        "groups": {k: round(v, 1) for k, v in groups.items()},
-        "queries": {
-            k: round(v, 1) for k, v in timings.items() if not is_codec(k)
-        },
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
     }
     if errors:
