@@ -112,34 +112,41 @@ def _cent_literal_rows(rows):
     )
 
 
-# Above this cluster count, the literal K-candidate fold stops being a
-# win: the expression tree grows past what whole-stage codegen compiles
-# (the sf1 probe measured the K=312 fold at ~45 s/pass where the
-# row-form join runs the same 400M integer ops in seconds). Small K
-# keeps the join-free map-only plan; large K switches to a broadcast
-# K-row table join + min(struct) argmin — one n-row shuffle per pass.
-K_LITERAL_MAX = 32
-
-
 def assign_arrays(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """(vec_id, k, dist) via the Arrow/NumPy integer GEMM for EVERY K
+    (r12): the r11 small-K literal-fold fast path was measured SLOWER
+    than the GEMM even at K=8 — 0.6-0.9 s vs 0.2-0.3 s per 2000-row
+    pass at sf0.1, and 2.1-2.7 s vs 0.24-0.33 s at K=31 — because
+    zip_with/aggregate folds evaluate interpreted per element while
+    the GEMM is one int64 matmul per Arrow batch (guide §4.2). Both
+    paths are bit-identical (integer arithmetic; pinned by
+    tests/test_sketches_kmeans.py::test_assignment_paths_bit_identical
+    against :func:`_assign_fold_literal`)."""
     rows = sorted(cent_arr.collect(), key=lambda r: r.k)
+    return _assign_pandas(qarr, rows)
+
+
+def _assign_fold_literal(qarr: DataFrame, rows) -> DataFrame:
+    """REFERENCE implementation (the r1-r11 small-K production path):
+    K-candidate literal fold inside whole-stage codegen. Off every
+    query path since r12 (see :func:`assign_arrays`); kept as the
+    independent second implementation the bit-identity test pins the
+    GEMM against."""
     dist_fold = lambda cv: F.aggregate(  # noqa: E731
         F.zip_with(F.col("qv"), cv, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    if len(rows) <= K_LITERAL_MAX:
-        cands = F.transform(
-            _cent_literal_rows(rows),
-            lambda p: F.struct(
-                dist_fold(p["cv"]).alias("dist"), p["k"].alias("k")
-            ),
-        )
-        best = F.array_min(cands)  # lexicographic: min dist, ties to low k
-        return qarr.select(
-            "vec_id", best["k"].alias("k"), best["dist"].alias("dist")
-        )
-    return _assign_pandas(qarr, rows)
+    cands = F.transform(
+        _cent_literal_rows(rows),
+        lambda p: F.struct(
+            dist_fold(p["cv"]).alias("dist"), p["k"].alias("k")
+        ),
+    )
+    best = F.array_min(cands)  # lexicographic: min dist, ties to low k
+    return qarr.select(
+        "vec_id", best["k"].alias("k"), best["dist"].alias("dist")
+    )
 
 
 def _assign_pandas(qarr: DataFrame, rows) -> DataFrame:

@@ -85,6 +85,22 @@ ARROW_COSINE_ALLOWED = {
     "knn_graph_lsh",
 }
 
+# Queries whose plans legitimately contain a MapInPandas node outside
+# the Pandas operator families: the Lloyd-assignment Arrow/NumPy
+# integer GEMM (kmeans.py::_assign_pandas — r12 made it the production
+# path for EVERY K after measuring it 3× faster than the literal fold
+# even at K=8; bit-identical by integer exactness, pinned by
+# tests/test_sketches_kmeans.py::test_assignment_paths_bit_identical).
+# This gate was previously unchecked; adding a name here asserts the
+# node is an Arrow-batched numeric kernel on a map-only pass, never
+# row-at-a-time Python in a scan.
+MAP_IN_PANDAS_ALLOWED = {
+    "kmeans_assignments",
+    "kmeans_centroids",
+    "semdedup_keep_list",
+    "embedding_prototypicality",
+}
+
 SWEEP = sorted(n for n in Q if not n.startswith("stream_"))
 
 
@@ -109,4 +125,9 @@ def test_no_scale_killers_in_plan(name, spark):
             assert "ArrowEvalPython" not in plan, (
                 f"{name}: Pandas UDF outside the Pandas operator families "
                 f"and the reviewed Arrow-cosine allow-list"
+            )
+        if name not in MAP_IN_PANDAS_ALLOWED:
+            assert "MapInPandas" not in plan, (
+                f"{name}: mapInPandas outside the Pandas operator families "
+                f"and the reviewed GEMM allow-list"
             )

@@ -129,11 +129,13 @@ def test_levenshtein_dedup_catches_planted_near_dups(spark, tmp_path):
 
 
 def test_assignment_paths_bit_identical(spark):
-    """The two Lloyd-assignment implementations — the small-K literal
-    fold (pure JVM) and the large-K Arrow/NumPy integer GEMM — must
-    return IDENTICAL (vec_id, k, dist) rows for the same centroids,
-    including the (dist, k) tie-break. Integer arithmetic makes this
-    exact, so the test is equality, not tolerance."""
+    """The two Lloyd-assignment implementations — the literal fold
+    (pure JVM, the r1-r11 small-K production path, now the reference
+    implementation) and the Arrow/NumPy integer GEMM (the r12
+    production path for every K) — must return IDENTICAL
+    (vec_id, k, dist) rows for the same centroids, including the
+    (dist, k) tie-break. Integer arithmetic makes this exact, so the
+    test is equality, not tolerance."""
     from matrix_multiplication_map_reduce_gcp_spark.catalog import load_table
     from matrix_multiplication_map_reduce_gcp_spark.similarity import kmeans
 
@@ -145,10 +147,10 @@ def test_assignment_paths_bit_identical(spark):
     rows = sorted(cent_arr.collect(), key=lambda r: r.k)
     via_pandas = {
         (r.vec_id): (r.k, r.dist)
-        for r in kmeans._assign_pandas(qarr, rows).collect()
+        for r in kmeans.assign_arrays(qarr, cent_arr).collect()
     }
     via_fold = {
         (r.vec_id): (r.k, r.dist)
-        for r in kmeans.assign_arrays(qarr, cent_arr).collect()
+        for r in kmeans._assign_fold_literal(qarr, rows).collect()
     }
     assert via_pandas == via_fold
