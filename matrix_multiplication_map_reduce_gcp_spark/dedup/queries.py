@@ -208,11 +208,11 @@ def _emb_bands(spark, sf_dir):
     join back once per SURVIVING candidate pair. At 10^9 vectors this
     is the difference between shuffling ids and shuffling the corpus
     x bands twice."""
-    from ..similarity.lsh import bucket_expr
+    from ..similarity.lsh import bucket_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
-    bkt = e.select("vec_id", "label", bucket_expr(v).alias("bucket"))
+    bkt = e.select("vec_id", "label", bucket_arrow(v).alias("bucket"))
     bands = bkt.select(
         "vec_id",
         "label",

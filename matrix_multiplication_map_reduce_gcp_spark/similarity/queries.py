@@ -762,11 +762,11 @@ def knn_graph(corpus, k: int = KNN_GRAPH_K):
     to size it is one cheap narrow job — the same count any adaptive
     partitioner pays. Spark computes only the `planes` dots it uses
     (bits 0..planes-1 == the oracle's masked 16-plane signature)."""
-    from .lsh import adaptive_planes, bucket_expr, probe_buckets
+    from .lsh import adaptive_planes, bucket_arrow, probe_buckets
 
     planes = adaptive_planes(corpus.count())
     e = corpus.withColumn(
-        "bucket", bucket_expr(as_double_array("embedding"), n_planes=planes)
+        "bucket", bucket_arrow(as_double_array("embedding"), n_planes=planes)
     )
     # Probe/join/dedup on IDS ONLY (the embedding_near_dup_pairs
     # discipline): the 512-byte vectors never ride the 9× probe

@@ -73,16 +73,21 @@ PYTHON_ALLOWED_MODULES = (
 )
 
 # Queries whose plans legitimately contain an ArrowEvalPython node:
-# the Arrow cosine kernel (functions/vectors.py::cosine_arrow) on the
-# candidate-verify stage — bit-identical to the JVM fold (pinned by
-# tests/test_vectors_arrow.py) and Arrow-batched, never row-at-a-time.
-# Adding a name here asserts the Python node is that kernel on a
-# blocked/bounded candidate stream, not arbitrary Python in a scan.
-ARROW_COSINE_ALLOWED = {
+# the Arrow numeric kernels (functions/vectors.py::cosine_arrow on
+# candidate-verify stages; similarity/lsh.py::bucket_arrow on the
+# narrow bucketing pass — r12) — each bit-identical to its JVM fold
+# (pinned by tests/test_vectors_arrow.py) and Arrow-batched, never
+# row-at-a-time. Adding a name here asserts the Python node is one of
+# those kernels on a bounded stream, not arbitrary Python in a scan.
+ARROW_KERNEL_ALLOWED = {
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_capped",
     "semdedup_keep_list",
     "knn_graph_lsh",
+    # bucket_arrow (r12): the LSH bucketing kernel
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
 }
 
 # Queries whose plans legitimately contain a MapInPandas node outside
@@ -121,10 +126,10 @@ def test_no_scale_killers_in_plan(name, spark):
     mod = qd.fn.__module__
     if not mod.startswith(PYTHON_ALLOWED_MODULES):
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
-        if name not in ARROW_COSINE_ALLOWED:
+        if name not in ARROW_KERNEL_ALLOWED:
             assert "ArrowEvalPython" not in plan, (
                 f"{name}: Pandas UDF outside the Pandas operator families "
-                f"and the reviewed Arrow-cosine allow-list"
+                f"and the reviewed Arrow-kernel allow-list"
             )
         if name not in MAP_IN_PANDAS_ALLOWED:
             assert "MapInPandas" not in plan, (

@@ -186,3 +186,44 @@ def test_cosine_arrow_null_semantics_match_fold(spark):
         cosine_rounded_arrow(F.col("a"), F.col("b")) >= -1.0
     ).count()
     assert n == 1
+
+
+def test_bucket_arrow_bit_identical_to_fold(spark):
+    """The r12 LSH bucketing kernel (lsh.bucket_arrow) must produce
+    the IDENTICAL bucket id as the interpreted fold (lsh.bucket_expr)
+    for every row — each plane's dot uses the same IEEE op sequence,
+    so every sign bit agrees. Pinned on adversarial random vectors at
+    both the default and the max plane count, plus the null contract
+    (null array / null element / ragged -> bucket 0 on both paths)."""
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.lsh import (
+        N_PLANES_MAX,
+        bucket_arrow,
+        bucket_expr,
+    )
+
+    df = _pairs_df(spark, n=500)
+    for planes in (8, N_PLANES_MAX):
+        got = df.select(
+            bucket_expr(F.col("a"), n_planes=planes).alias("fold"),
+            bucket_arrow(F.col("a"), n_planes=planes).alias("arrow"),
+        ).collect()
+        assert all(r.fold == r.arrow for r in got), planes
+
+    rows = [
+        (0, [1.0] * 64),          # clean
+        (1, None),                # null array
+        (2, [1.0, None] + [0.0] * 62),  # null element
+        (3, [1.0, 2.0]),          # ragged (dim != 64)
+    ]
+    ndf = spark.createDataFrame(rows, "id long, a array<double>")
+    got = {
+        r.id: (r.fold, r.arrow)
+        for r in ndf.select(
+            "id",
+            bucket_expr(F.col("a")).alias("fold"),
+            bucket_arrow(F.col("a")).alias("arrow"),
+        ).collect()
+    }
+    assert got[0][0] == got[0][1]
+    for i in (1, 2, 3):
+        assert got[i] == (0, 0), (i, got[i])
