@@ -18,13 +18,23 @@ sum of squares, centroid updates are exact floor-mean divisions, and
 seeds are the first K corpus vectors — both engines reproduce the
 codebook, the codes, and every ADC distance bit-for-bit.
 
-Scale shapes:
-- training touches long-form (vec_id, sub, dim, qx) rows with
-  map-side partial aggregation; the codebook (M·K rows) is the only
-  thing the driver loop moves;
-- code ASSIGNMENT is map-only: each (vec_id, sub) subvector row
-  equi-joins the broadcast M-row packed codebook and folds all K
-  candidate distances inside codegen (array_min over structs);
+Scale shapes (r12 revision — guide §1.2: fix the distributed
+algorithm first):
+- TRAINING runs on the driver in NumPy over the COLLECTED bounded
+  sample (TRAIN_SAMPLE=1024 vectors × 64 int64 grid components =
+  512 KB — the faiss/MLlib posture: k-means training state is a
+  small-sample, centroids-in-memory problem; only indexing/search
+  are corpus-scale). The r11 distributed trainer spent 2.5-4 s at
+  sf0.1 in tiny-shuffle/job overhead per bench run — two Lloyd
+  rounds over 16k sample sub-rows cost more in stage scheduling
+  than in arithmetic. All integer ops (bigint squared distances,
+  (dist, k) argmin ties to the lower code, exact floor-mean
+  updates) are reproduced bit-for-bit, so the DuckDB oracle's CTE
+  chain still hash-matches every code.
+- code ASSIGNMENT is one map-only Arrow pass: each corpus vector's
+  M codes come from NumPy int64 GEMMs against the in-closure
+  codebook (kmeans.py::_assign_pandas discipline) — no explode, no
+  join, no shuffle; 16 (vec_id, sub, code) rows emitted per vector.
 - ADC scoring joins the (vec_id, sub, code) code table — the only
   corpus-sized thing that ever shuffles, at ~2 bytes/vector payload —
   against the broadcast per-query distance table on (sub, code);
@@ -37,15 +47,16 @@ quantization.py as the memory-bounded scale path.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import floordiv, sql_floordiv
+from ..functions.exact import sql_floordiv
 from .kmeans import Q, quantized_arrays
 
 N_DIMS = 64
 M = 16  # subspaces
-SUB_DIMS = N_DIMS // M  # 16 dims per subspace
+SUB_DIMS = N_DIMS // M  # 4 dims per subspace
 K_PQ = 16  # centroids per subspace (codes are nibbles)
 PQ_ITERS = 2  # Lloyd rounds per subspace
 # Codebooks are trained on a bounded corpus sample (the first
@@ -55,34 +66,141 @@ PQ_ITERS = 2  # Lloyd rounds per subspace
 TRAIN_SAMPLE = 1024
 
 
-def _sub_rows(e: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv array<bigint>) — quantized subvectors."""
-    qv = quantized_arrays(e)
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(M - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("sub"),
-            F.slice(F.col("qv"), s * SUB_DIMS + 1, SUB_DIMS).alias("sv"),
-        ),
+def _collect_subvectors(e: DataFrame, upto: int):
+    """(ids, V) — vec_id-sorted sample subvectors as int64 arrays:
+    ids shape (n,), V shape (n, M, SUB_DIMS). ONE narrow job over the
+    bounded sample (vec_id < upto); ≤ TRAIN_SAMPLE·64·8 B collected."""
+    rows = (
+        quantized_arrays(e)
+        .filter(F.col("vec_id") < upto)
+        .select("vec_id", "qv")
+        .collect()
     )
-    return qv.select(
-        "vec_id", F.explode(subs).alias("p")
-    ).select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([r.qv for r in rows], dtype=np.int64).reshape(
+        len(rows), M, SUB_DIMS
+    )
+    return ids, V
 
 
-def _packed(cents_long: DataFrame) -> DataFrame:
-    """(sub, cents array<struct<k,cv>>) — k-labeled codebook rows, one
-    per subspace, broadcastable (M rows total). k rides along
-    explicitly so a cluster that empties during training can never
-    silently renumber the codes behind it (array position is NOT the
-    code)."""
-    cv = cents_long.groupBy("sub", "k").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim, c))), t -> t.c)"
-        ).alias("cv")
+def train_codebook_np(e: DataFrame, iters: int = PQ_ITERS):
+    """Driver-side NumPy mirror of the oracle's training CTE chain
+    (sql_pq_ctes): per subspace, ``iters`` Lloyd rounds over the
+    vec_id < TRAIN_SAMPLE sample, seeded from subvectors of corpus
+    vectors 0..K_PQ-1. Returns {sub: (ks int64[k], C int64[k, SUB_DIMS])}
+    with ks ascending — k rides along explicitly so a cluster that
+    empties during training can never silently renumber the codes
+    behind it.
+
+    Bit-exactness: distances are int64 sums of squares (|component| ≤
+    1e6 ⇒ |sq sum| ≪ 2⁶³ — no overflow), argmin takes the FIRST
+    minimum over the k-ascending axis (== the SQL (dist, k)
+    ROW_NUMBER tie-break), and updates are exact floor divisions
+    (Python // == SQL's subtract-mod floor division for any sign)."""
+    ids, V = _collect_subvectors(e, TRAIN_SAMPLE)
+    seed_mask = ids < K_PQ
+    cents = {}
+    for sub in range(M):
+        ks = ids[seed_mask].astype(np.int64)
+        C = V[seed_mask, sub, :].copy()
+        cents[sub] = (ks, C)
+    for _ in range(iters):
+        new_cents = {}
+        for sub in range(M):
+            ks, C = cents[sub]
+            X = V[:, sub, :]  # (n, SUB_DIMS)
+            # ||x - c||² = xx - 2xC' + cc — exact in int64 at grid scale.
+            D = (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            idx = D.argmin(axis=1)  # first min == ties to lower k
+            nk, nC = [], []
+            for j in range(len(ks)):
+                members = X[idx == j]
+                if len(members):
+                    nk.append(int(ks[j]))
+                    # exact floor-mean per dim (SQL floordiv semantics)
+                    nC.append(members.sum(axis=0) // len(members))
+            new_cents[sub] = (
+                np.array(nk, dtype=np.int64),
+                np.array(nC, dtype=np.int64).reshape(len(nk), SUB_DIMS),
+            )
+        cents = new_cents
+    return cents
+
+
+def _assign_codes_np(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, sub, code) — nearest codebook entry per subvector,
+    ties to the lower code, for the FULL corpus: ONE map-only Arrow
+    pass with the codebook in the task closure (no explode, no join,
+    no shuffle — the kmeans.py::_assign_pandas discipline)."""
+    plain = {int(s): (ks.tolist(), C.tolist()) for s, (ks, C) in cents.items()}
+
+    def assign_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        C_by_sub = {
+            s: (_np.array(ks, dtype=_np.int64),
+                _np.array(C, dtype=_np.int64))
+            for s, (ks, C) in plain.items()
+        }
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Vm = _np.array(pdf["qv"].tolist(), dtype=_np.int64).reshape(
+                len(pdf), M, SUB_DIMS
+            )
+            vid = pdf["vec_id"].to_numpy()
+            out_vid = _np.repeat(vid, M)
+            out_sub = _np.tile(_np.arange(M, dtype=_np.int32), len(pdf))
+            out_code = _np.empty((len(pdf), M), dtype=_np.int32)
+            for s in range(M):
+                ks, C = C_by_sub[s]
+                X = Vm[:, s, :]
+                D = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                out_code[:, s] = ks[D.argmin(axis=1)]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": out_vid,
+                    "sub": out_sub,
+                    "code": out_code.reshape(-1),
+                }
+            )
+
+    return quantized_arrays(e).mapInPandas(
+        assign_batches, "vec_id bigint, sub int, code int"
     )
-    return cv.groupBy("sub").agg(
-        F.expr("array_sort(collect_list(struct(k, cv)))").alias("cents")
+
+
+def pq_codes(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
+    """(vec_id, sub, code) — the 2-byte/vector PQ index."""
+    return _assign_codes_np(e, train_codebook_np(e, iters))
+
+
+def _dtab_df(e: DataFrame, cents, n_queries: int) -> DataFrame:
+    """Per-query distance table (query_id, sub, code, pd) — n_queries
+    × M × K exact int64 entries, computed driver-side from the
+    collected query vectors (n_queries ≤ a few; the table is what the
+    r11 path also broadcast) and shipped as a literal DataFrame."""
+    qids, QV = _collect_subvectors(e, n_queries)
+    rows = []
+    for i, qid in enumerate(qids.tolist()):
+        for s in range(M):
+            ks, C = cents[s]
+            x = QV[i, s, :]
+            d = ((x[None, :] - C) ** 2).sum(axis=1)
+            for j in range(len(ks)):
+                rows.append((int(qid), s, int(ks[j]), int(d[j])))
+    return e.sparkSession.createDataFrame(
+        rows, "query_id bigint, sub int, code int, pd bigint"
     )
 
 
@@ -94,63 +212,6 @@ def _sqdist(a, b):
     )
 
 
-def _assign_codes(sub_rows: DataFrame, packed: DataFrame) -> DataFrame:
-    """(vec_id, sub, code, dist) — nearest codebook entry per
-    subvector, ties to the lower code. Map-only: 1:1 equi-join with
-    the broadcast M-row packed codebook, K-candidate fold in codegen."""
-    cands = F.transform(
-        F.col("cents"),
-        lambda p: F.struct(
-            _sqdist(F.col("sv"), p["cv"]).alias("dist"),
-            p["k"].cast("int").alias("code"),
-        ),
-    )
-    best = F.array_min(cands)
-    return sub_rows.join(F.broadcast(packed), "sub").select(
-        "vec_id",
-        "sub",
-        best["code"].alias("code"),
-        best["dist"].alias("dist"),
-    )
-
-
-def train_codebook(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
-    """(sub, k, dim, c) — PQ codebook after ``iters`` Lloyd rounds per
-    subspace, trained on the first TRAIN_SAMPLE corpus vectors. dim is
-    LOCAL to the subspace (0..SUB_DIMS-1). Seeds: subvectors of corpus
-    vectors 0..K_PQ-1."""
-    sub_rows = _sub_rows(e.filter(F.col("vec_id") < TRAIN_SAMPLE))
-    q = sub_rows.select(
-        "vec_id", "sub", F.posexplode("sv").alias("dim", "qx")
-    )
-    cents = q.filter(F.col("vec_id") < K_PQ).select(
-        "sub", F.col("vec_id").cast("int").alias("k"), "dim", F.col("qx").alias("c")
-    )
-    for _ in range(iters):
-        codes = _assign_codes(sub_rows, _packed(cents))
-        s = F.sum("qx")
-        n = F.count("*")
-        cents = (
-            q.join(codes.select("vec_id", "sub", "code"), ["vec_id", "sub"])
-            .groupBy("sub", F.col("code").alias("k"), "dim")
-            .agg(floordiv(s, n).alias("c"))
-            # The codebook is M·K·SUB_DIMS rows (tiny). Materialize it
-            # per round — downstream consumers (codes, dtab, rerank)
-            # would otherwise re-execute the whole training lineage
-            # once EACH (same driver-loop posture as dedup/clusters.py).
-            .localCheckpoint(eager=True)
-        )
-    return cents
-
-
-def pq_codes(e: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
-    """(vec_id, sub, code) — the 2-byte/vector PQ index."""
-    cents = train_codebook(e, iters)
-    return _assign_codes(_sub_rows(e), _packed(cents)).select(
-        "vec_id", "sub", "code"
-    )
-
-
 def adc_topk(
     e: DataFrame, n_queries: int, k: int, iters: int = PQ_ITERS
 ) -> DataFrame:
@@ -158,27 +219,9 @@ def adc_topk(
     PQ distance for query vectors vec_id < n_queries (self excluded)."""
     from pyspark.sql import Window as W
 
-    cents = train_codebook(e, iters)
-    codes = _assign_codes(_sub_rows(e), _packed(cents)).select(
-        "vec_id", "sub", "code"
-    )
-    # Per-query distance table: n_queries × M × K exact entries.
-    dtab = (
-        _sub_rows(e.filter(F.col("vec_id") < n_queries))
-        .join(F.broadcast(_packed(cents)), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub",
-            F.explode("cents").alias("p"),
-            F.col("sv"),
-        )
-        .select(
-            "query_id",
-            "sub",
-            F.col("p.k").cast("int").alias("code"),
-            _sqdist(F.col("sv"), F.col("p.cv")).alias("pd"),
-        )
-    )
+    cents = train_codebook_np(e, iters)
+    codes = _assign_codes_np(e, cents)
+    dtab = _dtab_df(e, cents, n_queries)
     scored = (
         codes.join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -303,26 +346,9 @@ def ivfpq_topk(
     )
     cand = cells.join(F.broadcast(probe), "cell").select("query_id", "vec_id")
 
-    cents = train_codebook(e, iters)
-    codes = _assign_codes(_sub_rows(e), _packed(cents)).select(
-        "vec_id", "sub", "code"
-    )
-    dtab = (
-        _sub_rows(e.filter(F.col("vec_id") < n_queries))
-        .join(F.broadcast(_packed(cents)), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub",
-            F.explode("cents").alias("p"),
-            F.col("sv"),
-        )
-        .select(
-            "query_id",
-            "sub",
-            F.col("p.k").cast("int").alias("code"),
-            _sqdist(F.col("sv"), F.col("p.cv")).alias("pd"),
-        )
-    )
+    cents = train_codebook_np(e, iters)
+    codes = _assign_codes_np(e, cents)
+    dtab = _dtab_df(e, cents, n_queries)
     adc = (
         codes.join(cand, "vec_id")
         .filter(F.col("vec_id") != F.col("query_id"))

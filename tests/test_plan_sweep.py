@@ -104,6 +104,14 @@ MAP_IN_PANDAS_ALLOWED = {
     "kmeans_centroids",
     "semdedup_keep_list",
     "embedding_prototypicality",
+    # PQ code assignment (pq.py::_assign_codes_np — r12): one map-only
+    # Arrow pass with the driver-trained bounded-sample codebook in
+    # the task closure; int64 GEMMs, bit-identical to the oracle's
+    # CTE chain (hash-checked at 3 SFs).
+    "pq_codes",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
 }
 
 SWEEP = sorted(n for n in Q if not n.startswith("stream_"))

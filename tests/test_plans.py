@@ -84,8 +84,13 @@ def test_r2_operators_broadcast_small_sides(spark):
 
 
 def test_pq_plans_broadcast_only(spark):
-    """PQ training/assignment/ADC must be broadcast-hash-join shaped
-    end to end: the corpus never cross-joins and never leaves the JVM."""
+    """PQ assignment/ADC plan shape (r12): code assignment is ONE
+    map-only Arrow pass (MapInPandas — the codebook rides the task
+    closure, trained driver-side on the bounded TRAIN_SAMPLE), so the
+    corpus never cross-joins, never shuffles for indexing, and the
+    only join anywhere is the ADC stage's broadcast of the per-query
+    distance table (BroadcastHashJoin) — pq_codes itself has NO join
+    node at all. No row-at-a-time Python anywhere."""
     for name in ("pq_codes", "ann_pq_adc_topk", "ann_pq_rerank_topk",
                  "ann_ivfpq_topk"):
         plan = executed_plan(Q[name].fn(spark, SF_SMOKE))
@@ -95,8 +100,12 @@ def test_pq_plans_broadcast_only(spark):
             # 16-row centroid table (ivf.assign_cells's shape) —
             # a scalar-sized BNLJ build side, not a data product.
             assert "BroadcastNestedLoop" not in plan, name
-        assert "BroadcastHashJoin" in plan, name
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" in plan, name
+        if name == "pq_codes":
+            assert "Join" not in plan, name  # indexing is join-free
+        else:
+            assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_ann_recall_report_broadcasts_queries(spark):
