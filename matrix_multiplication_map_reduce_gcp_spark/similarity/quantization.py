@@ -91,6 +91,73 @@ def int_dot(a, b):
     )
 
 
+def sq8_scored_arrow(e: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, neighbor_id, qdot) — every corpus vector scored
+    against the n_queries query set by exact int8-code dot product, as
+    ONE map-only Arrow pass (r12, guide §4.2).
+
+    The r11 shape evaluated code_arrays in two plan branches (each
+    re-running the interpreted normalize fold + the scale agg) and
+    scored 64-dim int_dot folds per pair in a broadcast
+
+    nested-loop; this pass collects the one-row scale and the
+    n_queries raw vectors driver-side (two narrow jobs over bounded
+    data), then per Arrow batch re-derives codes with the IDENTICAL
+    IEEE op sequence — seqsum-of-squares norm in index order,
+    x/nrm, (nv/s)*128, floor, clamp 127 — and one int64 GEMM for all
+    dots. Integer dots are order-independent, so results are
+    bit-identical to the fold path (the oracle recomputes everything
+    in SQL and hash-checks it)."""
+    s = float(_scale(e).collect()[0]["s"])
+    qrows = sorted(
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    qvecs = [list(r.v) for r in qrows]
+    half = HALF_LEVELS
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        def codes_of(A):
+            P = A * A
+            acc = np.zeros(len(A), dtype=np.float64)
+            for i in range(A.shape[1]):  # seqsum: the fold's order
+                acc = acc + P[:, i]
+            nv = A / np.sqrt(acc)[:, None]
+            return np.minimum(
+                np.floor(nv / s * half), float(half - 1)
+            ).astype(np.int64)
+
+        Qc = codes_of(np.array(qvecs, dtype=np.float64))
+        qid = np.array(qids, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf["v"].tolist(), dtype=np.float64)
+            D = codes_of(A) @ Qc.T  # (m, nq) exact int64 dots
+            nid = pdf["vec_id"].to_numpy()
+            m, nq = D.shape
+            out_q = np.tile(qid, m)
+            out_n = np.repeat(nid, nq)
+            mask = out_q != out_n
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[mask],
+                    "neighbor_id": out_n[mask],
+                    "qdot": D.reshape(-1)[mask],
+                }
+            )
+
+    return e.select("vec_id", as_double_array("embedding").alias("v")).mapInPandas(
+        op, "query_id bigint, neighbor_id bigint, qdot bigint"
+    )
+
+
 def sql_code_rows() -> str:
     """DuckDB mirror of :func:`code_rows` (CTE body)."""
     nv = (

@@ -277,34 +277,23 @@ def embedding_sq8_codes(spark, sf_dir):
 )
 def ann_sq8_topk(spark, sf_dir):
     """ANN top-10 by symmetric-int8 quantized dot product over
-    NORMALIZED vectors: queries broadcast against the corpus, scored
-    with bigint multiply-adds (zip_with + fold — order-independent,
-    unlike float dots, so no rounding is needed anywhere). The corpus
-    never shuffles; at scale this is the cheap first pass whose
-    candidates exact float rescoring then reranks
-    (test_quality_gates pins recall vs ann_brute_force_topk). The
-    oracle recomputes codes and dots from scratch in SQL — the whole
-    normalize→quantize→score→rank pipeline is hash-checked."""
+    NORMALIZED vectors, scored in ONE map-only Arrow pass (r12,
+    quantization.py::sq8_scored_arrow): the bounded query set's raw
+    vectors and the one-row scale are collected driver-side, codes
+    are re-derived per Arrow batch with the identical IEEE op
+    sequence, and all dots are one exact int64 GEMM. The corpus never
+    shuffles (the r11 shape additionally re-ran the normalize fold in
+    two plan branches and paid an interpreted 64-dim fold per pair);
+    at scale this is the cheap first pass whose candidates exact
+    float rescoring then reranks (test_quality_gates pins recall vs
+    ann_brute_force_topk). The oracle recomputes codes and dots from
+    scratch in SQL — the whole normalize→quantize→score→rank
+    pipeline is hash-checked."""
     from .brute_force import rank_topk
-    from .quantization import code_arrays, int_dot
+    from .quantization import sq8_scored_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
-    arr = code_arrays(e)
-    q = arr.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
-    )
-    c = arr.select(F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("cc"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            int_dot(F.col("qc"), F.col("cc")).alias("qdot"),
-        )
-    )
-    return rank_topk(scored, TOP_K, score_col="qdot")
+    return rank_topk(sq8_scored_arrow(e, N_QUERIES), TOP_K, score_col="qdot")
 
 
 @query(

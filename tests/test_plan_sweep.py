@@ -48,7 +48,6 @@ BNLJ_ALLOWED = {
     # kmeans_assignments / kmeans_centroids: removed r4 — centroids
     # now ride the plan as literals (kmeans.py::_cent_literal_rows), so
     # assignment has no join node at all.
-    "ann_sq8_topk",  # broadcast 1-row quantizer scalar + query set
     "embedding_sq8_codes",  # broadcast 1-row quantizer scalar
     "skew_salted_hot_key_join",  # broadcast salt-range literal
     "lang_id_stopwords",  # broadcast ~3-row language/stopword list
@@ -112,6 +111,11 @@ MAP_IN_PANDAS_ALLOWED = {
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_ivfpq_topk",
+    # SQ8 fused normalize→code→dot pass (quantization.py::
+    # sq8_scored_arrow — r12): bounded query set + one-row scale in
+    # the closure, exact int64 GEMM dots; left BNLJ_ALLOWED because
+    # its plan no longer has any join at all.
+    "ann_sq8_topk",
 }
 
 SWEEP = sorted(n for n in Q if not n.startswith("stream_"))
