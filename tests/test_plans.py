@@ -507,16 +507,30 @@ def test_mrl_recall_broadcasts_queries_single_corpus_scan(spark):
 
 
 def test_bpe_trainer_stays_jvm_and_broadcasts_winners(spark):
-    """The 3-round BPE trainer: winner selection is a 1-row
-    TakeOrderedAndProject that rejoins as a BROADCAST (never a
-    collect, never a CartesianProduct of corpus rows), the pair
-    aggregation is a plain alphabet^2-bounded hash shuffle, and the
-    whole plan stays JVM-side (no Python evaluators)."""
-    plan = executed_plan(Q["bpe_train_merges"].fn(spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
+    """The 3-round BPE trainer (r12 word-frequency form): each
+    round's 1-row winner is a TakeOrderedAndProject materialized by a
+    localCheckpoint (still a distributed plan — never a collect) and
+    rejoins as a BROADCAST; the pair aggregation is a plain
+    alphabet^2-bounded hash shuffle; the whole thing stays JVM-side
+    (no Python evaluators). The winner selection runs inside the
+    per-iteration checkpoint jobs, so the FINAL union plan shows the
+    checkpointed 1-row scans plus their broadcast rejoins against the
+    token-total scalars."""
+    from matrix_multiplication_map_reduce_gcp_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = Q["bpe_train_merges"].fn(spark, SF_SMOKE)
+    plan = executed_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row winner rejoin
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row winner x stats rejoin
     assert "Python" not in plan
+    # No driver-side selection anywhere: the winner rows reach the
+    # final plan as checkpointed RDD scans (one per merge round).
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    # And the trainer's output is still the learned 3 rows.
+    assert df.count() == 3
+    assert "Python" not in formatted_plan(df)
 
 
 def test_zorder_plan_is_codegen_single_shuffle(spark):
