@@ -366,36 +366,58 @@ def market_basket_pairs(spark, sf_dir):
     """Frequent co-purchased part pairs with lift — the A-priori first
     pass as one co-partitioned self-join.
 
-    Scale shape: (1) the frequent-ITEM prune runs before the quadratic
-    step, so the self-join only sees items that can possibly form a
-    frequent pair (the A-priori downward-closure bound); (2) the item
-    dictionary is |parts| rows — broadcast, so pruning is map-side;
-    (3) the pair blow-up is per-order C(k,2) with k = basket size
-    (bounded small in order data), and both join sides share one
-    shuffle on l_orderkey; (4) item supports ride the pair rows as two
-    ints (MIN-folded), so lift needs no second join against the counts.
-    """
-    li = (
+    Scale shape (r12 — basket arrays instead of a self-join): (1) ONE
+    collect_set shuffle keyed by order folds lineitem to per-order
+    part baskets (map-side partial agg replaces the r11 distinct
+    shuffle; the r11 plan additionally duplicated the whole
+    distinct→count→prune chain under BOTH self-join sides — 26
+    Exchanges pre-AQE); the checkpointed basket table then feeds the
+    item counts, the order total, and the pair stage without replay.
+    (2) The frequent-ITEM prune still runs before the quadratic step
+    (A-priori downward closure) as a broadcast of the |parts|-row
+    dictionary. (3) The pair blow-up is per-order C(k,2) with k =
+    basket size (bounded small in order data) and happens MAP-SIDE as
+    an array transform — no join. (4) Item supports ride the pair
+    rows as two ints (MIN-folded), so lift needs no second join
+    against the counts."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("s"))
+        .localCheckpoint(eager=True)
     )
-    items = li.groupBy("l_partkey").agg(F.count("*").alias("item_orders"))
+    items = (
+        baskets.select(F.explode("s").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("item_orders"))
+    )
     freq = items.filter(F.col("item_orders") >= ITEM_MIN_ORDERS)
-    fb = li.join(F.broadcast(freq), "l_partkey")
-    a = fb.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_a"),
-        F.col("item_orders").alias("ia"),
-    )
-    b = fb.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_b"),
-        F.col("item_orders").alias("ib"),
+    fb = (
+        baskets.select("l_orderkey", F.explode("s").alias("l_partkey"))
+        .join(F.broadcast(freq), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_partkey").alias("p"),
+                    F.col("item_orders").alias("io"),
+                )
+            ).alias("fs")
+        )
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        fb.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fs, x -> transform("
+                    "filter(fs, y -> y.p > x.p), "
+                    "y -> struct(x.p AS part_a, y.p AS part_b, "
+                    "x.io AS ia, y.io AS ib))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b", "pr.ia", "pr.ib")
         .groupBy("part_a", "part_b")
         .agg(
             F.count("*").alias("pair_orders"),
@@ -404,7 +426,7 @@ def market_basket_pairs(spark, sf_dir):
         )
         .filter(F.col("pair_orders") >= PAIR_MIN_ORDERS)
     )
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    tot = baskets.agg(F.count("*").alias("n_orders"))
     return pairs.crossJoin(F.broadcast(tot)).select(
         "part_a",
         "part_b",

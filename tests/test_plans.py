@@ -194,13 +194,15 @@ def test_no_python_udfs_in_relational_paths(spark):
 def test_market_basket_prune_broadcasts(spark):
     """The A-priori frequent-item prune must reach the basket rows as
     a BROADCAST hash join (map-side), and the quadratic pair step must
-    be an EQUI-join on the basket key — never a cartesian. (At the
-    smoke SF, AQE legitimately broadcasts the tiny pair join too, so
-    the pin is equi-join-on-l_orderkey, not the physical strategy.)"""
+    be MAP-SIDE (r12: an array transform over the per-order frequent
+    baskets — no join at all; the r11 self-join duplicated the whole
+    distinct->count->prune chain under both sides, 26 Exchanges) —
+    never a cartesian, and the only remaining joins are the broadcast
+    prune and the 1-row total rejoin."""
     plan = executed_plan(Q["market_basket_pairs"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "Join [l_orderkey" in plan  # the pair step keyed on the basket
+    assert "Generate explode" in plan  # the map-side pair explode
 
 
 def test_incident_interval_join_is_equi(spark):
