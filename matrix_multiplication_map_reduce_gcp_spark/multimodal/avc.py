@@ -109,6 +109,7 @@ _CF = np.array(
 
 # 4x4 zigzag scan (8.5.6 inverse scanning order)
 ZIGZAG4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+_ZIGZAG4_ARR = np.array(ZIGZAG4, dtype=np.int64)
 
 # Intra_4x4 prediction mode names (8.3.1.2.1-5)
 VERT, HOR, DC, DDL, DDR = 0, 1, 2, 3, 4
@@ -128,19 +129,32 @@ def forward_transform_quant(res: np.ndarray, qp: int) -> np.ndarray:
 
 def dequant_inverse_transform(z: np.ndarray, qp: int) -> np.ndarray:
     """Rescale W' = Z * V * 2^(qP//6), then the spec's inverse
-    butterflies (with c>>1 half values) and (x + 32) >> 6."""
+    butterflies (with c>>1 half values) and (x + 32) >> 6.
+
+    (r12: the butterfly intermediates land in preallocated arrays
+    instead of np.stack — two stack calls were ~half this function's
+    wall at 4x4 geometry; the arithmetic, order and integer semantics
+    are unchanged.)"""
     w = z.astype(np.int64) * V[qp % 6] * (1 << (qp // 6))
     # horizontal (rows), then vertical (columns) — 8.5.12.2
     e0 = w[:, 0] + w[:, 2]
     e1 = w[:, 0] - w[:, 2]
     e2 = (w[:, 1] >> 1) - w[:, 3]
     e3 = w[:, 1] + (w[:, 3] >> 1)
-    h = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    h = np.empty((B, B), dtype=np.int64)
+    h[:, 0] = e0 + e3
+    h[:, 1] = e1 + e2
+    h[:, 2] = e1 - e2
+    h[:, 3] = e0 - e3
     e0 = h[0, :] + h[2, :]
     e1 = h[0, :] - h[2, :]
     e2 = (h[1, :] >> 1) - h[3, :]
     e3 = h[1, :] + (h[3, :] >> 1)
-    out = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=0)
+    out = np.empty((B, B), dtype=np.int64)
+    out[0, :] = e0 + e3
+    out[1, :] = e1 + e2
+    out[2, :] = e1 - e2
+    out[3, :] = e0 - e3
     return (out + 32) >> 6
 
 
@@ -159,11 +173,11 @@ def predict_4x4(
     if mode == VERT:
         if top is None:
             raise ValueError("AVC1: vertical prediction without top")
-        return np.tile(top, (B, 1))
+        return np.broadcast_to(top, (B, B))
     if mode == HOR:
         if left is None:
             raise ValueError("AVC1: horizontal prediction without left")
-        return np.tile(left[:, None], (1, B))
+        return np.broadcast_to(left[:, None], (B, B))
     if mode == DC:
         if top is not None and left is not None:
             v = (int(top.sum()) + int(left.sum()) + 4) >> 3
@@ -180,38 +194,45 @@ def predict_4x4(
         if topright is None:
             topright = np.full(B, int(top[3]), dtype=np.int64)
         a = np.concatenate([top, topright]).astype(np.int64)
-        p = np.empty((B, B), dtype=np.int64)
-        for y in range(B):
-            for x in range(B):
-                if x == 3 and y == 3:
-                    p[y, x] = (a[6] + 3 * a[7] + 2) >> 2
-                else:
-                    k = x + y
-                    p[y, x] = (a[k] + 2 * a[k + 1] + a[k + 2] + 2) >> 2
+        # Vectorized 8.3.1.2.4: p[y,x] = (a[k] + 2a[k+1] + a[k+2] + 2)>>2
+        # with k = x+y, except (3,3) = (a[6] + 3a[7] + 2)>>2 — the
+        # same 16 integers the spec's per-sample loop produces (r12:
+        # one gather instead of a 16-iteration Python loop).
+        p = (a[_DDL_K] + 2 * a[_DDL_K + 1] + a[_DDL_K2] + 2) >> 2
+        p[3, 3] = (a[6] + 3 * a[7] + 2) >> 2
         return p
     if mode == DDR:
         if top is None or left is None or topleft is None:
             raise ValueError("AVC1: diagonal-down-right without corner")
-        a = top.astype(np.int64)
-        l = left.astype(np.int64)
-        m = int(topleft)
-        p = np.empty((B, B), dtype=np.int64)
-        for y in range(B):
-            for x in range(B):
-                if x > y:
-                    k = x - y
-                    p0 = m if k - 2 < 0 else a[k - 2]
-                    p1 = m if k - 1 < 0 else a[k - 1]
-                    p[y, x] = (p0 + 2 * p1 + a[k] + 2) >> 2
-                elif x < y:
-                    k = y - x
-                    p0 = m if k - 2 < 0 else l[k - 2]
-                    p1 = m if k - 1 < 0 else l[k - 1]
-                    p[y, x] = (p0 + 2 * p1 + l[k] + 2) >> 2
-                else:
-                    p[y, x] = (a[0] + 2 * m + l[0] + 2) >> 2
+        # Vectorized 8.3.1.2.5 over the spec's three regions via one
+        # gather from the unified sample line
+        # s = [l[3], l[2], l[1], l[0], m, a[0], a[1], a[2], a[3]]:
+        # above-diagonal (x>y, k=x-y):   (s[k+2] + 2s[k+3] + s[k+4] + 2)>>2
+        # below-diagonal (x<y, k=y-x):   (s[-k+6-4] ...) — same line
+        # mirrored; diagonal (x==y):     (a[0] + 2m + l[0] + 2)>>2.
+        # _DDR_I encodes exactly those indices, so the 16 integers
+        # match the per-sample loop bit for bit.
+        s = np.empty(9, dtype=np.int64)
+        s[0:4] = left[::-1]
+        s[4] = int(topleft)
+        s[5:9] = top
+        p = (s[_DDR_I] + 2 * s[_DDR_I + 1] + s[_DDR_I + 2] + 2) >> 2
         return p
     raise ValueError(f"AVC1: unknown intra mode {mode}")
+
+
+# Precomputed gather indices for the vectorized DDL/DDR predictors.
+# DDL: k = x + y (k+2 capped at 7 only matters for (3,3), overwritten).
+_DDL_K = np.add.outer(np.arange(B), np.arange(B))
+_DDL_K2 = np.minimum(_DDL_K + 2, 7)
+# DDR over s = [l3, l2, l1, l0, m, a0, a1, a2, a3] (index 4 = corner):
+# p[y,x] = (s[i] + 2*s[i+1] + s[i+2] + 2) >> 2 with i = 3 + x - y, so
+# x==y hits the spec's diagonal triple (l0, m, a0); x>y with k=x-y
+# hits (m if k<2 else a[k-2], m if k<1 else a[k-1], a[k]) — the
+# boundary-m substitutions fall out of the line layout — and x<y
+# mirrors it over the left samples. The three-term sum is symmetric,
+# so each gathered triple equals the per-sample loop's bit for bit.
+_DDR_I = 3 + np.subtract.outer(-np.arange(B), -np.arange(B))
 
 
 def _available_modes(has_top: bool, has_left: bool) -> list:
@@ -282,8 +303,8 @@ def _decode_mode(br: _BitReader, pred_mode: int) -> int:
 def _code_residual(bw: _BitWriter, z: np.ndarray) -> None:
     """Zigzag run-level residual over Exp-Golomb: ue(n_nonzero), then
     per coefficient ue(zero run before it) + se(level)."""
-    zz = z.ravel()[list(ZIGZAG4)]
-    nz = [(k, int(v)) for k, v in enumerate(zz) if v]
+    zz = z.ravel()[_ZIGZAG4_ARR]
+    nz = [(k, int(v)) for k, v in enumerate(zz.tolist()) if v]
     ue_encode(bw, len(nz))
     last = -1
     for k, v in nz:
@@ -308,7 +329,7 @@ def _decode_residual(br: _BitReader) -> np.ndarray:
             raise ValueError("corrupt AVC1: zero level coded as nonzero")
         zz[k] = v
     out = np.zeros(B * B, dtype=np.int64)
-    out[list(ZIGZAG4)] = zz
+    out[_ZIGZAG4_ARR] = zz
     return out.reshape(B, B)
 
 
