@@ -919,18 +919,29 @@ def rewrite_orders_layouts(spark, sf_dir, root):
         "zorder": F.shiftright("morton", 10).cast("int"),
         "datesort": F.shiftright("k2", 2).cast("int"),
     }
-    out = {}
+    # r12: BOTH rewrites in ONE write job — union the two layouts
+    # under a `layout` partition column and shuffle once on
+    # (layout, zbucket), halving the job/commit count (the commit of
+    # 64 tiny partition dirs was a fixed per-job cost as large as the
+    # data write at this geometry). Still exactly one data file per
+    # (layout, zbucket): partitionBy splits each task's rows per
+    # directory, exactly as the two separate writes did.
+    both = None
     for layout, bucket in layouts.items():
-        path = f"{root}/{layout}"
-        (
-            keys.withColumn("zbucket", bucket)
-            .repartition(64, "zbucket")
-            .write.partitionBy("zbucket")
-            .mode("overwrite")
-            .parquet(path)
+        part = keys.withColumn("zbucket", bucket).withColumn(
+            "layout", F.lit(layout)
         )
-        out[layout] = spark.read.parquet(path)
-    return out
+        both = part if both is None else both.unionAll(part)
+    (
+        both.repartition(64, "layout", "zbucket")
+        .write.partitionBy("layout", "zbucket")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    return {
+        layout: spark.read.parquet(f"{root}/layout={layout}")
+        for layout in layouts
+    }
 
 
 @query(

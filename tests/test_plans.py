@@ -585,6 +585,8 @@ def test_zorder_execute_reread_pushes_filters(spark, tmp_path):
     assert has_pushed_filters(
         probe, "GreaterThanOrEqual(k1,32)", "LessThanOrEqual(k1,47)"
     )
-    for d in glob.glob(str(tmp_path / "zorder" / "zbucket=*")):
+    dirs = glob.glob(str(tmp_path / "layout=*" / "zbucket=*"))
+    assert dirs, "r12 single-write layout dirs missing"
+    for d in dirs:
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, d
