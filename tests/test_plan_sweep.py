@@ -87,6 +87,7 @@ ARROW_KERNEL_ALLOWED = {
     "ann_lsh_buckets",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
+    "ann_recall_report",  # its approximate side is the bucketized path
 }
 
 # Queries whose plans legitimately contain a MapInPandas node outside
