@@ -64,54 +64,30 @@ def block_multiply(a: CooMatrix, b: CooMatrix, block_size: int = 16) -> CooMatri
         )
 
     def pack(df, row, col, bs):
-        """(block_r, block_c, positions[], values[]) per block, via an
-        applyInArrow kernel (r12). The r11 form aggregated
-        collect_list(struct(p, v)) + sort_array JVM-side — at
-        n=4000/bs=500 that is 16M UnsafeRow structs of aggregation
-        state plus 250k-element array sorts per block, the exact heap
-        debt the fresh-JVM reps kept attributing 3-11 s of GC to.
-        Here the same entry rows shuffle once (identical bytes) but
-        land in Arrow buffers; numpy lexsorts (p primary, v secondary
-        — the same order struct sort_array produced, so downstream
-        duplicate-position sums stay deterministic for ANY input) and
-        the arrays go back out as two zero-copy ListArrays. NB:
-        densifying JVM-side via a map + element_at lookup is a trap —
-        Catalyst maps are scan-on-access, making that O(bs^4) per
-        block."""
+        """(block_r, block_c, positions[], values[]) per block. The two
+        arrays are projected from ONE sorted struct array so they stay
+        aligned; the Python kernel scatters them with numpy fancy
+        indexing (C speed). This is the JVM collect_list(struct) +
+        sort_array form: collect_list is partial-aggregatable, so entry
+        rows are packed into per-block partials MAP-SIDE and every
+        Exchange moves block rows, never entry rows — the 100 TB
+        contract pinned by test_summa_block_plan_shuffles_block_rows_
+        only. (An r12 applyInArrow densify traded that for lower GC and
+        lost ~3× wall on the 4000² bench at both core counts — reverted
+        r13; see OPTIMIZATION_r13.md.) NB: densifying JVM-side via a
+        map + element_at lookup is a trap — Catalyst maps are
+        scan-on-access, making that O(bs^4) per block."""
         pos = (F.col(row) % bs).cast("int") * bs + (F.col(col) % bs).cast("int")
-
-        def densify(key, tbl):
-            import numpy as np
-            import pyarrow as pa
-
-            p = tbl.column("p").to_numpy(zero_copy_only=False)
-            v = tbl.column("v").to_numpy(zero_copy_only=False)
-            order = np.lexsort((v, p))
-            ps = p[order]
-            vs = v[order]
-            n = len(ps)
-            offs = pa.array([0, n], pa.int32())
-            return pa.Table.from_arrays(
-                [
-                    pa.array([key[0]], pa.int64()),
-                    pa.array([key[1]], pa.int64()),
-                    pa.ListArray.from_arrays(offs, pa.array(ps, pa.int32())),
-                    pa.ListArray.from_arrays(offs, pa.array(vs, pa.float64())),
-                ],
-                ["br", "bc", "ps", "vs"],
-            )
-
-        return (
-            df.select(
-                (F.col(row) / bs).cast("long").alias("br"),
-                (F.col(col) / bs).cast("long").alias("bc"),
-                pos.alias("p"),
-                F.col("v"),
-            )
-            .groupBy("br", "bc")
-            .applyInArrow(
-                densify, "br long, bc long, ps array<int>, vs array<double>"
-            )
+        grouped = df.groupBy(
+            (F.col(row) / bs).cast("long").alias("br"),
+            (F.col(col) / bs).cast("long").alias("bc"),
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct(pos.alias("p"), F.col("v")))
+            ).alias("cells")
+        )
+        return grouped.select(
+            "br", "bc", F.col("cells.p").alias("ps"), F.col("cells.v").alias("vs")
         )
 
     a_blocks = pack(a.with_names("i", "j").df, "i", "j", bs)
