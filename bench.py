@@ -224,6 +224,43 @@ def gen_matrix(spark, n: int, seed: int) -> CooMatrix:
     return CooMatrix(df, n, n)
 
 
+# The driver records the LAST line of a 2000-char tail of merged
+# stdout+stderr. Everything emitted must fit that window.
+DRIVER_TAIL_CHARS = 2000
+# The degradation backstop may only fire when the line TRULY cannot
+# fit the tail window (ADVICE r12: the old >=1900 trigger sat INSIDE
+# the supported worst-case projection of 1916-1946 chars, so it would
+# have dropped every `queries` entry — the exact contract regression
+# it existed to prevent). 5 chars of margin cover the trailing newline
+# in the driver's tail slice.
+LINE_HARD_BUDGET = DRIVER_TAIL_CHARS - 5
+
+
+def compact_line(compact: dict) -> str:
+    """Serialize the compact stdout record, degrading gracefully so the
+    driver can ALWAYS parse a record and `queries` entries survive in
+    every supported case:
+
+      1. full record (the normal path — worst-case 66-entry projection
+         is ~1946 chars with the canary pair, under LINE_HARD_BUDGET);
+      2. if that truly cannot fit the tail window, drop the `canary`
+         pair first (session-era metadata, duplicated in the full
+         artifact) — `queries` is the driver contract and survives;
+      3. only if the line STILL cannot fit (every query ≥1000 s — a
+         failed round regardless), drop the per-query map rather than
+         emit an unparseable record; it lives in the full artifact.
+    """
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) < LINE_HARD_BUDGET:
+        return line
+    slim = {k: v for k, v in compact.items() if k != "canary"}
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) < LINE_HARD_BUDGET:
+        return line
+    slim.pop("queries", None)  # pragma: no cover — beyond-catastrophic
+    return json.dumps(slim, separators=(",", ":"))
+
+
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -665,6 +702,15 @@ def main() -> None:
         # Raw per-repetition walls for the median-of-3 queries — the
         # committed evidence that adjudicates round-over-round deltas.
         record["repetitions"] = repetitions
+        # Per-query max/median rep spread (VERDICT r12 #2/#4): the r12
+        # driver runs carried host-steal stalls (single reps of 28-143 s
+        # beside 2-4 s neighbours) that PERF could not distinguish from
+        # code regressions. A spread ≥~3 marks that query's median as
+        # era-contaminated evidence.
+        record["rep_spread"] = {
+            n: round(max(w) / max(sorted(w)[len(w) // 2], 1e-9), 2)
+            for n, w in repetitions.items()
+        }
     if gc_attrib:
         # Per-rep in-rep JVM GC milliseconds for the gc-hygiene'd
         # entries (the block matmuls): a slow rep with high gc_ms is
@@ -733,25 +779,30 @@ def main() -> None:
     # which move to the full record (bench_artifacts/bench_full_
     # <mode>_sf<sf>.json, the fixed convention the drift tooling
     # reads). Worst-case projection at 66 entries, every value 99.9:
-    # 1916 chars < 1950 budget < the driver's 2000-char tail window
-    # (a single query ≥100 s would be a failed round regardless).
+    # 1916 chars + the 22-char r13 canary pair = ~1938 < 1950 budget <
+    # the driver's 2000-char tail window (a single query ≥100 s would
+    # be a failed round regardless). compact_line() owns the
+    # degradation ladder beyond that (canary first, queries last).
     compact = {
         "metric": record["metric"],
         "value": record["value"],
         "unit": "sec",
         "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
+        # Stall discriminator (VERDICT r12 #2): pricing_summary's wall
+        # at session start and end (~22 chars). Cross-round, the start
+        # value isolates environment-era drift from code; within one
+        # run, end≫start or start≫end flags host-steal contamination of
+        # THIS record. Full 5-query canary pairs stay in the artifact.
+        "canary": [
+            round(canary_start.get("pricing_summary", -1.0), 2),
+            round(canary_end.get("pricing_summary", -1.0), 2),
+        ],
     }
     if errors:
         compact["partial"] = True
         compact["n_errors"] = len(errors)
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) >= 1900:  # pragma: no cover — degradation backstop
-        # Never emit an unparseable record again: drop the per-query
-        # map (it lives in the full artifact) rather than overflow the
-        # driver's tail window.
-        compact.pop("queries")
-        line = json.dumps(compact, separators=(",", ":"))
+    line = compact_line(compact)
 
     # Quiesce the session BEFORE emitting the one-JSON-line record
     # (VERDICT r7 #1): the r7 canary ends on a real streaming query

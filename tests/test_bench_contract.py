@@ -148,15 +148,16 @@ def test_emitted_line_fits_driver_window(bench_run):
         f"full-headline projection {projected_len} chars would overflow "
         f"the driver tail window"
     )
-    # Catastrophic-width projection (every value 999.9) must still fit
-    # the driver's hard 2000-char tail window — the backstop in
-    # bench.py (drop `queries`) only exists for beyond-that cases.
+    # Catastrophic-width projection (every value 999.9, i.e. every
+    # query ≥100 s — a failed round regardless): the emitted line must
+    # STILL fit the driver window and keep every `queries` entry; the
+    # degradation ladder may pay for that by dropping the canary pair,
+    # never the queries map.
     projected = dict(
         record, queries={name: 999.9 for name in all_names})
-    assert (
-        len(json.dumps(projected, separators=(",", ":")))
-        < DRIVER_TAIL_CHARS
-    )
+    line2 = bench_mod.compact_line(projected)
+    assert len(line2) < DRIVER_TAIL_CHARS
+    assert set(json.loads(line2)["queries"]) == set(all_names)
 
 
 def test_contract_keys_and_types(bench_record):
@@ -170,8 +171,12 @@ def test_contract_keys_and_types(bench_record):
     # r12: the compact line is EXACTLY the driver contract — the r11
     # `groups` sums live in the full record (bench_artifacts/
     # bench_full_<mode>_sf<sf>.json, the fixed convention the ab_*
-    # drift tooling reads).
-    assert set(r) == {"metric", "value", "unit", "queries", "sf"}
+    # drift tooling reads). r13 adds the 2-value stall-discriminator
+    # canary (VERDICT r12 #2): pricing_summary's wall at session start
+    # and end, so PERF can mark era-contaminated records.
+    assert set(r) == {"metric", "value", "unit", "queries", "sf", "canary"}
+    assert isinstance(r["canary"], list) and len(r["canary"]) == 2
+    assert all(isinstance(v, (int, float)) and v > 0 for v in r["canary"])
 
 
 def test_no_errors_and_not_partial(bench_record, full_record):
@@ -249,6 +254,87 @@ def test_all_inclusive_sum_is_emitted(bench_record, full_record):
     expected = round(sum(full_record["queries"].values()), 3)
     assert abs(full_record["value_with_excluded"] - expected) < 1e-6
     assert "value_with_excluded" not in bench_record  # dieted away
+
+
+def test_compact_line_degradation_ladder():
+    """ADVICE r12 (high): the old backstop fired at >=1900 chars and
+    dropped the ENTIRE queries map — inside the supported worst-case
+    projection band (1916-1946 chars), i.e. exactly the contract
+    regression it existed to prevent. Pin the r13 ladder on real-shaped
+    records in each band:
+
+      - 1900-1950 chars: emitted unchanged, queries intact (the band
+        the old backstop would have destroyed);
+      - just over LINE_HARD_BUDGET: canary dropped, queries intact;
+      - truly unfittable even without canary: queries dropped last.
+    """
+    import bench as bench_mod
+
+    def make(n_queries, val, canary=True):
+        r = {
+            "metric": "headline_queries_total_wall",
+            "value": 123.456,
+            "unit": "sec",
+            "queries": {f"q_{i:02d}_padded_name_xx": val
+                        for i in range(n_queries)},
+            "sf": 0.1,
+        }
+        if canary:
+            r["canary"] = [5.56, 1.55]
+        return r
+
+    # Band 1: binary-search a record into the 1900-1950 window.
+    for n in range(50, 80):
+        rec = make(n, 99.9)
+        raw = json.dumps(rec, separators=(",", ":"))
+        if 1900 <= len(raw) < 1950:
+            line = bench_mod.compact_line(rec)
+            assert line == raw, "in-budget record must emit unchanged"
+            assert len(json.loads(line)["queries"]) == n
+            break
+    else:  # pragma: no cover
+        raise AssertionError("could not construct a 1900-1950 record")
+
+    # Band 2: just over the hard budget — canary goes, queries stay.
+    for n in range(60, 90):
+        rec = make(n, 999.9)
+        raw = json.dumps(rec, separators=(",", ":"))
+        # Dropping the 22-char canary must land the line back under the
+        # budget, so any raw length in [budget, budget+22) exercises
+        # exactly the canary-drop rung.
+        if bench_mod.LINE_HARD_BUDGET <= len(raw) \
+                < bench_mod.LINE_HARD_BUDGET + 22:
+            line = bench_mod.compact_line(rec)
+            parsed = json.loads(line)
+            assert len(line) < bench_mod.LINE_HARD_BUDGET
+            assert "canary" not in parsed
+            assert len(parsed["queries"]) == n
+            break
+    else:  # pragma: no cover
+        raise AssertionError("could not construct a just-over record")
+
+    # Band 3: unfittable even without the canary — queries dropped,
+    # record still parseable and under the window.
+    rec = make(200, 9999.9)
+    line = bench_mod.compact_line(rec)
+    parsed = json.loads(line)
+    assert len(line) < bench_mod.DRIVER_TAIL_CHARS
+    assert "queries" not in parsed
+    assert parsed["metric"] == "headline_queries_total_wall"
+
+
+def test_full_record_rep_spread(full_record):
+    """VERDICT r12 #2: per-query max/median rep-spread flags let PERF
+    self-diagnose host-steal contamination (r12 carried single reps of
+    28-143 s beside 2-4 s neighbours with no machine-readable marker).
+    Every repetitions entry gets one; values are max/median."""
+    reps = full_record.get("repetitions", {})
+    spread = full_record.get("rep_spread", {})
+    assert set(spread) == set(reps)
+    for name, walls in reps.items():
+        med = sorted(walls)[len(walls) // 2]
+        assert abs(spread[name] - round(max(walls) / med, 2)) < 1e-9, name
+        assert spread[name] >= 1.0
 
 
 def test_block4000_fresh_jvm_rep_contract(monkeypatch):
