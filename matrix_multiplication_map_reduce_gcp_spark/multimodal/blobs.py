@@ -1702,9 +1702,18 @@ def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
     within_tolerance) — a dropped, reordered, or misdecoded frame
     either changes the row set or reds within_tolerance, so the
     driver hash certifies container walking AND per-frame entropy
-    decoding together."""
-    from .jpeg import JPEG_TOL
+    decoding together.
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + per-frame JPEG encode + AVI mux + the real container
+    walk + per-frame entropy decode per document (the pixel base is
+    generated once, and (text, blob) never crosses an extra Arrow
+    boundary). Rows identical by construction; with_mjpeg_blob stays
+    as the standalone blob maker."""
+    from .jpeg import JPEG_TOL, jpeg_encode
+
+    encode_frame = jpeg_encode
+    encode_avi = mjpeg_avi_encode
     decode = mjpeg_avi_decode
     tol = JPEG_TOL
 
@@ -1714,12 +1723,19 @@ def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                w, h, fps, nf, frames = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
+                w = 16 + (b[0] % 5) if n else 16
+                h = 16 + (b[-1] % 5) if n else 16
+                fps = 5 * (1 + n % 4)
+                nf = 2 + ((b[0] + b[-1]) % 3) if n else 2
                 m = w * h * 3
                 i = np.arange(m, dtype=np.int64)
                 src = (
@@ -1728,6 +1744,17 @@ def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
                     else np.zeros(m, dtype=np.int64)
                 )
                 base = src + (i // 3) * 7
+                jframes = [
+                    encode_frame(
+                        w, h,
+                        ((base + f * 11) % 256).astype(np.uint8).tobytes(),
+                    )
+                    for f in range(nf)
+                ]
+                blob = encode_avi(w, h, fps, jframes)
+                # The query's claim: the REAL container walk +
+                # per-frame entropy decode.
+                w, h, fps, nf, frames = decode(blob)
                 for f, px in enumerate(frames):
                     expected = (base + f * 11) % 256
                     got = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
@@ -1744,7 +1771,10 @@ def decode_mjpeg_frames(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_mjpeg_blob(docs).mapInPandas(op, MJPEG_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, MJPEG_SCHEMA)
 
 
 DEFLATE_DECODE_SCHEMA = (
@@ -2177,9 +2207,18 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
     the driver hash.
     within_tolerance bounds the motion-compensated reconstruction
     against the regenerated source (closed-loop: error must NOT
-    accumulate across P-frames)."""
-    from .mpeg import MB, MPEG_TOL, mpeg_decode
+    accumulate across P-frames).
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + contract checks + encode + the real bitstream decode
+    per document, so the (text, blob) pair never crosses the Arrow
+    boundary between two Python stages and the source plane is
+    generated once instead of twice. Rows identical by construction
+    (same generation, same encode, same decode, same comparisons);
+    with_mpeg_blob stays as the standalone blob maker."""
+    from .mpeg import MB, MPEG_TOL, mpeg_decode, mpeg_encode_stats
+
+    encode = mpeg_encode_stats
     decode = mpeg_decode
     mb = MB
     tol = MPEG_TOL
@@ -2190,17 +2229,61 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                w, h, fps, nf, out, mvs = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
                 bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                w = 32 + 16 * int(bb[0] % 2)
+                h = 32 + 16 * int(bb[-1] % 2)
+                nf = 3 + int((bb[0] + bb[-1]) % 2)
                 sx = 1 + int(bb[0] % 3)
                 sy = 1 + int(bb[-1] % 3)
+                fps = 5 * (1 + n % 4)
                 p = np.arange(h * w, dtype=np.int64)
                 base = ((bb[p % n] * 131 + p * 7919) % 256).reshape(h, w)
+                frames = []
+                for f in range(nf):
+                    yy = (np.arange(h)[:, None] + f * sy) % h
+                    xx = (np.arange(w)[None, :] + f * sx) % w
+                    frames.append(base[yy, xx].astype(np.uint8).tobytes())
+                # Generation-time corpus contract from the ENCODER's
+                # closed-loop state (with_mpeg_blob's checks, verbatim).
+                blob, emvs, errs = encode(w, h, fps, frames)
+                for f in range(1, nf):
+                    k = 0
+                    for y0 in range(0, h, mb):
+                        for x0 in range(0, w, mb):
+                            if y0 + mb + sy <= h and x0 + mb + sx <= w:
+                                if emvs[f][k] != (2 * sy, 2 * sx):
+                                    raise ValueError(
+                                        "MPV1 corpus contract violated "
+                                        f"(doc_id={doc_id}, frame {f}, "
+                                        f"mb ({y0},{x0})): half-pel mv "
+                                        f"{emvs[f][k]} != designed "
+                                        f"({2 * sy}, {2 * sx})"
+                                    )
+                            k += 1
+                for f, err in enumerate(errs):
+                    if err > tol:
+                        raise ValueError(
+                            "MPV1 corpus contract violated (doc_id="
+                            f"{doc_id}, frame {f}): max abs err {err} "
+                            f"> MPEG_TOL {tol}"
+                        )
+                # The query's claim: the REAL bitstream decode.
+                w, h, fps, nf, out, mvs = decode(blob)
                 n_mb = (w // mb) * (h // mb)
                 for f in range(nf):
                     yy = (np.arange(h)[:, None] + f * sy) % h
@@ -2248,7 +2331,10 @@ def decode_mpeg_frames(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_mpeg_blob(docs).mapInPandas(op, MPEG_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, MPEG_SCHEMA)
 
 
 MAU_SCHEMA = (
@@ -2337,9 +2423,19 @@ def decode_mau_meta(docs: DataFrame) -> DataFrame:
     """Decode the MAU1 streams: geometry + the raw header first sample
     are exact decode outputs (a desynced scalefactor table or bit
     layout breaks them), within_tolerance re-bounds the lossy MDCT
-    reconstruction against the regenerated source."""
-    from .mdct import MAU_TOL, mau_decode
+    reconstruction against the regenerated source.
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + encode + ONE decode per document. The two-stage form
+    decoded every stream twice (once for the generation contract, once
+    here) and shipped (text, blob) across an extra Arrow boundary; the
+    single decode serves both the contract check (raise on breach, as
+    the blob maker did) and the emitted bound — same samples, same
+    comparison, identical rows. with_mau_blob stays as the standalone
+    blob maker."""
+    from .mdct import MAU_TOL, mau_decode, mau_encode
+
+    encode = mau_encode
     decode = mau_decode
     tol = MAU_TOL
     gen = _mau_samples
@@ -2350,14 +2446,31 @@ def decode_mau_meta(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                sr, n_samples, nf, first, out = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
                 bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                expected = gen(bb, len(b))
-                err = int(np.abs(np.asarray(out) - expected).max())
+                samples = gen(bb, n)
+                blob = encode(8000 * (1 + int(bb[0] % 3)), samples.tolist())
+                sr, n_samples, nf, first, out = decode(blob)
+                err = int(np.abs(np.asarray(out) - samples).max())
+                if err > tol:
+                    raise ValueError(
+                        "MAU1 corpus contract violated (doc_id="
+                        f"{doc_id}): max abs err {err} > MAU_TOL {tol}"
+                    )
                 rows.append(
                     (doc_id, sr, n_samples, nf, first, bool(err <= tol))
                 )
@@ -2370,7 +2483,10 @@ def decode_mau_meta(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_mau_blob(docs).mapInPandas(op, MAU_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, MAU_SCHEMA)
 
 
 MAU2_SCHEMA = (
@@ -2446,9 +2562,20 @@ def with_mau2_blob(docs: DataFrame) -> DataFrame:
 def decode_mau2_meta(docs: DataFrame) -> DataFrame:
     """Decode the MAU2 streams: exact geometry + header first sample,
     plus the two-sided lossy contract (absolute cap AND an SNR floor —
-    a perceptual allocator controls noise ENERGY, not peak error)."""
-    from .mdct import MAU2_SNR_FLOOR_DB, MAU2_TOL, mau2_decode
+    a perceptual allocator controls noise ENERGY, not peak error).
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + encode + ONE decode per document (the two-stage form
+    decoded every stream twice and shipped (text, blob) across an
+    extra Arrow boundary). The single decode serves both the
+    generation contract (raise on breach, as the blob maker did) and
+    the emitted bounds — the stage-2 `expected` was the same
+    regenerated signal as stage-1's `samples`, so the comparisons and
+    rows are identical. with_mau2_blob stays as the standalone blob
+    maker."""
+    from .mdct import MAU2_SNR_FLOOR_DB, MAU2_TOL, mau2_decode, mau2_encode
+
+    encode = mau2_encode
     decode = mau2_decode
     tol = MAU2_TOL
     floor_db = MAU2_SNR_FLOOR_DB
@@ -2460,19 +2587,38 @@ def decode_mau2_meta(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                sr, n_samples, nf, first, out = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
                 bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                expected = gen(bb, len(b)).astype(np.float64)
+                samples = gen(bb, n)
+                blob = encode(8000 * (1 + int(bb[0] % 3)), samples.tolist())
+                sr, n_samples, nf, first, out = decode(blob)
+                expected = samples.astype(np.float64)
                 noise = np.asarray(out, dtype=np.float64) - expected
                 err = int(np.abs(noise).max())
                 sig = float((expected**2).sum())
                 snr = 10.0 * np.log10(
                     sig / max(float((noise**2).sum()), 1e-12)
                 )
+                if err > tol or snr < floor_db:
+                    raise ValueError(
+                        "MAU2 corpus contract violated (doc_id="
+                        f"{doc_id}): err {err} (tol {tol}), snr "
+                        f"{snr:.1f} dB (floor {floor_db})"
+                    )
                 rows.append(
                     (
                         doc_id, sr, n_samples, nf, first,
@@ -2488,7 +2634,10 @@ def decode_mau2_meta(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_mau2_blob(docs).mapInPandas(op, MAU2_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, MAU2_SCHEMA)
 
 
 AVC_SCHEMA = (
@@ -2601,9 +2750,18 @@ def decode_avc_intra(docs: DataFrame) -> DataFrame:
     and reds the driver hash), pixel_sum sums the decoded plane (the
     designed corpus reconstructs EXACTLY, so the oracle recomputes it
     from the generation rule), recon_exact pins that bit-exactness
-    and within_tolerance re-states the general AVC_TOL envelope."""
-    from .avc import AVC_TOL, DC, HOR, VERT, avc_decode
+    and within_tolerance re-states the general AVC_TOL envelope.
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + contract checks + encode + the real bitstream decode
+    per document (the stripe plane is generated once, and (text, blob)
+    never crosses an extra Arrow boundary). Rows identical by
+    construction; with_avc_blob stays as the standalone blob maker.
+    The streaming twin (stream_avc_ingest) consumes this same fused
+    operator."""
+    from .avc import AVC_TOL, DC, HOR, VERT, avc_decode, avc_encode_stats
+
+    encode = avc_encode_stats
     decode = avc_decode
     dc, hor, vert = DC, HOR, VERT
     tol = AVC_TOL
@@ -2615,14 +2773,48 @@ def decode_avc_intra(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                width, height, qp, recon, modes = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
                 bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                width = 32 + 16 * int(bb[0] % 2)
+                height = 32 + 16 * int(bb[-1] % 2)
+                qp = (int(bb[0]) * 7 + int(bb[-1])) % 12
                 img, _ = gen(bb, n, width, height)
+                blob, emodes, erecon = encode(
+                    width, height, qp, img.tobytes()
+                )
+                designed = (
+                    emodes[0, 0] == dc
+                    and (emodes[0, 1:] == hor).all()
+                    and (emodes[1:, :] == vert).all()
+                )
+                if not designed:
+                    raise ValueError(
+                        "AVC1 corpus contract violated (doc_id="
+                        f"{doc_id}): mode field departs from the "
+                        "designed DC/HOR/VERT layout"
+                    )
+                if not (erecon == img).all():
+                    raise ValueError(
+                        "AVC1 corpus contract violated (doc_id="
+                        f"{doc_id}): stripe reconstruction not exact "
+                        f"at qp={qp}"
+                    )
+                # The query's claim: the REAL bitstream decode.
+                width, height, qp, recon, modes = decode(blob)
                 err = int(
                     np.abs(
                         recon.astype(np.int64) - img.astype(np.int64)
@@ -2653,7 +2845,10 @@ def decode_avc_intra(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_avc_blob(docs).mapInPandas(op, AVC_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, AVC_SCHEMA)
 
 
 AVCC_SCHEMA = (
@@ -2759,14 +2954,22 @@ def decode_avc_cavlc(docs: DataFrame) -> DataFrame:
     pixel content all bind to SQL-exact values — a wrong coeff_token
     context, a mis-adapted suffixLength, a bad run_before width or a
     swapped trailing-one sign desyncs the stream and reds the
-    checksum or the counts."""
-    from .avc import AVC_TOL, DC, HOR, VERT
-    from .cavlc import avcc_decode
+    checksum or the counts.
 
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + contract checks (incl. the closed-form TotalCoeff
+    prediction) + encode + the real bitstream decode per document.
+    Rows identical by construction; with_avcc_blob stays as the
+    standalone blob maker."""
+    from .avc import AVC_TOL, DC, HOR, VERT
+    from .cavlc import avcc_decode, avcc_encode_stats
+
+    encode = avcc_encode_stats
     decode = avcc_decode
     dc, hor, vert = DC, HOR, VERT
     tol = AVC_TOL
     gen = _avc_stripe_plane
+    mf_a = (13107, 11916, 10082, 9362, 8192, 7282)
 
     def op(batches):
         import numpy as np
@@ -2774,14 +2977,64 @@ def decode_avc_cavlc(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, text, blob in zip(
-                pdf["doc_id"], pdf["text"], pdf["blob"]
-            ):
-                width, height, qp, recon, modes, tc = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
                 n = len(b)
+                if not n:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
                 bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                img, _ = gen(bb, n, width, height)
+                width = 32 + 16 * int(bb[0] % 2)
+                height = 32 + 16 * int(bb[-1] % 2)
+                qp = (int(bb[0]) * 7 + int(bb[-1])) % 12
+                img, v = gen(bb, n, width, height)
+                blob, emodes, erecon, etc = encode(
+                    width, height, qp, img.tobytes()
+                )
+                designed = (
+                    emodes[0, 0] == dc
+                    and (emodes[0, 1:] == hor).all()
+                    and (emodes[1:, :] == vert).all()
+                    and (etc[1:, :] == 0).all()
+                )
+                if not designed:
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): mode/TotalCoeff field departs "
+                        "from the designed layout"
+                    )
+                if not (erecon == img).all():
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): stripe reconstruction not exact "
+                        f"at qp={qp}"
+                    )
+                qbits = 15 + qp // 6
+                f = (1 << qbits) // 3
+                mf = mf_a[qp % 6]
+                r = np.empty(len(v), dtype=np.int64)
+                r[0] = v[0] - 128
+                r[1:] = v[1:] - v[:-1]
+                lv = np.sign(16 * r) * (
+                    (np.abs(16 * r) * mf + f) >> qbits
+                )
+                if int((lv != 0).sum()) != int(etc.sum()):
+                    raise ValueError(
+                        "AVCC corpus contract violated (doc_id="
+                        f"{doc_id}): TotalCoeff departs from the "
+                        "closed-form stripe prediction"
+                    )
+                # The query's claim: the REAL bitstream decode.
+                width, height, qp, recon, modes, tc = decode(blob)
                 err = int(
                     np.abs(
                         recon.astype(np.int64) - img.astype(np.int64)
@@ -2813,4 +3066,7 @@ def decode_avc_cavlc(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_avcc_blob(docs).mapInPandas(op, AVCC_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, AVCC_SCHEMA)

@@ -76,12 +76,13 @@ from .avc import (
     _decode_mode,
     _neighbors,
     dequant_inverse_transform,
+    dequant_inverse_transform_batch,
     forward_transform_quant,
     predict_4x4,
     ue_decode,
     ue_encode,
 )
-from .mpeg import _BitReader, _BitWriter
+from .mpeg import _BitReader, _BitWriter, unary_zeros
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -184,11 +185,7 @@ def _level_decode(br: _BitReader, n: int, t1: int) -> list[int]:
     suffix_len = 1 if total > 10 and t1 < 3 else 0
     out = []
     for i in range(n):
-        prefix = 0
-        while br.read(1) == 0:
-            prefix += 1
-            if prefix > 15 or br.overrun():
-                raise ValueError("corrupt AVCC: bad level prefix")
+        prefix = unary_zeros(br, 15, "corrupt AVCC: bad level prefix")
         if prefix < 15:
             code = prefix << suffix_len
             if suffix_len:
@@ -344,21 +341,34 @@ def avcc_decode(data: bytes):
     recon = np.zeros((height, width), dtype=np.uint8)
     modes = np.full((nby, nbx), -1, dtype=np.int64)
     tc = np.zeros((nby, nbx), dtype=np.int64)
+    # r13: two passes, as in avc_decode. The bitstream (modes, CAVLC
+    # residuals — whose nC context needs only already-entropy-decoded
+    # neighbor TotalCoeffs) has no dependency on the reconstruction,
+    # so the entropy pass runs first and the residual inverse
+    # transforms batch into ONE numpy call; only the prediction loop
+    # stays closed-loop sequential.
+    zs = np.empty((nby * nbx, B, B), dtype=np.int64)
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            mode_a = int(modes[by, bx - 1]) if bx > 0 else DC
+            mode_b = int(modes[by - 1, bx]) if by > 0 else DC
+            modes[by, bx] = _decode_mode(br, min(mode_a, mode_b))
+            z, total = cavlc_decode_block(br, n_c(tc, by, bx))
+            tc[by, bx] = total
+            zs[i] = z
+            i += 1
+    resid = dequant_inverse_transform_batch(zs, qp)
+    i = 0
     for by in range(nby):
         for bx in range(nbx):
             y0, x0 = by * B, bx * B
-            mode_a = int(modes[by, bx - 1]) if bx > 0 else DC
-            mode_b = int(modes[by - 1, bx]) if by > 0 else DC
-            mode = _decode_mode(br, min(mode_a, mode_b))
             top, left, topleft, topright = _neighbors(recon, by, bx, nbx)
-            pred = predict_4x4(mode, top, left, topleft, topright)
-            z, total = cavlc_decode_block(br, n_c(tc, by, bx))
-            tc[by, bx] = total
-            rec = np.clip(
-                pred + dequant_inverse_transform(z, qp), 0, 255
-            )
+            pred = predict_4x4(int(modes[by, bx]), top, left, topleft,
+                               topright)
+            rec = np.clip(pred + resid[i], 0, 255)
             recon[y0 : y0 + B, x0 : x0 + B] = rec.astype(np.uint8)
-            modes[by, bx] = mode
+            i += 1
     if br.overrun():
         raise ValueError("corrupt AVCC: entropy stream truncated")
     (crc,) = struct.unpack(">I", data[13 + plen : 13 + plen + 4])

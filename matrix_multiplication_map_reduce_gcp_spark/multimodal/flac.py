@@ -128,32 +128,69 @@ class _BitReader:
         self.cnt = 0
 
     def read(self, nbits: int) -> int:
-        while self.cnt < nbits:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated FLAC stream")
-            self.buf = (self.buf << 8) | self.data[self.pos]
-            self.pos += 1
-            self.cnt += 8
-        self.cnt -= nbits
-        val = (self.buf >> self.cnt) & ((1 << nbits) - 1)
-        self.buf &= (1 << self.cnt) - 1
-        return val
+        # Word-at-a-time refill (r13): up to 8 bytes per step via
+        # int.from_bytes instead of one byte per Python iteration;
+        # consumed high bits are masked at refill, not per read. Same
+        # bit windows from the same positions (pinned bit-identical in
+        # tests/test_multimodal.py).
+        cnt = self.cnt
+        if cnt < nbits:
+            buf = self.buf & ((1 << cnt) - 1)
+            data, pos = self.data, self.pos
+            while cnt < nbits:
+                chunk = data[pos : pos + 8]
+                if not chunk:
+                    raise ValueError("truncated FLAC stream")
+                k = len(chunk)
+                buf = (buf << (8 * k)) | int.from_bytes(chunk, "big")
+                pos += k
+                cnt += 8 * k
+            self.buf, self.pos = buf, pos
+        cnt -= nbits
+        self.cnt = cnt
+        return (self.buf >> cnt) & ((1 << nbits) - 1)
 
     def read_unary(self) -> int:
+        # Peek-based zero count (r13): resolve a whole buffered window
+        # per step instead of one read(1) call per bit. Raises exactly
+        # where the sequential loop did: truncation when the zeros run
+        # exhausts the data, runaway past 2^20 zeros.
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        while True:
+            cnt = self.cnt
+            window = self.buf & ((1 << cnt) - 1)
+            if window:
+                z = cnt - window.bit_length()
+                self.cnt = cnt - z - 1
+                q += z
+                if q > 1 << 20:
+                    raise ValueError(
+                        "runaway unary code in FLAC residual"
+                    )
+                return q
+            q += cnt
+            self.cnt = 0
+            self.buf = 0
             if q > 1 << 20:
                 raise ValueError("runaway unary code in FLAC residual")
-        return q
+            chunk = self.data[self.pos : self.pos + 8]
+            if not chunk:
+                raise ValueError("truncated FLAC stream")
+            self.buf = int.from_bytes(chunk, "big")
+            self.cnt = 8 * len(chunk)
+            self.pos += len(chunk)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
         return v - (1 << nbits) if v >> (nbits - 1) else v
 
     def align(self) -> None:
-        self.buf = 0
-        self.cnt = 0
+        # Drop only the partial byte (r13): the word-at-a-time reader
+        # buffers multiple WHOLE bytes ahead, which must survive an
+        # align — the old buf=cnt=0 form was equivalent only while the
+        # byte-at-a-time reader kept cnt < 8. Stale bits above cnt are
+        # masked at extraction/refill.
+        self.cnt -= self.cnt % 8
 
     def byte_pos(self) -> int:
         return self.pos - self.cnt // 8

@@ -111,16 +111,23 @@ class _Bits:
         self.cnt = 0
 
     def read(self, n: int) -> int:
-        while self.cnt < n:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated deflate stream")
-            self.buf |= self.data[self.pos] << self.cnt
-            self.pos += 1
-            self.cnt += 8
-        val = self.buf & ((1 << n) - 1)
-        self.buf >>= n
-        self.cnt -= n
-        return val
+        # Word-at-a-time refill (r13): up to 8 bytes per step via
+        # int.from_bytes("little" — LSB-first stream order) instead of
+        # one byte per Python iteration. Same bits, same positions.
+        buf, cnt = self.buf, self.cnt
+        if cnt < n:
+            data, pos = self.data, self.pos
+            while cnt < n:
+                chunk = data[pos : pos + 8]
+                if not chunk:
+                    raise ValueError("truncated deflate stream")
+                buf |= int.from_bytes(chunk, "little") << cnt
+                pos += len(chunk)
+                cnt += 8 * len(chunk)
+            self.pos = pos
+        self.buf = buf >> n
+        self.cnt = cnt - n
+        return buf & ((1 << n) - 1)
 
     def align(self) -> None:
         """Drop the partial byte (stored-block boundary, 3.2.4)."""
@@ -197,11 +204,13 @@ class _Huffman:
 
     def decode(self, bits: _Bits) -> int:
         # Fast path: peek _LUT_BITS bits (zero-padded near stream end)
-        # and resolve the symbol with one table index.
-        while bits.cnt < _LUT_BITS and bits.pos < len(bits.data):
-            bits.buf |= bits.data[bits.pos] << bits.cnt
-            bits.pos += 1
-            bits.cnt += 8
+        # and resolve the symbol with one table index. Word-at-a-time
+        # refill (r13), same bits as the old per-byte loop.
+        if bits.cnt < _LUT_BITS and bits.pos < len(bits.data):
+            chunk = bits.data[bits.pos : bits.pos + 8]
+            bits.buf |= int.from_bytes(chunk, "little") << bits.cnt
+            bits.pos += len(chunk)
+            bits.cnt += 8 * len(chunk)
         entry = self.lut[bits.buf & ((1 << _LUT_BITS) - 1)]
         if entry is not None and entry[1] <= bits.cnt:
             bits.buf >>= entry[1]

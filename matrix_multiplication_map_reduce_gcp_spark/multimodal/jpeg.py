@@ -467,13 +467,21 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         (dc_sym, dc_len), (ac_sym, ac_len) = comp_luts[ci]
         k = 0
         while True:
+            # Refills are word-at-a-time (r13): up to 8 bytes per step
+            # via int.from_bytes, consumed high bits masked at refill
+            # instead of after every symbol — same bit windows from the
+            # same stream positions as the old per-byte loops.
             while nb < 16:  # refill; zero-pad past the stream end
-                if pos < L:
-                    acc = (acc << 8) | scan[pos]
-                    pos += 1
+                chunk = scan[pos : pos + 8]
+                if chunk:
+                    acc = (
+                        (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                    ) | int.from_bytes(chunk, "big")
+                    pos += len(chunk)
+                    nb += 8 * len(chunk)
                 else:
                     acc <<= 8
-                nb += 8
+                    nb += 8
             idx = (acc >> (nb - 16)) & 0xFFFF
             if k == 0:
                 size, length = dc_sym[idx], dc_len[idx]
@@ -485,20 +493,23 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("corrupt JPEG: invalid Huffman code")
             nb -= length
             consumed += length
-            acc &= (1 << nb) - 1
             if k == 0:
                 if size:
                     while nb < size:
-                        if pos < L:
-                            acc = (acc << 8) | scan[pos]
-                            pos += 1
+                        chunk = scan[pos : pos + 8]
+                        if chunk:
+                            acc = (
+                                (acc & ((1 << nb) - 1))
+                                << (8 * len(chunk))
+                            ) | int.from_bytes(chunk, "big")
+                            pos += len(chunk)
+                            nb += 8 * len(chunk)
                         else:
                             acc <<= 8
-                        nb += 8
+                            nb += 8
                     nb -= size
                     consumed += size
                     v = (acc >> nb) & ((1 << size) - 1)
-                    acc &= (1 << nb) - 1
                     if v < (1 << (size - 1)):
                         v += 1 - (1 << size)
                 else:
@@ -520,16 +531,19 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if k > 63:
                 raise ValueError("corrupt JPEG: AC run overflow")
             while nb < size:
-                if pos < L:
-                    acc = (acc << 8) | scan[pos]
-                    pos += 1
+                chunk = scan[pos : pos + 8]
+                if chunk:
+                    acc = (
+                        (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                    ) | int.from_bytes(chunk, "big")
+                    pos += len(chunk)
+                    nb += 8 * len(chunk)
                 else:
                     acc <<= 8
-                nb += 8
+                    nb += 8
             nb -= size
             consumed += size
             v = (acc >> nb) & ((1 << size) - 1)
-            acc &= (1 << nb) - 1
             if v < (1 << (size - 1)):
                 v += 1 - (1 << size)
             us.append(u)

@@ -55,6 +55,51 @@ BAND = N // N_BANDS  # 8 coefficients per band
 # Static allocation: bits per band, low -> high frequency.
 BITS = (12, 12, 12, 12, 10, 10, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6)
 
+# ------------------------------------------------------------------
+# Vectorized fixed-width bit packing (r13, guide §4.2). Layer-I codes
+# are FIXED-WIDTH two's-complement fields — no entropy coding — so a
+# whole stream of them packs/unpacks as numpy bit matrices instead of
+# one Python-level _BitWriter.write/_BitReader.read call per sample
+# (the r12 profile put >70% of MAU decode wall in those loops). The
+# bit sequences produced/consumed are IDENTICAL to the sequential
+# loops (pinned by tests/test_multimodal.py bit-exactness tests).
+
+
+def _pack_codes(q: np.ndarray, widths: np.ndarray) -> bytes:
+    """MSB-first concatenation of two's-complement codes: q[i]'s low
+    widths[i] bits, exactly the byte stream `for v, w: bw.write(v, w)`
+    + flush (ZERO-padding to a byte boundary, this module's flush)
+    produces. Every MAU1/MAU2 section is byte-aligned by construction,
+    so the pad is defensive only; np.packbits zero-pads natively."""
+    q = np.asarray(q, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    total = int(widths.sum())
+    code_idx = np.repeat(np.arange(len(q)), widths)
+    ends = np.cumsum(widths)
+    # Bit slot t of code j has significance ends[j]-1-t (MSB first).
+    shift = ends[code_idx] - 1 - np.arange(total)
+    bits = ((q[code_idx] >> shift) & 1).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def _unpack_codes(body: bytes, widths: np.ndarray, err: str) -> np.ndarray:
+    """Inverse of _pack_codes: signed values from MSB-first fixed-width
+    two's-complement fields — exactly what the sequential
+    `v = br.read(w); if v >= 1 << (w-1): v -= 1 << w` loop yields."""
+    widths = np.asarray(widths, dtype=np.int64)
+    total = int(widths.sum())
+    if total > 8 * len(body):
+        raise ValueError(err)
+    bits = np.unpackbits(
+        np.frombuffer(body, dtype=np.uint8), count=total
+    ).astype(np.int64)
+    code_idx = np.repeat(np.arange(len(widths)), widths)
+    ends = np.cumsum(widths)
+    shift = ends[code_idx] - 1 - np.arange(total)
+    starts = ends - widths
+    vals = np.add.reduceat(bits << shift, starts) if total else np.zeros(0, np.int64)
+    return vals - ((vals >= (1 << (widths - 1))).astype(np.int64) << widths)
+
 # Max abs int16-sample reconstruction error with the static allocation
 # over the corpus signal family (measured = 8 across all sf0.01 docs;
 # the smooth ramps keep their energy in the 12-bit low bands and the
@@ -162,23 +207,25 @@ def mau_encode(sample_rate: int, samples) -> bytes:
         raise ValueError("samples must be 16-bit signed PCM")
     coef = mdct_frames(x)
     nf = coef.shape[0]
-    bw = _BitWriter()
-    scales = np.empty((nf, N_BANDS), dtype=np.float32)
-    for f in range(nf):
-        for bnd in range(N_BANDS):
-            seg = coef[f, bnd * BAND : (bnd + 1) * BAND]
-            scale = np.float32(np.abs(seg).max())
-            scales[f, bnd] = scale
-            bits = BITS[bnd]
-            top = (1 << (bits - 1)) - 1
-            if scale > 0:
-                q = np.round(seg / np.float64(scale) * top).astype(np.int64)
-                q = np.clip(q, -top, top)
-            else:
-                q = np.zeros(BAND, dtype=np.int64)
-            for v in q:
-                bw.write(int(v), bits)
-    body = bw.flush()
+    # Vectorized quantize + pack (r13): same per-band arithmetic as the
+    # old (frame, band, sample) loops — seg / float64(scale) * top,
+    # np.round, clip — evaluated as whole (nf, N_BANDS, BAND) arrays,
+    # then one _pack_codes call instead of nf*N bw.write calls. Frames
+    # are 1152 bits = 144 bytes, so the stream stays byte-aligned and
+    # flush-pad-free exactly like the sequential writer.
+    seg = coef.reshape(nf, N_BANDS, BAND)
+    scales = np.abs(seg).max(axis=2).astype(np.float32)
+    tops = (1 << (np.asarray(BITS, dtype=np.int64) - 1)) - 1
+    scl = scales.astype(np.float64)[:, :, None]
+    safe = np.where(scl > 0, scl, 1.0)
+    q = np.clip(
+        np.round(seg / safe * tops[None, :, None]),
+        -tops[None, :, None],
+        tops[None, :, None],
+    ).astype(np.int64)
+    q[np.broadcast_to(scl == 0, q.shape)] = 0
+    widths = np.tile(np.repeat(np.asarray(BITS, dtype=np.int64), BAND), nf)
+    body = _pack_codes(q.reshape(-1), widths)
     header = MAGIC + struct.pack(
         ">IIhH", sample_rate, n, int(x[0]), nf
     )
@@ -204,18 +251,21 @@ def mau_decode(data: bytes):
     scales = np.frombuffer(
         data[16 : 16 + sc_bytes], dtype=np.float32
     ).reshape(nf, N_BANDS)
-    br = _BitReader(data[16 + sc_bytes :])
-    coef = np.zeros((nf, N), dtype=np.float64)
-    for f in range(nf):
-        for bnd in range(N_BANDS):
-            bits = BITS[bnd]
-            top = (1 << (bits - 1)) - 1
-            scale = float(scales[f, bnd])
-            for i in range(BAND):
-                v = br.read(bits)
-                if v >= 1 << (bits - 1):
-                    v -= 1 << bits
-                coef[f, bnd * BAND + i] = v / top * scale
+    # Vectorized unpack + dequantize (r13): the static allocation makes
+    # the whole body one fixed-width layout — one _unpack_codes call
+    # replaces nf*N br.read calls, and the v / top * scale arithmetic
+    # runs in the same left-to-right order elementwise.
+    body = data[16 + sc_bytes :]
+    per_code_bits = np.repeat(np.asarray(BITS, dtype=np.int64), BAND)
+    widths = np.tile(per_code_bits, nf)
+    vals = _unpack_codes(
+        body, widths, "truncated MAU1: bit stream underrun"
+    ).reshape(nf, N)
+    tops = (1 << (per_code_bits - 1)) - 1
+    coef = (
+        vals / tops[None, :]
+        * np.repeat(scales.astype(np.float64), BAND, axis=1)
+    )
     y = imdct_overlap_add(coef, n)
     out = np.clip(np.round(y), -32768, 32767).astype(np.int64)
     if n and int(out[0]) != first:
@@ -281,6 +331,8 @@ def _allocate_bits(energies: np.ndarray, budget: int = BUDGET2) -> list:
     threshold (each bit quarters noise energy), deterministic ties to
     the lowest band. Bands get 0 or 2..MAX_BITS bits (1-bit signed
     midtread codes carry no magnitude)."""
+    import heapq
+
     thr = _mask_thresholds(energies)
     bits = [0] * N_BANDS
     spent = 0
@@ -292,24 +344,31 @@ def _allocate_bits(energies: np.ndarray, budget: int = BUDGET2) -> list:
     # (stopping at NMR<=1 would leave masked-but-large absolute noise,
     # and the ladder's within_tolerance contract is an absolute
     # bound).
-    while True:
-        best = -1
-        best_nmr = -1.0
-        for bnd in range(N_BANDS):
-            if bits[bnd] >= MAX_BITS:
-                continue
-            step = 2 if bits[bnd] == 0 else 1
-            if spent + step * BAND > budget:
-                continue
-            nmr = (energies[bnd] / (4.0 ** bits[bnd])) / thr[bnd]
-            if nmr > best_nmr:
-                best_nmr = nmr
-                best = bnd
-        if best < 0:
-            break  # budget or caps exhausted
-        step = 2 if bits[best] == 0 else 1
-        bits[best] += step
+    #
+    # r13: the original rescan — every grant re-evaluating all 16
+    # bands' (energies/4^b)/thr with a Python pow — was 80% of MAU2
+    # encode wall. Only the GRANTED band's NMR changes per grant, and
+    # a band skipped for budget can never become eligible again (the
+    # budget only shrinks and a band's next step never shrinks), so a
+    # max-heap with pop-and-discard visits grants in EXACTLY the
+    # rescan's order: max NMR first, ties to the lowest band (heap key
+    # (-nmr, bnd)), ineligible entries discarded for good. Pinned
+    # grant-order-identical to the rescan in tests/test_multimodal.py.
+    e = [float(x) for x in energies]
+    t = [float(x) for x in thr]
+    heap = [(-(e[bnd] / t[bnd]), bnd) for bnd in range(N_BANDS)]
+    heapq.heapify(heap)
+    while heap:
+        _, bnd = heapq.heappop(heap)
+        b = bits[bnd]
+        step = 2 if b == 0 else 1
+        if spent + step * BAND > budget:
+            continue  # permanently ineligible — never re-pushed
+        b += step
+        bits[bnd] = b
         spent += step * BAND
+        if b < MAX_BITS:
+            heapq.heappush(heap, (-(e[bnd] / (4.0 ** b) / t[bnd]), bnd))
     return bits
 
 
@@ -329,32 +388,32 @@ def mau2_encode(sample_rate: int, samples) -> bytes:
     out = bytearray(
         MAGIC2 + struct.pack(">IIhH", sample_rate, n, int(x[0]), nf)
     )
+    four = np.full(N_BANDS, 4, dtype=np.int64)
     for f in range(nf):
         seg = coef[f].reshape(N_BANDS, BAND)
         energies = (seg * seg).mean(axis=1)
         bits = _allocate_bits(energies)
-        nib = _BitWriter()
-        for bnd in range(N_BANDS):
-            nib.write(bits[bnd], 4)
-        out += nib.flush()  # exactly 8 bytes
-        bw = _BitWriter()
-        scales = []
-        for bnd in range(N_BANDS):
-            if bits[bnd] == 0:
-                continue
-            scale = np.float32(np.abs(seg[bnd]).max())
-            scales.append(scale)
-            top = (1 << (bits[bnd] - 1)) - 1
-            if scale > 0:
-                q = np.clip(
-                    np.round(seg[bnd] / np.float64(scale) * top), -top, top
-                ).astype(np.int64)
-            else:
-                q = np.zeros(BAND, dtype=np.int64)
-            for v in q:
-                bw.write(int(v), bits[bnd])
-        body = bw.flush()
-        out += np.asarray(scales, dtype=np.float32).tobytes()
+        barr = np.asarray(bits, dtype=np.int64)
+        out += _pack_codes(barr, four)  # exactly 8 bytes of nibbles
+        # Vectorized quantize + pack over the CODED bands (r13): the
+        # same seg / float64(scale) * top, round, clip arithmetic as
+        # the old per-band loops; one _pack_codes call per frame
+        # replaces up to 8*N_BANDS bw.write calls. Coded widths sum to
+        # a multiple of 8, so the body stays byte-aligned, pad-free.
+        coded = np.nonzero(barr)[0]
+        cseg = seg[coded]
+        scales = np.abs(cseg).max(axis=1).astype(np.float32)
+        tops = (1 << (barr[coded] - 1)) - 1
+        scl = scales.astype(np.float64)[:, None]
+        safe = np.where(scl > 0, scl, 1.0)
+        q = np.clip(
+            np.round(cseg / safe * tops[:, None]),
+            -tops[:, None],
+            tops[:, None],
+        ).astype(np.int64)
+        q[np.broadcast_to(scl == 0, q.shape)] = 0
+        body = _pack_codes(q.reshape(-1), np.repeat(barr[coded], BAND))
+        out += scales.tobytes()
         out += struct.pack(">H", len(body))
         out += body
     return bytes(out)
@@ -375,8 +434,11 @@ def mau2_decode(data: bytes):
     for f in range(nf):
         if pos + 8 > len(data):
             raise ValueError("truncated MAU2: allocation table")
-        nr = _BitReader(data[pos : pos + 8])
-        bits = [nr.read(4) for _ in range(N_BANDS)]
+        nib = np.unpackbits(
+            np.frombuffer(data[pos : pos + 8], dtype=np.uint8)
+        ).reshape(N_BANDS, 4)
+        barr = nib @ np.array([8, 4, 2, 1], dtype=np.int64)
+        bits = barr.tolist()
         if any(b == 1 or b > MAX_BITS for b in bits):
             raise ValueError("corrupt MAU2: invalid allocation")
         pos += 8
@@ -393,19 +455,20 @@ def mau2_decode(data: bytes):
         if len(body) != blen:
             raise ValueError("truncated MAU2: frame body")
         pos += blen
-        br = _BitReader(body)
-        si = 0
-        for bnd in range(N_BANDS):
-            if bits[bnd] == 0:
-                continue
-            top = (1 << (bits[bnd] - 1)) - 1
-            scale = float(scales[si])
-            si += 1
-            for i in range(BAND):
-                v = br.read(bits[bnd])
-                if v >= 1 << (bits[bnd] - 1):
-                    v -= 1 << bits[bnd]
-                coef[f, bnd * BAND + i] = v / top * scale
+        # Vectorized unpack + dequantize of the coded bands (r13): one
+        # _unpack_codes call per frame replaces up to 8*N_BANDS
+        # br.read calls; v / top * scale runs in the same elementwise
+        # left-to-right order as the old loop.
+        coded = np.nonzero(barr)[0]
+        cw = np.repeat(barr[coded], BAND)
+        vals = _unpack_codes(
+            body, cw, "truncated MAU1: bit stream underrun"
+        )
+        tops = np.repeat((1 << (barr[coded] - 1)) - 1, BAND)
+        cols = (coded[:, None] * BAND + np.arange(BAND)[None, :]).reshape(-1)
+        coef[f, cols] = (
+            vals / tops * np.repeat(scales.astype(np.float64), BAND)
+        )
     if pos != len(data):
         raise ValueError("corrupt MAU2: trailing bytes")
     y = imdct_overlap_add(coef, n)

@@ -66,6 +66,8 @@ class _BitWriter:
     """MSB-first bit packer WITHOUT JPEG byte stuffing (MPV1 frames
     are length-prefixed, so no marker emulation is needed)."""
 
+    __slots__ = ("out", "acc", "nbits")
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
@@ -87,8 +89,45 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def write_many(self, values, widths) -> None:
+        """Append a whole (value, width) symbol sequence in one numpy
+        pack — bit-identical to `for v, w: self.write(v, w)` (two's
+        complement low-w bits, MSB first, continuing from the current
+        partial-byte state). r13: the per-coefficient write() calls
+        were ~30% of MPV1 encode wall."""
+        nb = self.nbits
+        total = nb + int(widths.sum())
+        bits = np.empty(total, dtype=np.uint8)
+        if nb:
+            bits[:nb] = (self.acc >> np.arange(nb - 1, -1, -1)) & 1
+        code_idx = np.repeat(np.arange(len(values)), widths)
+        ends = nb + np.cumsum(widths)
+        shift = ends[code_idx] - 1 - np.arange(nb, total)
+        bits[nb:] = (values[code_idx] >> shift) & 1
+        nbytes = total >> 3
+        if nbytes:
+            self.out += np.packbits(bits[: nbytes * 8]).tobytes()
+        rem = total - nbytes * 8
+        acc = 0
+        for b in bits[nbytes * 8 :]:  # <= 7 tail bits
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = rem
+
 
 class _BitReader:
+    """MSB-first reader, word-at-a-time (r13): _fill pulls up to 8
+    bytes per step with int.from_bytes instead of one byte per Python
+    loop iteration, and consumed high bits are masked once per refill
+    instead of on every read/skip — the same bit windows come out of
+    the same stream positions (pinned bit-identical against the
+    byte-at-a-time form by tests/test_multimodal.py), at roughly a
+    quarter of the interpreter ops per symbol. This reader is the
+    entropy-decode floor of the mpeg/avc/cavlc rungs, which r12
+    profiled at ~50% of decode wall."""
+
+    __slots__ = ("data", "acc", "nb", "pos", "consumed")
+
     def __init__(self, data: bytes):
         self.data = data
         self.acc = 0
@@ -97,35 +136,68 @@ class _BitReader:
         self.consumed = 0
 
     def _fill(self, need: int) -> None:
-        while self.nb < need:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
+        acc = self.acc & ((1 << self.nb) - 1)
+        nb, pos, data = self.nb, self.pos, self.data
+        while nb < need:
+            chunk = data[pos : pos + 8]
+            if chunk:
+                k = len(chunk)
+                acc = (acc << (8 * k)) | int.from_bytes(chunk, "big")
+                pos += k
+                nb += 8 * k
             else:
-                self.acc <<= 8  # zero-pad past the end; overrun checked
-            self.nb += 8
+                acc <<= 8  # zero-pad past the end; overrun checked
+                nb += 8
+        self.acc, self.nb, self.pos = acc, nb, pos
 
     def read(self, length: int) -> int:
         if length == 0:
             return 0
-        self._fill(length)
-        self.nb -= length
+        if self.nb < length:
+            self._fill(length)
+        nb = self.nb - length
+        self.nb = nb
         self.consumed += length
-        v = (self.acc >> self.nb) & ((1 << length) - 1)
-        self.acc &= (1 << self.nb) - 1
-        return v
+        return (self.acc >> nb) & ((1 << length) - 1)
 
     def peek16(self) -> int:
-        self._fill(16)
+        if self.nb < 16:
+            self._fill(16)
         return (self.acc >> (self.nb - 16)) & 0xFFFF
 
     def skip(self, length: int) -> None:
         self.nb -= length
         self.consumed += length
-        self.acc &= (1 << self.nb) - 1
 
     def overrun(self) -> bool:
         return self.consumed > 8 * len(self.data)
+
+
+def unary_zeros(br: _BitReader, limit: int, err: str) -> int:
+    """Count (and consume) the zeros before the next 1 bit, plus the 1
+    itself — the Exp-Golomb / CAVLC-prefix primitive. One peek16
+    resolves up to 16 zero bits at once where the old form paid one
+    read(1) call per bit (r13; shared by mpeg se(v), avc ue(v) and the
+    cavlc level prefix). Raises `err` exactly when the sequential
+    `while br.read(1) == 0` loop would have: more than `limit` zeros,
+    or a zeros run past the end of the data."""
+    zeros = 0
+    while True:
+        w = br.peek16()
+        if w == 0:
+            br.skip(16)
+            zeros += 16
+            if zeros > limit or br.overrun():
+                raise ValueError(err)
+            continue
+        z = 16 - w.bit_length()
+        br.skip(z + 1)
+        zeros += z
+        # The sequential loop checked overrun after each ZERO bit (the
+        # terminating 1 was never checked), hence the -1.
+        if zeros > limit or br.consumed - 1 > 8 * len(br.data):
+            raise ValueError(err)
+        return zeros
 
 
 def se_encode(bw: _BitWriter, v: int) -> None:
@@ -139,11 +211,7 @@ def se_encode(bw: _BitWriter, v: int) -> None:
 
 
 def se_decode(br: _BitReader) -> int:
-    zeros = 0
-    while br.read(1) == 0:
-        zeros += 1
-        if zeros > 32 or br.overrun():
-            raise ValueError("corrupt MPV1: bad Exp-Golomb code")
+    zeros = unary_zeros(br, 32, "corrupt MPV1: bad Exp-Golomb code")
     n = (1 << zeros) | br.read(zeros)
     code = n - 1
     return (code + 1) // 2 if code % 2 else -(code // 2)
@@ -250,9 +318,11 @@ def _plane_of(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def _quantize(plane: np.ndarray) -> list:
     """FDCT + quantize (flat 1) + zigzag every 8x8 block of ``plane``
-    (float64): list of 64-int zigzag vectors in block raster order."""
+    (float64): (n_blocks, 64) int64 zigzag vectors in block raster
+    order (r13: ndarray, not a list — the vectorized entropy coder
+    consumes it directly)."""
     coef = np.einsum("ij,njk,lk->nil", _A, _blocks_of(plane), _A)
-    return np.round(coef.reshape(-1, 64)).astype(np.int64)[:, ZIGZAG].tolist()
+    return np.round(coef.reshape(-1, 64)).astype(np.int64)[:, ZIGZAG]
 
 
 def _dequant_plane(qzz: list, h: int, w: int) -> np.ndarray:
@@ -266,7 +336,124 @@ def _dequant_plane(qzz: list, h: int, w: int) -> np.ndarray:
     return _plane_of(blocks, h, w)
 
 
-def _entropy_code(bw: _BitWriter, qzz: list, pred: int) -> int:
+# Vectorized entropy-coding tables (r13): the dict-of-tuples Huffman
+# tables as flat numpy arrays, a bit_length LUT for the size category,
+# and the two special AC symbols.
+_DC_CODE_ARR = np.zeros(16, dtype=np.int64)
+_DC_LEN_ARR = np.zeros(16, dtype=np.int64)
+for _s, (_c, _l) in _DC_CODES.items():
+    _DC_CODE_ARR[_s], _DC_LEN_ARR[_s] = _c, _l
+_AC_CODE_ARR = np.zeros(256, dtype=np.int64)
+_AC_LEN_ARR = np.zeros(256, dtype=np.int64)
+for _s, (_c, _l) in _AC_CODES.items():
+    _AC_CODE_ARR[_s], _AC_LEN_ARR[_s] = _c, _l
+_EOB_CODE, _EOB_LEN = _AC_CODES[0x00]
+_ZRL_CODE, _ZRL_LEN = _AC_CODES[0xF0]
+# bit_length LUT (the vectorized _csize): covers |v| < 2**16 — flat
+# near-lossless quant keeps every DCT coefficient magnitude <= ~2048.
+_BITLEN = np.zeros(1 << 16, dtype=np.int64)
+for _k in range(1, 17):
+    _BITLEN[1 << (_k - 1) : 1 << _k] = _k
+
+
+def _entropy_code(bw: _BitWriter, qzz, pred: int) -> int:
+    """Vectorized form of `for zz in qzz: pred = _code_block(...)`
+    (r13): builds the whole plane's (value, width) symbol sequence via
+    _entropy_symbols and emits it with one write_many. Bit-identical
+    to the sequential reference (pinned by tests/test_multimodal.py
+    against _code_block)."""
+    V, W, _, pred = _entropy_symbols(qzz, pred)
+    bw.write_many(V, W)
+    return pred
+
+
+def _entropy_symbols(qzz, pred: int):
+    """(values, widths, block_bounds, new_pred) for a run of zigzag
+    blocks: DC size/amplitude with the chained predictor, AC run/size
+    symbols with ZRL splits and EOBs — exactly _code_block's emission
+    order. block_bounds[i] is the symbol offset where block i starts
+    (len n+1), so callers can interleave per-macroblock slices with
+    other codes (the P-frame layout) while paying ONE numpy pass per
+    frame instead of one per macroblock."""
+    zz = np.asarray(qzz, dtype=np.int64).reshape(-1, 64)
+    n = zz.shape[0]
+    dc = zz[:, 0]
+    diffs = dc - np.concatenate(([pred], dc[:-1]))
+    dsz = _BITLEN[np.abs(diffs)]
+    # AC nonzeros, block-major then position-major (np.nonzero order).
+    mask = zz[:, 1:] != 0
+    bi, pj = np.nonzero(mask)
+    pos = pj + 1
+    nz = len(bi)
+    vals = zz[bi, pos]
+    first = np.empty(nz, dtype=bool)
+    if nz:
+        first[0] = True
+        first[1:] = bi[1:] != bi[:-1]
+    prevpos = np.where(first, 0, np.concatenate(([0], pos[:-1]))) if nz \
+        else pos
+    runs = pos - prevpos - 1
+    nzrl = runs >> 4  # ZRL symbols before this coefficient
+    asz = _BITLEN[np.abs(vals)] if nz else vals
+    ac_sym = ((runs & 15) << 4) | asz
+    ac_len = _AC_LEN_ARR[ac_sym]
+    if nz and not ac_len.all():
+        raise KeyError(int(ac_sym[np.argmin(ac_len)]))  # as _code_block
+    # EOB iff trailing zeros remain after the last nonzero (always for
+    # an all-zero AC tail).
+    last_pos = np.zeros(n, dtype=np.int64)
+    if nz:
+        lastmask = np.empty(nz, dtype=bool)
+        lastmask[:-1] = first[1:]
+        lastmask[-1] = True
+        last_pos[bi[lastmask]] = pos[lastmask]
+    eob = last_pos < 63
+    # Symbol layout per block: [DC huff, DC amp] ++ per nonzero
+    # [ZRL*nzrl, AC huff, amp] ++ [EOB]? — exactly _code_block's order.
+    c = nzrl + 2
+    block_c = np.bincount(bi, weights=c, minlength=n).astype(np.int64) \
+        if nz else np.zeros(n, dtype=np.int64)
+    block_total = 2 + block_c + eob
+    block_base = np.concatenate(([0], np.cumsum(block_total)[:-1]))
+    total = int(block_total.sum())
+    V = np.zeros(total, dtype=np.int64)
+    W = np.zeros(total, dtype=np.int64)
+    V[block_base] = _DC_CODE_ARR[dsz]
+    W[block_base] = _DC_LEN_ARR[dsz]
+    V[block_base + 1] = np.where(diffs > 0, diffs, diffs + (1 << dsz) - 1)
+    W[block_base + 1] = dsz
+    if nz:
+        csum_excl = np.cumsum(c) - c
+        fidx = np.nonzero(first)[0]
+        base_c = np.repeat(
+            csum_excl[fidx], np.diff(np.concatenate((fidx, [nz])))
+        )
+        nstart = block_base[bi] + 2 + (csum_excl - base_c)
+        nzrl_total = int(nzrl.sum())
+        if nzrl_total:
+            zr_idx = np.repeat(nstart, nzrl) + (
+                np.arange(nzrl_total)
+                - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+            )
+            V[zr_idx] = _ZRL_CODE
+            W[zr_idx] = _ZRL_LEN
+        V[nstart + nzrl] = _AC_CODE_ARR[ac_sym]
+        W[nstart + nzrl] = ac_len
+        V[nstart + nzrl + 1] = np.where(
+            vals > 0, vals, vals + (1 << asz) - 1
+        )
+        W[nstart + nzrl + 1] = asz
+    if eob.any():
+        eidx = (block_base + block_total - 1)[eob]
+        V[eidx] = _EOB_CODE
+        W[eidx] = _EOB_LEN
+    bounds = np.concatenate((block_base, [total]))
+    return V, W, bounds, (int(dc[-1]) if n else pred)
+
+
+def _entropy_code_ref(bw: _BitWriter, qzz, pred: int) -> int:
+    """Sequential reference (the r12 form): kept for the bit-identity
+    pin in tests/test_multimodal.py."""
     for zz in qzz:
         pred = _code_block(bw, zz, pred)
     return pred
@@ -276,7 +463,131 @@ def _transform_decode(
     br: _BitReader, h: int, w: int, pred: int
 ) -> tuple[np.ndarray, int]:
     """Inverse of _transform_code: (h, w) float64 plane (still
-    level-shifted), new DC predictor."""
+    level-shifted), new DC predictor.
+
+    r13: the per-block _decode_block calls paid ~3.4 s/1000 docs in
+    _BitReader METHOD overhead alone (3.5M peek16/skip/read calls), so
+    this loop inlines the reader state as locals and absorbs the block
+    loop — same LUT walk, same bit windows, coefficients scattered
+    into zz_all in one fancy-index assignment at the end. Pinned
+    bit-identical to the _decode_block reference in
+    tests/test_multimodal.py."""
+    n = (h // 8) * (w // 8)
+    dc_sym, dc_len = _huff_lut_cached(*DC_LUMA)
+    ac_sym, ac_len = _huff_lut_cached(*AC_LUMA)
+    data = br.data
+    nbits_total = 8 * len(data)
+    acc, nb, pos, consumed = br.acc, br.nb, br.pos, br.consumed
+    bs: list = []  # block index per nonzero coefficient
+    ks: list = []  # zigzag position
+    vs: list = []  # value (DC rows carry the PREDICTED value)
+    for b in range(n):
+        # --- DC
+        while nb < 16:
+            chunk = data[pos : pos + 8]
+            if chunk:
+                acc = (
+                    (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                ) | int.from_bytes(chunk, "big")
+                pos += len(chunk)
+                nb += 8 * len(chunk)
+            else:
+                acc <<= 8
+                nb += 8
+        idx = (acc >> (nb - 16)) & 0xFFFF
+        size, length = dc_sym[idx], dc_len[idx]
+        if length == 0:
+            raise ValueError("corrupt MPV1: invalid DC Huffman code")
+        nb -= length
+        consumed += length
+        if size:
+            while nb < size:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    acc = (
+                        (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                    ) | int.from_bytes(chunk, "big")
+                    pos += len(chunk)
+                    nb += 8 * len(chunk)
+                else:
+                    acc <<= 8
+                    nb += 8
+            nb -= size
+            consumed += size
+            v = (acc >> nb) & ((1 << size) - 1)
+            if v < (1 << (size - 1)):
+                v += 1 - (1 << size)
+            pred += v
+        bs.append(b)
+        ks.append(0)
+        vs.append(pred)
+        # --- AC
+        k = 1
+        while k < 64:
+            while nb < 16:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    acc = (
+                        (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                    ) | int.from_bytes(chunk, "big")
+                    pos += len(chunk)
+                    nb += 8 * len(chunk)
+                else:
+                    acc <<= 8
+                    nb += 8
+            idx = (acc >> (nb - 16)) & 0xFFFF
+            rs, length = ac_sym[idx], ac_len[idx]
+            if length == 0:
+                raise ValueError("corrupt MPV1: invalid AC Huffman code")
+            nb -= length
+            consumed += length
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    if k > 64:
+                        raise ValueError("corrupt MPV1: AC run overflow")
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("corrupt MPV1: AC run overflow")
+            while nb < size:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    acc = (
+                        (acc & ((1 << nb) - 1)) << (8 * len(chunk))
+                    ) | int.from_bytes(chunk, "big")
+                    pos += len(chunk)
+                    nb += 8 * len(chunk)
+                else:
+                    acc <<= 8
+                    nb += 8
+            nb -= size
+            consumed += size
+            v = (acc >> nb) & ((1 << size) - 1)
+            if v < (1 << (size - 1)):
+                v += 1 - (1 << size)
+            bs.append(b)
+            ks.append(k)
+            vs.append(v)
+            k += 1
+        if consumed > nbits_total:
+            raise ValueError("corrupt MPV1: entropy stream truncated")
+    br.acc, br.nb, br.pos, br.consumed = acc, nb, pos, consumed
+    coef = np.zeros((n, 64), dtype=np.float64)
+    coef[np.asarray(bs, dtype=np.int64),
+         np.asarray(ZIGZAG, dtype=np.int64)[np.asarray(ks, dtype=np.int64)]
+         ] = np.asarray(vs, dtype=np.float64)
+    blocks = np.einsum("ij,njk,kl->nil", _A.T, coef.reshape(-1, 8, 8), _A)
+    return _plane_of(blocks, h, w), pred
+
+
+def _transform_decode_ref(
+    br: _BitReader, h: int, w: int, pred: int
+) -> tuple[np.ndarray, int]:
+    """Sequential per-block reference (the r12 form): kept for the
+    bit-identity pin in tests/test_multimodal.py."""
     n = (h // 8) * (w // 8)
     zz_all = np.zeros((n, 64), dtype=np.int64)
     for b in range(n):
@@ -475,18 +786,23 @@ def mpeg_encode_stats(
             ftype = 0
             mvs.append([])
         else:
+            # r13: per-macroblock bit emission batched to ONE
+            # write_many per frame — the per-MB numpy entropy calls
+            # cost as much in fixed overhead as the per-symbol writes
+            # they replaced. The math (motion, residual, closed-loop
+            # recon) is unchanged; the mv se(v) codes and each MB's
+            # residual symbol slice interleave in the exact stream
+            # order the sequential writer produced.
             recon = np.empty_like(cur)
-            pred_dc = 0
             mv_grid = _motion_search_frame(recon_prev, cur, search)
             fmvs = []
+            qzz_list = []
             for y0 in range(0, height, MB):
                 for x0 in range(0, width, MB):
                     dy, dx = (int(v) for v in mv_grid[y0 // MB, x0 // MB])
                     dy2, dx2 = _refine_halfpel(
                         recon_prev, cur, y0, x0, dy, dx, search)
                     fmvs.append((dy2, dx2))
-                    se_encode(bw, dy2)
-                    se_encode(bw, dx2)
                     pred = _interp_block(
                         recon_prev, y0, x0, dy2, dx2
                     ).astype(np.float64)
@@ -495,10 +811,36 @@ def mpeg_encode_stats(
                         - pred
                     )
                     qzz = _quantize(resid)
-                    pred_dc = _entropy_code(bw, qzz, pred_dc)
+                    qzz_list.append(qzz)
                     recon[y0 : y0 + MB, x0 : x0 + MB] = np.clip(
                         np.round(pred + _dequant_plane(qzz, MB, MB)), 0, 255
                     ).astype(np.uint8)
+            rv, rw, bounds, _ = _entropy_symbols(
+                np.concatenate(qzz_list), 0
+            )
+            # se(v) symbol pairs for the flat (dy2, dx2) sequence:
+            # (0, len-1) zeros then (n, len) — se_encode's exact bits.
+            mvflat = np.asarray(
+                [v for mv in fmvs for v in mv], dtype=np.int64
+            )
+            ncode = np.where(mvflat > 0, 2 * mvflat - 1, -2 * mvflat) + 1
+            mlen = _BITLEN[ncode]
+            parts_v = []
+            parts_w = []
+            blocks_per_mb = (MB // 8) * (MB // 8)
+            for i in range(len(fmvs)):
+                parts_v.append(np.array(
+                    [0, ncode[2 * i], 0, ncode[2 * i + 1]],
+                    dtype=np.int64))
+                parts_w.append(np.array(
+                    [mlen[2 * i] - 1, mlen[2 * i],
+                     mlen[2 * i + 1] - 1, mlen[2 * i + 1]],
+                    dtype=np.int64))
+                lo = bounds[i * blocks_per_mb]
+                hi = bounds[(i + 1) * blocks_per_mb]
+                parts_v.append(rv[lo:hi])
+                parts_w.append(rw[lo:hi])
+            bw.write_many(np.concatenate(parts_v), np.concatenate(parts_w))
             ftype = 1
             mvs.append(fmvs)
         errs.append(
