@@ -2046,10 +2046,17 @@ def decode_rc_payload(docs: DataFrame) -> DataFrame:
     content sums over the decoded payload plus the from-spec Adler-32
     the decoder verified against the frame trailer. `compressed`
     certifies the adaptive model genuinely beat 8 bits/byte on the
-    corpus content (code bytes < payload bytes)."""
-    from .rangecoder import rc_decode
+    corpus content (code bytes < payload bytes).
+
+    r13 (guide §4): FUSED with the blob stage — one mapInPandas runs
+    generation + contract check + encode + the real adaptive decode
+    per document, so the blob never crosses an extra Arrow boundary.
+    Rows identical by construction; with_rc_blob stays as the
+    standalone blob maker."""
+    from .rangecoder import rc_decode, rc_encode
     from .inflate import adler32_spec
 
+    encode = rc_encode
     decode = rc_decode
     adler = adler32_spec
 
@@ -2059,8 +2066,29 @@ def decode_rc_payload(docs: DataFrame) -> DataFrame:
 
         rows = []
         for pdf in batches:
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                payload = decode(bytes(blob))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if len(b) != len(text):
+                    raise ValueError(
+                        f"non-ASCII document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires the "
+                        "ASCII corpus contract"
+                    )
+                if not b:
+                    raise ValueError(
+                        f"empty document text (doc_id={doc_id}): "
+                        "byte-indexed blob generation requires a "
+                        "non-empty corpus"
+                    )
+                blob = encode(b * 2)
+                if len(blob) - 12 >= 2 * len(b):
+                    raise ValueError(
+                        f"RC01 corpus contract violated (doc_id="
+                        f"{doc_id}): code {len(blob) - 12} B did not "
+                        f"compress payload {2 * len(b)} B"
+                    )
+                # The query's claim: the REAL adaptive decode.
+                payload = decode(blob)
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 pos = np.arange(arr.size, dtype=np.int64)
                 rows.append(
@@ -2082,7 +2110,10 @@ def decode_rc_payload(docs: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return with_rc_blob(docs).mapInPandas(op, RC_DECODE_SCHEMA)
+    src = docs.select("doc_id", "text")
+    spark = src.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(op, RC_DECODE_SCHEMA)
 
 
 MPEG_SCHEMA = (

@@ -187,7 +187,87 @@ class _Decoder:
 
 def rc_encode(payload: bytes) -> bytes:
     """Encode payload into the RC01 frame (adaptive contexts reset per
-    frame, so encoding is a pure function of the payload)."""
+    frame, so encoding is a pure function of the payload).
+
+    r13: the coder/model/emitter are inlined as loop locals — the
+    per-BIT encode()/update()/_emit() method calls were most of this
+    function's wall — and the output bits collect in a list packed
+    once with np.packbits (MSB-first, zero-padded: exactly _Encoder's
+    byte assembly + finish padding). Bit streams are identical to the
+    class-based reference (pinned by tests/test_bitio_r13.py and
+    roundtrip-verified over the sf0.1 corpus)."""
+    import numpy as np
+
+    c0 = [1] * 256
+    c1 = [1] * 256
+    low = 0
+    high = _MASK
+    pending = 0
+    bits_out: list = []
+    ap = bits_out.append
+    ext = bits_out.extend
+    half, quarter, q3 = _HALF, _QUARTER, 3 * _QUARTER
+    for byte in payload:
+        ctx = 1
+        for k in range(7, -1, -1):
+            bit = (byte >> k) & 1
+            nc0 = c0[ctx]
+            nc1 = c1[ctx]
+            span = high - low + 1
+            mid = low + (span * nc0) // (nc0 + nc1) - 1
+            if bit:
+                low = mid + 1
+                nc1 += 1
+            else:
+                high = mid
+                nc0 += 1
+            if nc0 + nc1 >= _RESCALE:
+                nc0 = max(1, nc0 >> 1)
+                nc1 = max(1, nc1 >> 1)
+            c0[ctx] = nc0
+            c1[ctx] = nc1
+            while True:
+                if high < half:
+                    ap(0)
+                    if pending:
+                        ext([1] * pending)
+                        pending = 0
+                elif low >= half:
+                    ap(1)
+                    if pending:
+                        ext([0] * pending)
+                        pending = 0
+                    low -= half
+                    high -= half
+                elif low >= quarter and high < q3:
+                    pending += 1
+                    low -= quarter
+                    high -= quarter
+                else:
+                    break
+                low <<= 1
+                high = (high << 1) | 1
+            ctx = (ctx << 1) | bit
+    # Disambiguate the final interval (WNC: one quarter bit).
+    pending += 1
+    if low < quarter:
+        ap(0)
+        ext([1] * pending)
+    else:
+        ap(1)
+        ext([0] * pending)
+    code = np.packbits(np.array(bits_out, dtype=np.uint8)).tobytes()
+    return (
+        MAGIC
+        + struct.pack(">I", len(payload))
+        + code
+        + struct.pack(">I", adler32_spec(payload))
+    )
+
+
+def rc_encode_ref(payload: bytes) -> bytes:
+    """Class-based sequential reference (the r12 form): kept for the
+    bit-identity pin in tests/test_bitio_r13.py."""
     model = _Model()
     enc = _Encoder()
     c0, c1 = model.c0, model.c1
@@ -216,15 +296,71 @@ def rc_decode(data: bytes) -> bytes:
         raise ValueError("truncated RC01 frame")
     (n,) = struct.unpack(">I", data[4:8])
     (stored,) = struct.unpack(">I", data[-4:])
-    model = _Model()
-    dec = _Decoder(data[8:-4])
-    c0, c1 = model.c0, model.c1
+    # r13: coder/model state inlined as loop locals (the per-bit
+    # decode()/update()/_bit() method calls were most of the wall) and
+    # the code bytes unpacked to a flat bit list once — reads past the
+    # end yield the coder's implicit trailing zeros, exactly like
+    # _Decoder._bit. Bit decisions identical to the class-based
+    # reference (pinned by tests/test_bitio_r13.py).
+    import numpy as np
+
+    code = data[8:-4]
+    bits = np.unpackbits(np.frombuffer(code, dtype=np.uint8)).tolist()
+    nbits = len(bits)
+    c0 = [1] * 256
+    c1 = [1] * 256
+    low = 0
+    high = _MASK
+    pos = 0
+    value = 0
+    for _ in range(_BITS):
+        if pos < nbits:
+            value = (value << 1) | bits[pos]
+            pos += 1
+        else:
+            value <<= 1
+    half, quarter, q3 = _HALF, _QUARTER, 3 * _QUARTER
     out = bytearray()
     for _ in range(n):
         ctx = 1
         for _ in range(8):
-            bit = dec.decode(c0[ctx], c1[ctx])
-            model.update(ctx, bit)
+            nc0 = c0[ctx]
+            nc1 = c1[ctx]
+            span = high - low + 1
+            mid = low + (span * nc0) // (nc0 + nc1) - 1
+            if value > mid:
+                bit = 1
+                low = mid + 1
+                nc1 += 1
+            else:
+                bit = 0
+                high = mid
+                nc0 += 1
+            if nc0 + nc1 >= _RESCALE:
+                nc0 = max(1, nc0 >> 1)
+                nc1 = max(1, nc1 >> 1)
+            c0[ctx] = nc0
+            c1[ctx] = nc1
+            while True:
+                if high < half:
+                    pass
+                elif low >= half:
+                    low -= half
+                    high -= half
+                    value -= half
+                elif low >= quarter and high < q3:
+                    low -= quarter
+                    high -= quarter
+                    value -= quarter
+                else:
+                    break
+                low <<= 1
+                high = (high << 1) | 1
+                if pos < nbits:
+                    value = (value << 1) | bits[pos]
+                    pos += 1
+                else:
+                    value <<= 1
             ctx = (ctx << 1) | bit
         out.append(ctx & 0xFF)
     payload = bytes(out)

@@ -128,6 +128,15 @@ def sq8_scored_arrow(e: DataFrame, n_queries: int) -> DataFrame:
             acc = np.zeros(len(A), dtype=np.float64)
             for i in range(A.shape[1]):  # seqsum: the fold's order
                 acc = acc + P[:, i]
+            if (acc == 0.0).any():
+                # The JVM fold raises DIVIDE_BY_ZERO here under the
+                # session's ANSI mode; the old kernel cast NaN codes to
+                # an undefined int64 instead (ADVICE r12). Match the
+                # fold's failure class: loud, never silently wrong.
+                raise ValueError(
+                    "sq8 codes: zero-norm embedding (division by zero "
+                    "in normalization) violates the corpus contract"
+                )
             nv = A / np.sqrt(acc)[:, None]
             return np.minimum(
                 np.floor(nv / s * half), float(half - 1)
@@ -138,6 +147,15 @@ def sq8_scored_arrow(e: DataFrame, n_queries: int) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf["v"].isna().any():
+                # The fold path would propagate null qdots here; the
+                # corpus contract (generator-made embeddings) forbids
+                # null rows, so fail loudly instead of crashing inside
+                # np.array with an opaque shape error (ADVICE r12).
+                raise ValueError(
+                    "sq8_scored_arrow: null embedding row violates "
+                    "the corpus contract"
+                )
             A = np.array(pdf["v"].tolist(), dtype=np.float64)
             D = codes_of(A) @ Qc.T  # (m, nq) exact int64 dots
             nid = pdf["vec_id"].to_numpy()

@@ -261,6 +261,24 @@ def main() -> None:
         f"Source fixtures: {SF}; session: AQE on, 64 MB broadcast threshold.",
         "Regenerate after plan-affecting changes: `python scripts/dump_plans.py`.",
         "",
+        "**Eager query construction (ADVICE r12, documented boundary):**",
+        "a few query FUNCTIONS launch Spark jobs when merely CALLED,",
+        "before any action on the returned DataFrame — PQ/SQ8 collect",
+        "their bounded training sample / 1-row scale driver-side",
+        "(`similarity/pq.py train_codebook_np`, `quantization.py",
+        "sq8_scored_arrow`), and the iterative queries (`bpe_*`,",
+        "`market_basket_pairs`, `zorder_layout_*`, LPA and the other",
+        "graph-loop queries) run `localCheckpoint(eager=True)` per",
+        "round. This is deliberate: the collects are sanctioned",
+        "small-sample training (faiss posture, hard-bounded) and the",
+        "checkpoints are inside-query lineage flattening an iterative",
+        "algorithm needs at any scale. Consequence for TOOLING:",
+        "building one of these plans is not free — dry-run/plan-capture",
+        "helpers run against the small fixtures, and anything that",
+        "constructs-but-discards these queries pays the",
+        "training/checkpoint jobs. The non-iterative, non-training",
+        "queries remain lazy end-to-end.",
+        "",
     ]
     for name, note in SHOWCASE:
         plan = formatted_plan(q[name].fn(spark, SF))

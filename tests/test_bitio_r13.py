@@ -421,3 +421,28 @@ def test_dequant_inverse_transform_batch_matches_per_block():
             assert np.array_equal(
                 batch[i], dequant_inverse_transform(zs[i], qp)
             ), (qp, i)
+
+
+def test_rangecoder_inline_matches_class_reference():
+    """r13: rc_encode/rc_decode inline the coder/model/emitter state as
+    loop locals; streams and decisions must stay bit-identical to the
+    class-based reference (rc_encode_ref wraps _Model/_Encoder; decode
+    is checked by exact roundtrip of streams the reference encoder
+    produced, including rescale-boundary content)."""
+    from matrix_multiplication_map_reduce_gcp_spark.multimodal.rangecoder import (
+        rc_decode, rc_encode, rc_encode_ref)
+
+    rng = np.random.RandomState(15)
+    payloads = [
+        b"",
+        b"\x00" * 300,
+        b"\xff" * 300,
+        bytes(rng.randint(0, 256, 2000).tolist()),
+        bytes((rng.randint(0, 3, 5000) * 100).astype(np.uint8).tolist()),
+        b"abcabcabc" * 400,  # skewed: adaptive contexts drift far
+    ]
+    for k, p in enumerate(payloads):
+        ref = rc_encode_ref(p)
+        new = rc_encode(p)
+        assert new == ref, k
+        assert rc_decode(new) == p, k

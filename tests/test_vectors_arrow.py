@@ -227,3 +227,50 @@ def test_bucket_arrow_bit_identical_to_fold(spark):
     assert got[0][0] == got[0][1]
     for i in (1, 2, 3):
         assert got[i] == (0, 0), (i, got[i])
+
+
+def test_sq8_degenerate_inputs_fail_loudly_and_codes_match_fold(spark):
+    """ADVICE r12: the old Arrow kernel cast a zero-norm vector's NaN
+    codes to an undefined int64 and crashed opaquely inside np.array on
+    a null embedding row, while the JVM fold raises DIVIDE_BY_ZERO
+    under the session's ANSI mode. Pin (a) dot-for-dot equality with
+    the fold's codes on a healthy corpus, (b) a loud ValueError on a
+    zero-norm row (the fold's failure class), (c) a loud ValueError on
+    a null row."""
+    import numpy as np
+    import pytest
+
+    from matrix_multiplication_map_reduce_gcp_spark.similarity.quantization import (
+        code_arrays, sq8_scored_arrow)
+
+    rng = np.random.RandomState(21)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fold = {
+        r["vec_id"]: np.array(list(r["codes"]), dtype=np.int64)
+        for r in code_arrays(e).collect()
+    }
+    scored = {
+        (r["query_id"], r["neighbor_id"]): r["qdot"]
+        for r in sq8_scored_arrow(e, 2).collect()
+    }
+    for q in range(2):
+        for nbr in fold:
+            if nbr == q:
+                continue
+            assert scored[(q, nbr)] == int(fold[q] @ fold[nbr]), (q, nbr)
+
+    # Zero-norm corpus vector: loud failure (the fold raises
+    # DIVIDE_BY_ZERO; the kernel must not emit undefined codes).
+    rows_zero = rows + [(90, [0.0] * 8)]
+    e_zero = spark.createDataFrame(
+        rows_zero, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        sq8_scored_arrow(e_zero, 2).collect()
+
+    # Null embedding row: loud contract failure, not an opaque crash.
+    rows_bad = rows + [(99, None)]
+    e_bad = spark.createDataFrame(
+        rows_bad, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="corpus contract|null embedding"):
+        sq8_scored_arrow(e_bad, 2).collect()
